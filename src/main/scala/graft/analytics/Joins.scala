@@ -1,0 +1,169 @@
+package graft.analytics
+
+import graft.{Parity, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.4, J1-J6) plus the set operations the
+  * engine gets for free (§2.6). The reference let Postgres choose join
+  * algorithms; here Catalyst chooses, with explicit `broadcast()` hints on
+  * genuinely small sides (dims, top-k derived tables) so the 100 TB plan
+  * never sort-merge-shuffles a 5-row table against a fact.
+  */
+object Joins {
+  import Parity._
+
+  /** J1: fact ⋈ tiny derived table (top-5 recent weeks CTE) — broadcast.
+    * Ref: weekly-report.py:289-304. */
+  val j1 = Q.withOracle(
+    "j1_recent_weeks_join",
+    "J1: broadcast join against top-5-weeks derived table",
+    s"""WITH recent AS (SELECT DISTINCT ${sql.week("l_shipdate")} AS wk
+       |  FROM lineitem ORDER BY wk DESC LIMIT 5)
+       |SELECT r.wk, ${sql.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+       |FROM lineitem l JOIN recent r ON ${sql.week("l.l_shipdate")} = r.wk
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).withColumn("li_wk", week(col("l_shipdate")))
+    val recent = li.select(col("li_wk").as("wk")).distinct()
+      .orderBy(col("wk").desc).limit(5)
+    li.join(broadcast(recent), col("li_wk") === col("wk"))
+      .groupBy(col("wk"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("wk"))
+  }
+
+  /** J2: fact ⋈ fact equi-join on different key names.
+    * Ref: weekly-report.py:326 (facility_id = hospital_weekly_id). */
+  val j2 = Q.withOracle(
+    "j2_orders_lineitem_join",
+    "J2: fact-fact equi join, grouped rollup",
+    s"""SELECT o_orderstatus,
+       |  ${sql.revenueSum("l_extendedprice", "l_discount")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dsumExact(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** J3: 2-hop FK dim chain, both dims broadcast.
+    * Ref: weekly-report.py:349-350 (weekly_report ⋈ hospital ⋈ location). */
+  val j3 = Q.withOracle(
+    "j3_region_rollup",
+    "J3: fact through customer→nation→region dim chain",
+    s"""SELECT r_name, ${sql.dsum("o_totalprice")} AS sum_price, COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J4: left outer join with NULL-extended aggregates coalesced.
+    * Ref: weekly-report.py:376-377. */
+  val j4 = Q.withOracle(
+    "j4_customer_order_counts",
+    "J4: left outer join, count/sum over NULL-extended rows",
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${sql.dsum("o_totalprice")}, 0.0) AS spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val RecentCutoff = "2001-01-01"
+
+  /** J5: left semi join — "customers with recent activity" (EXISTS).
+    * Ref: helper_load_hhs.py:134-138 bulk-key-lookup shape. */
+  val j5 = Q.withOracle(
+    "j5_active_customers_semi",
+    "J5: left semi join (EXISTS)",
+    s"""SELECT c_custkey, c_name FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       |  AND ${sql.day("o.o_orderdate")} >= DATE '$RecentCutoff')
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val recent = Tables.orders(s, dir)
+      .filter(day(col("o_orderdate")) >= lit(java.sql.Date.valueOf(RecentCutoff)))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J6: left anti join — "customers with no recent activity" (NOT EXISTS),
+    * the ON CONFLICT DO NOTHING shape. Ref: helper_load_hhs.py:96. */
+  val j6 = Q.withOracle(
+    "j6_inactive_customers_anti",
+    "J6: left anti join (NOT EXISTS)",
+    s"""SELECT c_custkey, c_name FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       |  AND ${sql.day("o.o_orderdate")} >= DATE '$RecentCutoff')
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val recent = Tables.orders(s, dir)
+      .filter(day(col("o_orderdate")) >= lit(java.sql.Date.valueOf(RecentCutoff)))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set ops (§2.6): capability headroom beyond the reference. Segments
+    * seen in low-key nations vs high-key nations. */
+  private def segs(s: org.apache.spark.sql.SparkSession, dir: String, lo: Boolean) = {
+    val c = Tables.customer(s, dir)
+    val f = if (lo) col("c_nationkey") < 12 else col("c_nationkey") >= 12
+    c.filter(f).select(col("c_mktsegment")).distinct()
+  }
+
+  val setUnion = Q.withOracle(
+    "set_union_segments",
+    "UNION (distinct) of two projected sets",
+    """SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
+      |UNION
+      |SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    segs(s, dir, lo = true).union(segs(s, dir, lo = false))
+      .distinct().orderBy(col("c_mktsegment"))
+  }
+
+  val setIntersect = Q.withOracle(
+    "set_intersect_segments",
+    "INTERSECT of two projected sets",
+    """SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
+      |INTERSECT
+      |SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    segs(s, dir, lo = true).intersect(segs(s, dir, lo = false))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val setExcept = Q.withOracle(
+    "set_except_brands",
+    "EXCEPT of two projected sets",
+    """SELECT p_brand FROM part WHERE p_size <= 25
+      |EXCEPT
+      |SELECT p_brand FROM part WHERE p_size > 25
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir)
+    p.filter(col("p_size") <= 25).select(col("p_brand"))
+      .except(p.filter(col("p_size") > 25).select(col("p_brand")))
+      .orderBy(col("p_brand"))
+  }
+
+  val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept)
+}

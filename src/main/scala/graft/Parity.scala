@@ -45,6 +45,10 @@ object Parity {
   /** Calendar day as DATE. */
   def day(c: Column): Column = to_date(c)
 
+  /** TRY_CAST-to-int equivalent that stays inside codegen under ANSI mode:
+    * digits-only strings cast, everything else (including '') → NULL. */
+  def tryInt(c: Column): Column = when(c.rlike("^[0-9]+$"), c.cast("int"))
+
   /** SQL fragments for the DuckDB oracle, kept next to their Spark
     * equivalents so the two stay in sync. */
   object sql {

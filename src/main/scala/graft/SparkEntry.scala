@@ -14,7 +14,9 @@ object SparkEntry {
   /** All registered capabilities, grouped by module. */
   def registry: Seq[Q] =
     analytics.Reports.all ++
-      analytics.Joins.all
+      analytics.Joins.all ++
+      etl.Etl.all ++
+      functions.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

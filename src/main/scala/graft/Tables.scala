@@ -22,7 +22,20 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame     = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame     = table(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame     = table(s, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long,
+    * rescaled here to a proper timestamp. Integer division — a double
+    * round-trip would lose precision above 2^53 nanos (~epoch 2255 in µs,
+    * but already today in ns). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

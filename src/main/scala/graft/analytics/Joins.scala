@@ -152,17 +152,18 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Ship-weeks with no order activity — non-empty because shipments
+    * trail the last order date. */
   val setExcept = Q.withOracle(
-    "set_except_brands",
+    "set_except_weeks",
     "EXCEPT of two projected sets",
-    """SELECT p_brand FROM part WHERE p_size <= 25
-      |EXCEPT
-      |SELECT p_brand FROM part WHERE p_size > 25
-      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
-    val p = Tables.part(s, dir)
-    p.filter(col("p_size") <= 25).select(col("p_brand"))
-      .except(p.filter(col("p_size") > 25).select(col("p_brand")))
-      .orderBy(col("p_brand"))
+    s"""SELECT ${sql.week("l_shipdate")} AS wk FROM lineitem
+       |EXCEPT
+       |SELECT ${sql.week("o_orderdate")} AS wk FROM orders
+       |ORDER BY wk""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).select(week(col("l_shipdate")).as("wk"))
+      .except(Tables.orders(s, dir).select(week(col("o_orderdate")).as("wk")))
+      .orderBy(col("wk"))
   }
 
   val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept)

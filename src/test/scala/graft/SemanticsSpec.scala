@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SURVEY §7.3 "hard parts": NULL-semantics drift, rounding parity,
+  * HAVING over all-NULL MAX — each pinned on hand-built data so a
+  * regression fails loudly rather than silently diverging from the oracle. */
+class SemanticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("A3: sum(a+b) drops rows where either addend is NULL; sum(a)+sum(b) does not") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)),
+      (None, Some(20.0)),
+      (Some(3.0), None)).toDF("a", "b")
+    val r = df.agg(
+      sum($"a" + $"b").as("sum_ab"),
+      (sum($"a") + sum($"b")).as("sum_a_plus_b")).head()
+    assert(r.getDouble(0) === 11.0)  // only the fully-non-NULL row
+    assert(r.getDouble(1) === 34.0)
+  }
+
+  test("A9: HAVING max(x) < scalar silently drops all-NULL groups") {
+    val facts = Seq((1, Some(5)), (2, None)).toDF("k", "x")
+    val kept = facts.groupBy("k").agg(max($"x").as("m")).filter($"m" < 10)
+    assert(kept.select("k").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("A5: round is HALF_UP (Postgres/DuckDB parity), bround is HALF_EVEN") {
+    val df = Seq(2.5, 3.5, -2.5).toDF("x")
+    assert(df.select(round($"x", 0)).as[Double].collect().toSeq === Seq(3.0, 4.0, -3.0))
+    assert(df.select(bround($"x", 0)).as[Double].collect().toSeq === Seq(2.0, 4.0, -2.0))
+  }
+
+  test("P4: NaN is not NULL — normalize before comparisons") {
+    val df = Seq(Double.NaN, 1.0).toDF("x")
+    assert(df.filter($"x".isNotNull).count() === 2) // NaN survives isNotNull
+    assert(df.filter(!isnan($"x")).count() === 1)
+    val normalized = df.select(when(isnan($"x"), lit(null)).otherwise($"x").as("x"))
+    assert(normalized.na.drop().count() === 1)
+  }
+
+  test("decimal-exact sums are identical across partition counts") {
+    val li = Tables.lineitem(spark, sf)
+    val a = li.agg(Parity.dsum(col("l_extendedprice"))).head().getDouble(0)
+    val b = li.repartition(23).agg(Parity.dsum(col("l_extendedprice"))).head().getDouble(0)
+    assert(a === b)
+  }
+}

@@ -16,7 +16,11 @@ object SparkEntry {
     analytics.Reports.all ++
       analytics.Joins.all ++
       etl.Etl.all ++
-      functions.Scalars.all
+      functions.Scalars.all ++
+      ext.Dedup.all ++
+      ext.Similarity.all ++
+      ext.TextStats.all ++
+      ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,164 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for an LLM-data pipeline over `documents`:
+  * exact (content-hash), exact n-gram Jaccard, MinHash+LSH approximate,
+  * and SimHash. SURVEY.md §2.3 covers the reference's key-dedup (D1);
+  * these are the content-dedup extensions the north star asks for.
+  *
+  * Scale design (100 TB):
+  * - Exact dedup is a single hash-aggregate on md5(text) — one shuffle of
+  *   (16-byte key, doc_id), no text movement.
+  * - The all-pairs shingle join (x4) is intentionally the *verifier*, not
+  *   the candidate generator: at scale you never self-join the full
+  *   shingle table. MinHash+LSH (x2) generates candidates with one
+  *   shuffle of 8 small band-hash rows per doc, then verifies only
+  *   bucket-mates. The signature pass is a single groupBy(doc) with 32
+  *   min() aggregates — map-side combined, no explosion of the seed axis.
+  * - SimHash (x3) is one groupBy(doc) with 64 sum aggregates; candidate
+  *   pairing at scale buckets on 16-bit simhash prefixes (same LSH idea).
+  */
+object Dedup {
+
+  val NumHashes = 32
+  val NumBands = 8 // 4 rows per band → catches jaccard ≳ 0.7 reliably
+
+  /** Distinct 3-token shingles per doc: (doc_id, g). */
+  private[ext] def shingles(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val sh = array_distinct(transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+    docs.select(col("doc_id"), explode(sh).as("g"))
+  }
+
+  /** MinHash signature: one row per doc, NumHashes min-hash columns, via a
+    * single aggregation pass (no seed-axis explode). */
+  private[ext] def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("g"))).as("mh0"),
+        (1 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j")): _*)
+
+  /** LSH candidate pairs: docs sharing any band of the signature. */
+  private[ext] def candidatePairs(sig: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val bands = explode(array((0 until NumBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }: _*))
+    val banded = sig.select(col("doc_id"), bands.as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (doc_a, doc_b) pairs, from the shingle table. */
+  private[ext] def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+          .as("jac"))
+  }
+
+  /** x1: exact dedup by content hash — survivor = min doc_id per md5(text).
+    * Emits every group (n_copies=1 for uniques) so the result is non-empty
+    * at every scale factor. */
+  val exact = Q.withOracle(
+    "x1_dedup_exact",
+    "exact content dedup: md5 groups, deterministic survivor",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("survivor_id"))
+  }
+
+  /** x4: exact 3-gram Jaccard near-dup pairs (the brute-force baseline and
+    * the verifier for LSH). All-pairs via shingle self-join — correct at
+    * test scale, deliberately NOT the 100 TB path (see x2). */
+  val jaccardPairs = Q.withOracle(
+    "x4_jaccard_pairs",
+    "exact shingle-Jaccard near-dup pairs (≥ 0.5)",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common, za.n AS n_a, zb.n AS n_b,
+      |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jac
+      |FROM inter
+      |JOIN sizes za ON doc_a = za.doc_id
+      |JOIN sizes zb ON doc_b = zb.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = shingles(Tables.documents(s, dir))
+    val allPairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    exactJaccard(allPairs, sh)
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** x2: MinHash+LSH near-dup pairs — candidates from band buckets, then
+    * exact verification of candidates only. No SQL oracle (xxhash64 seeds
+    * are engine-specific); DedupSpec asserts recall against x4. */
+  val minhash = Q(
+    "x2_minhash_lsh_pairs",
+    "MinHash(32)+LSH(8 bands) candidates, verified ≥ 0.5")(
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+      exactJaccard(candidatePairs(signatures(sh)), sh)
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  /** x3: 64-bit SimHash per doc from token hashes — one aggregation pass
+    * with 64 bit-vote sums recombined into a long. Rows-only check;
+    * DedupSpec asserts hamming proximity for known near-dups. */
+  val simhash = Q(
+    "x3_simhash",
+    "64-bit SimHash per doc (bit votes over token hashes)")(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val votes = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (0 until 64).map { p =>
+            sum(when(shiftright(col("h"), p).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$p")
+          }: _*)
+      val sim = (0 until 64).map { p =>
+        when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      votes.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    })
+
+  val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash)
+
+  /** Hamming distance between two simhash longs (for tests / clustering). */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Numeric parity: dot products and norms are computed as strict
+  * left-to-right double folds over the vector (`zip_with` + `aggregate`),
+  * which the DuckDB oracle mirrors with `list_transform` + `list_reduce`
+  * — identical operation order → bit-identical doubles, no tolerance
+  * needed.
+  *
+  * Scale design (100 TB of vectors):
+  * - Brute force is O(Q·N) — used with a small broadcast query set; the
+  *   big side streams, never shuffles.
+  * - The LSH variant buckets vectors by 16 sign bits of random-hyperplane
+  *   projections (deterministic hash-derived planes, no stored model),
+  *   then searches only same-bucket candidates: one shuffle on bucket id,
+  *   candidate count ~ N/2^16 per bucket. An IVF upgrade would k-means
+  *   the planes; the plumbing (bucket → probe → verify) is identical.
+  */
+object Similarity {
+
+  private val NumQueries = 20
+  private val TopK = 5
+  /** Multi-table LSH: L tables × b sign bits. Few bits per table keeps
+    * buckets populated at test scale; at 100 TB you'd raise b with N
+    * (bucket occupancy ~ N/2^b) and keep L for recall. */
+  val NumTables = 4
+  val BitsPerTable = 4
+
+  /** Vector as doubles + its L2 norm, computed once. */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(aggregate(transform(col("vd"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  /** x5: exact brute-force cosine top-k for a fixed query set. */
+  val bruteForceKnn = Q.withOracle(
+    "x5_cosine_topk",
+    "brute-force cosine top-5 neighbors for query vectors",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x) / (q.nrm * n.nrm) AS cos
+       |  FROM v q JOIN v n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val v = withNorm(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nrm").as("qn"))
+    val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Random-hyperplane sign buckets, one row per (vec_id, table): table
+    * t's bucket packs the sign bits of planes [t*b, t*b+b). Plane p's
+    * weight for dimension d is ±1 derived from xxhash64(p*64+d) —
+    * deterministic, nothing stored or trained. */
+  private[ext] def bucketed(e: DataFrame): DataFrame = {
+    val nPlanes = NumTables * BitsPerTable
+    val exploded = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .crossJoin(broadcast(
+        e.sparkSession.range(nPlanes).select(col("id").cast("int").as("plane"))))
+    val weight = when(pmod(xxhash64(col("plane") * 64 + col("pos")), lit(2)) === 0, -1.0)
+      .otherwise(1.0)
+    val projections = exploded
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x").cast("double") * weight).as("proj"))
+    projections
+      .withColumn("table", col("plane") / lit(BitsPerTable) cast "int")
+      .withColumn("bit", pmod(col("plane"), lit(BitsPerTable)))
+      .groupBy(col("vec_id"), col("table"))
+      .agg(sum(when(col("proj") >= 0, expr(s"shiftleft(1, bit)")).otherwise(0))
+        .cast("int").as("bucket"))
+  }
+
+  /** x6: LSH-bucketed approximate top-k — same query set as x5, searching
+    * only same-bucket candidates. Rows-only check; SimilaritySpec measures
+    * recall against x5. */
+  val annLsh = Q(
+    "x6_ann_lsh_topk",
+    "random-hyperplane LSH bucketed approximate top-5")(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val buckets = bucketed(e)
+      val qb = buckets.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      val nb = buckets
+        .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+      // candidates: share any table's bucket (multi-table union → distinct)
+      val cand = nb.join(broadcast(qb), Seq("table", "bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val v = withNorm(e)
+      val q = v.select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nrm").as("qn"))
+      val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      cand.join(n, "neighbor_id").join(broadcast(q), "query_id")
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  val all: Seq[Q] = Seq(bruteForceKnn, annLsh)
+}

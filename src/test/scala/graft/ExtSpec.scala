@@ -1,0 +1,84 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Extension operators: the non-SQL-oracle paths get their correctness
+  * story here — LSH recall vs the exact baselines, simhash locality,
+  * multimodal determinism. Runs at sf0.001 for speed (500 docs / 500
+  * vectors — same as sf0.01 for documents/embeddings). */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("x2 MinHash+LSH finds every exact-Jaccard pair at >= 0.8 (recall 1.0 band)") {
+    val exact = SparkEntry.queries("x4_jaccard_pairs")(spark, sf)
+      .filter($"jac" >= 0.8).select("doc_a", "doc_b")
+    val lsh = SparkEntry.queries("x2_minhash_lsh_pairs")(spark, sf)
+      .select("doc_a", "doc_b")
+    val missed = exact.exceptAll(lsh)
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: ${missed.collect().mkString(",")}")
+  }
+
+  test("x2 LSH verified output is a subset of the exact >= 0.5 pair set") {
+    val exact = SparkEntry.queries("x4_jaccard_pairs")(spark, sf).select("doc_a", "doc_b")
+    val lsh = SparkEntry.queries("x2_minhash_lsh_pairs")(spark, sf).select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).isEmpty, "LSH emitted a pair the exact verifier rejects")
+  }
+
+  test("x3 SimHash: near-dup pairs are close in hamming distance, random pairs are not") {
+    val sim = SparkEntry.queries("x3_simhash")(spark, sf)
+      .select($"doc_id", $"simhash")
+    val nearDups = SparkEntry.queries("x4_jaccard_pairs")(spark, sf)
+      .filter($"jac" >= 0.9).select("doc_a", "doc_b")
+    val withH = nearDups
+      .join(sim.select($"doc_id".as("doc_a"), $"simhash".as("ha")), "doc_a")
+      .join(sim.select($"doc_id".as("doc_b"), $"simhash".as("hb")), "doc_b")
+      .select(Dedup.hamming($"ha", $"hb").as("d"))
+    val (maxNear, meanNear) = withH.agg(max($"d"), avg($"d")).as[(Int, Double)].head()
+    assert(maxNear <= 16, s"near-dup hamming distance too large: $maxNear")
+    // background baseline: consecutive non-dup ids. The corpus shares a
+    // ~40-word vocabulary so simhashes are correlated (mean ≈ 14, not the
+    // 32 of independent longs) — the signal is the near-dup/background gap.
+    val pairs = sim.as[(Long, Long)].collect().sortBy(_._1)
+    val rand = pairs.sliding(2).collect { case Array((i, a), (j, b)) if j == i + 1 =>
+      java.lang.Long.bitCount(a ^ b) }.toSeq
+    val randMean = rand.sum.toDouble / rand.size
+    assert(randMean > 2.0 * (meanNear + 1), s"no locality gap: bg=$randMean near=$meanNear")
+  }
+
+  test("x6 ANN returns ranked candidates and respects the cosine ordering of x5 on hits") {
+    val ann = SparkEntry.queries("x6_ann_lsh_topk")(spark, sf)
+    assert(ann.count() > 0, "ANN produced no candidates — bucketing too fine")
+    // every (query, neighbor) ann emits must carry the same cosine x5 computed
+    val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("cos_exact"))
+    val joined = ann.join(exact, Seq("query_id", "neighbor_id"))
+    val bad = joined.filter(abs($"cos" - $"cos_exact") > 1e-12)
+    assert(bad.isEmpty, "ANN cosine drifted from exact")
+  }
+
+  test("x5 brute-force knn: self excluded, k rows per query, rank contiguous") {
+    val knn = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+    assert(knn.filter($"query_id" === $"neighbor_id").isEmpty)
+    val perQuery = knn.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQuery.filter($"n" =!= 5 || $"mr" =!= 5).isEmpty)
+  }
+
+  test("multimodal decode stub is deterministic and batch-size invariant") {
+    val blobs = Multimodal.blobTable(spark, sf).as[(Long, Array[Byte])]
+    val a = Multimodal.extractFeatures(blobs, batchSize = 7).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(blobs.repartition(13), batchSize = 256)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes > 0))
+  }
+
+  test("multimodal frame sampling covers the blob with the right stride") {
+    val frames = Multimodal.sampleFrames(Multimodal.blobTable(spark, sf), stride = 64)
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(Multimodal.blobTable(spark, sf)
+        .select($"doc_id", octet_length($"media").as("len")), "doc_id")
+    val wrong = perDoc.filter($"n" =!= greatest(floor($"len" / 64), lit(1)))
+    assert(wrong.isEmpty, wrong.collect().take(3).mkString(","))
+  }
+}

@@ -399,10 +399,15 @@ object Etl {
 
   /** Generic snapshot upsert: rows of `incoming` whose key is absent from
     * `existing`, appended to `existing`. Idempotent: applying the same
-    * incoming twice yields the same result. */
-  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    existing.unionByName(
-      incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    * incoming twice yields the same result. The key side is renamed before
+    * the anti-join so chained upserts (existing derived from incoming)
+    * don't trip Spark's self-join attribute ambiguity. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val exKeys = existing.select(keys.map(col): _*).distinct()
+      .toDF(keys.map(k => s"__ex_$k"): _*)
+    val cond = keys.map(k => incoming(k) === exKeys(s"__ex_$k")).reduce(_ && _)
+    existing.unionByName(incoming.join(exKeys, cond, "left_anti"))
+  }
 
   /** Deterministic keep-first dedup. */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[org.apache.spark.sql.Column]): DataFrame = {

@@ -19,6 +19,7 @@ object SparkEntry {
       functions.Scalars.all ++
       ext.Dedup.all ++
       ext.Similarity.all ++
+      ext.Ivf.all ++
       ext.TextStats.all ++
       ext.Multimodal.all
 

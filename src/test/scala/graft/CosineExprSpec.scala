@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+/** The native cosine expression: bit-parity with the composed
+  * zip_with/aggregate form, codegen participation, SQL registration,
+  * edge cases, and the IVF pipeline built on it. */
+class CosineExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vectors = Tables.embeddings(spark, sf)
+    .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vd"))
+
+  test("cosine_sim equals the composed zip_with/aggregate form bit-for-bit") {
+    CosineSimilarity.register(spark)
+    val v = vectors.limit(50)
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .select($"a.vd".as("x"), $"b.vd".as("y"))
+    val composedDot = aggregate(zip_with($"x", $"y", (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    val norm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(c, p => p * p), lit(0.0), (acc, z) => acc + z))
+    val composed = composedDot / (norm($"x") * norm($"y"))
+    val diff = pairs
+      .select(CosineSimilarity.cosineSim($"x", $"y").as("native"), composed.as("composed"))
+      .filter($"native" =!= $"composed") // exact inequality — bit parity required
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
+  test("cosine_sim is available from SQL after registration and runs inside codegen") {
+    CosineSimilarity.register(spark)
+    vectors.limit(10).createOrReplaceTempView("v_cos_test")
+    val df = spark.sql(
+      """SELECT a.vec_id, b.vec_id AS other, cosine_sim(a.vd, b.vd) AS c
+        |FROM v_cos_test a JOIN v_cos_test b ON a.vec_id < b.vec_id""".stripMargin)
+    assert(df.count() === 45)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("*("), s"expression fell out of codegen:\n$plan")
+    assert(!plan.toLowerCase.contains("codegenfallback"), "fell back to interpreted eval")
+  }
+
+  test("cosine_sim edges: zero vector → NULL, null input → NULL, self → 1.0") {
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(CosineSimilarity.cosineSim($"a", $"b")).as[Option[Double]].collect()
+    assert(math.abs(r(0).get - 1.0) < 1e-15)
+    assert(r(1).isEmpty) // zero norm → NULL, no NaN leak
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(withNull.select(CosineSimilarity.cosineSim($"a", $"b"))
+      .as[Option[Double]].head().isEmpty)
+  }
+
+  test("x12 IVF: cosines on hits are exactly x5's, rows shaped top-k") {
+    val ivf = SparkEntry.queries("x12_ivf_ann_topk")(spark, sf)
+    assert(ivf.count() > 0)
+    val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("cos_exact"))
+    val joined = ivf.join(exact, Seq("query_id", "neighbor_id"))
+    assert(joined.filter($"cos" =!= $"cos_exact").isEmpty, "IVF cosine drifted from exact")
+    val perQuery = ivf.groupBy("query_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+    assert(perQuery.filter($"n" =!= $"mr").isEmpty, "rank not contiguous")
+  }
+
+  test("VectorMean aggregator: centroids are the element-wise means") {
+    val cents = ext.Ivf.centroids(spark, sf)
+    val expected = vectors
+      .join(Tables.embeddings(spark, sf).select($"vec_id", $"label"), "vec_id")
+      .groupBy($"label".as("cell"))
+      .agg(array((0 until 64).map(i => avg(element_at($"vd", i + 1))): _*).as("centroid_exp"))
+    val joined = cents.join(expected, "cell")
+      .select(zip_with($"centroid", $"centroid_exp", (a, b) => abs(a - b)).as("d"))
+      .select(aggregate($"d", lit(0.0), (acc, x) => greatest(acc, x)).as("maxdiff"))
+    val maxdiff = joined.agg(max($"maxdiff")).head().getDouble(0)
+    assert(maxdiff < 1e-12, s"centroid mismatch: $maxdiff")
+  }
+}

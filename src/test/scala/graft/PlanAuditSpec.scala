@@ -10,7 +10,7 @@ class PlanAuditSpec extends SparkSuite {
   // queries that intentionally cross-join a broadcast scalar/query set
   private val broadcastCrossOk = Set(
     "a7_latest_week_volume", "a9_stale_customers", "p6_latest_week_rows",
-    "x5_cosine_topk", "x6_ann_lsh_topk")
+    "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk")
 
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.registry.flatMap { q =>

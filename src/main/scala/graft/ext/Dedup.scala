@@ -112,11 +112,21 @@ object Dedup {
       |JOIN sizes zb ON doc_b = zb.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // intersection counts straight off one shingle self-join (a separate
+    // candidate-pair pass would run the same quadratic join twice)
     val sh = shingles(Tables.documents(s, dir))
-    val allPairs = sh.as("a").join(sh.as("b"),
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    exactJaccard(allPairs, sh)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+          .as("jac"))
       .filter(col("jac") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The 100 TB techniques SURVEY.md §4 prescribes, demonstrated and
+  * plan-audited on materialized copies of the testdata: disk partitioning
+  * with partition pruning, bucketed co-located joins (shuffle
+  * elimination), and salted aggregation for skewed keys. */
+class ScaleTechniquesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("facts partitioned by week on disk → date predicates prune partitions") {
+    val dir = Files.createTempDirectory("parted").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_week", Parity.week($"l_shipdate"))
+      .write.partitionBy("ship_week").mode("overwrite").parquet(dir)
+
+    val df = spark.read.parquet(dir)
+      .filter($"ship_week" === lit(java.sql.Date.valueOf("1997-03-03")))
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    df.collect()
+    // AQE wraps materialized stages in QueryStageExec whose inner plan a
+    // plain collect() does not traverse — descend explicitly
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deepScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(deepScans)
+      }
+    val scans = deepScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in plan")
+    // the filter must land in PartitionFilters (pruned at planning), not
+    // as a post-scan data filter over all partitions
+    assert(scans.head.toString.contains("PartitionFilters"), scans.head.toString)
+    // pruned scan reads ≤ a couple of files, not all ~360 week partitions
+    val files = scans.head.metrics("numFiles").value
+    assert(files >= 1 && files <= 4, s"expected pruned scan, read $files files")
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    // warehouse dir is a static conf, set at session build in SparkSuite
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString()
+    // co-located buckets: the join itself needs no Exchange on the keys
+    val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(plan).size
+    assert(exchanges === 0, s"bucketed join still shuffled:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("salted aggregation equals direct aggregation on a skewed key") {
+    // skew: one key holds ~half the rows
+    val skewed = spark.range(100000)
+      .select(when($"id" % 2 === 0, lit("HOT")).otherwise(concat(lit("k"), $"id" % 97))
+        .as("k"), ($"id" % 13).cast("double").as("v"))
+    val direct = skewed.groupBy("k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    // two-phase: salt the key, partial-agg, strip salt, final-agg
+    val salted = skewed
+      .withColumn("salt", pmod(xxhash64(monotonically_increasing_id()), lit(16)))
+      .groupBy($"k", $"salt").agg(sum($"v").as("ps"), count(lit(1)).as("pn"))
+      .groupBy($"k").agg(sum($"ps").as("s"), sum($"pn").as("n"))
+    val d = direct.collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val sres = salted.collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(d.keySet === sres.keySet)
+    d.foreach { case (k, (sv, n)) =>
+      assert(math.abs(sres(k)._1 - sv) < 1e-6 && sres(k)._2 === n, s"mismatch at $k")
+    }
+  }
+}

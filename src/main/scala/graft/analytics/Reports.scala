@@ -337,5 +337,19 @@ object Reports {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(q1, a1, w1, a2, a3, a4, a6, a7, a9, a10, a11, w2, t1, t2, t3, t5, o1)
+  /** A1's 100 TB variant: approx_count_distinct (HLL++) — sketch-mergeable
+    * across partitions, constant memory per group where exact
+    * count-distinct shuffles every key. Rows-only driver check; the spec
+    * pins relative error against the exact count. */
+  val a1approx = Q(
+    "a1b_weekly_reporters_approx",
+    "A1 scale variant: HLL++ approximate count-distinct per week")(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(week(col("o_orderdate")).as("wk"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_customers_approx"))
+        .orderBy(col("wk")))
+
+  val all: Seq[Q] = Seq(q1, a1, a1approx, w1, a2, a3, a4, a6, a7, a9, a10, a11, w2,
+    t1, t2, t3, t5, o1)
 }

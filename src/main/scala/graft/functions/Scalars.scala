@@ -54,5 +54,27 @@ object Scalars {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(f1, f4)
+  /** S4-adjacent: semi-structured JSON column parsing with a declared
+    * schema (`from_json`) — the engine-side analog of the reference's
+    * JSON fetch (weekly-report.py:140-147; the HTTP part stays a viz
+    * concern per SURVEY §2.1). */
+  val s4 = Q.withOracle(
+    "s4_json_parse",
+    "S4: typed JSON extraction from a string column",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_decile,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))).getField("k")
+    Tables.events(s, dir)
+      .select(k.as("k"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_decile"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_decile"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f4, s4)
 }

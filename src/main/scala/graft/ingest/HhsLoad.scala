@@ -90,11 +90,14 @@ object HhsLoad {
     deduped.withColumn("collection_week", to_date(col("collection_week"), "yyyy-MM-dd"))
   }
 
-  private val LocKey = Seq("city", "state", "zip", "address", "latitude", "longitude")
+  /** location natural key per nb cell 4's UNIQUE constraint. */
+  private val LocKey = Seq("city", "state", "zip_code", "address", "latitude", "longitude")
 
-  /** Natural-key → surrogate-id location rows from a prepped batch. */
+  /** Natural-key → surrogate-id location rows (nb cell 4: fips_code rides
+    * along, the six-column natural key is the identity). */
   def locationRows(prepped: DataFrame): DataFrame =
-    prepped.select(LocKey.map(col): _*).distinct()
+    prepped.withColumnRenamed("zip", "zip_code")
+      .select((LocKey :+ "fips_code").map(col): _*).distinct()
       .withColumn("location_id", Etl.surrogateKey(LocKey.map(col): _*))
 
   /** One load = three upserts, mirroring load-hhs.py:21-28's transaction. */
@@ -105,13 +108,14 @@ object HhsLoad {
     val location = locationRows(prepped)
     // rename the dim's key columns before joining — location derives from
     // prepped, and identical attribute ids would be ambiguous (null-safe
-    // equality on the key: NULL lat/lon must still resolve)
+    // equality on the key: NULL lat/lon must still resolve). hospital
+    // carries only (pk, name, location_id) per nb cell 7.
     val locJ = location.toDF(location.columns.map(c =>
       if (c == "location_id") c else s"__l_$c"): _*)
-    val hospital = prepped
-      .join(locJ, LocKey.map(k => prepped(k) <=> col(s"__l_$k")).reduce(_ && _), "left")
-      .select(prepped("hospital_pk"), prepped("hospital_name"), prepped("state"),
-        prepped("fips_code"), col("location_id"))
+    val preppedK = prepped.withColumnRenamed("zip", "zip_code")
+    val hospital = preppedK
+      .join(locJ, LocKey.map(k => preppedK(k) <=> col(s"__l_$k")).reduce(_ && _), "left")
+      .select(preppedK("hospital_pk"), preppedK("hospital_name"), col("location_id"))
     val weekly = prepped.select(
       col("hospital_pk").as("hospital_weekly_id") +: col("collection_week") +:
         MetricCols.map(col): _*)

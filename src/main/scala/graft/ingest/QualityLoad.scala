@@ -73,13 +73,33 @@ object QualityLoad {
       spark.read.parquet(dir).count()
     }
 
+    // hospital insert resolves location via the D8 pick-first lookup on
+    // (city, state, zip) against the shared location table, exactly
+    // quality:141-145's correlated `ORDER BY id LIMIT 1` subquery
+    val locDir = new java.io.File(s"$storeDir/location")
+    val hospitalRows = {
+      val base = batch.select(col("facility_id").as("hospital_pk"),
+        col("facility_name").as("hospital_name"),
+        col("city"), col("state"), col("zip_code"))
+      val resolved = if (locDir.exists()) {
+        val loc = spark.read.parquet(s"$storeDir/location")
+          .select(col("city").as("__c"), col("state").as("__s"),
+            col("zip_code").as("__z"), col("location_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hospital_pk")).orderBy(col("location_id").asc_nulls_last)
+        base.join(loc, col("city") <=> col("__c") && col("state") <=> col("__s") &&
+            col("zip_code") <=> col("__z"), "left")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      } else base.withColumn("location_id", lit(null).cast("long"))
+      resolved.select(col("hospital_pk"), col("hospital_name"), col("location_id"))
+    }
+
     Map(
-      "hospital" -> upsertDir("hospital",
-        batch.select(col("facility_id"), col("facility_name"), col("hospital_type"),
-          col("hospital_ownership"), col("provides_emergency_services")),
-        Seq("facility_id")),
+      "hospital" -> upsertDir("hospital", hospitalRows, Seq("hospital_pk")),
       "hospital_quality" -> upsertDir("hospital_quality",
-        batch.select(col("facility_id"), col("quality_rating"), col("rating_date")),
+        batch.select(col("facility_id"), col("quality_rating"), col("rating_date"),
+          col("hospital_ownership").as("ownership"), col("hospital_type"),
+          col("provides_emergency_services")),
         Seq("facility_id", "rating_date")))
   }
 }

@@ -111,7 +111,8 @@ class IngestSpec extends SparkSuite {
     assert(q("F4").isEmpty) // 6 out of range
     assert(q("F5") === Some(3)) // '3 ' trimmed
 
-    val h = spark.read.parquet(s"$store/hospital")
+    // ownership/type/emergency live on the quality fact (nb cell 10)
+    val h = spark.read.parquet(s"$store/hospital_quality")
       .select($"facility_id", $"provides_emergency_services").as[(String, Boolean)]
       .collect().toMap
     assert(h("F1") && h("F2") && h("F5")) // Yes / YES / 'yes ' (trimmed)

@@ -40,6 +40,16 @@ class SemanticsSpec extends SparkSuite {
     assert(normalized.na.drop().count() === 1)
   }
 
+  test("A1 approx variant: HLL++ count-distinct within 5% of exact per week") {
+    val exact = SparkEntry.queries("a1_weekly_reporters")(spark, sf)
+    val approx = SparkEntry.queries("a1b_weekly_reporters_approx")(spark, sf)
+    // groups here are tiny (~4 customers/week): tolerate ±1 absolute or 5%
+    val bad = exact.join(approx, "wk")
+      .filter(abs($"n_customers_approx" - $"n_customers") >
+        greatest(lit(1.0), $"n_customers" * 0.05))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("decimal-exact sums are identical across partition counts") {
     val li = Tables.lineitem(spark, sf)
     val a = li.agg(Parity.dsum(col("l_extendedprice"))).head().getDouble(0)

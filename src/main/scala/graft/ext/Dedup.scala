@@ -26,18 +26,32 @@ object Dedup {
   val NumHashes = 32
   val NumBands = 8 // 4 rows per band → catches jaccard ≳ 0.7 reliably
 
-  /** Distinct 3-token shingles per doc: (doc_id, g). */
-  private[ext] def shingles(docs: DataFrame): DataFrame = {
+  /** Distinct 3-token shingles per doc as an array column (map-only). */
+  private[ext] def shingleArray(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val sh = array_distinct(transform(sequence(lit(0), size(t) - 3),
       i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-    docs.select(col("doc_id"), explode(sh).as("g"))
+    docs.select(col("doc_id"), sh.as("gs"))
   }
 
-  /** MinHash signature: one row per doc, NumHashes min-hash columns, via a
-    * single aggregation pass (no seed-axis explode). */
-  private[ext] def signatures(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
+  /** Distinct 3-token shingles per doc: (doc_id, g), exploded. */
+  private[ext] def shingles(docs: DataFrame): DataFrame =
+    shingleArray(docs).select(col("doc_id"), explode(col("gs")).as("g"))
+
+  /** MinHash signature: one row per doc, NumHashes min-hash columns, via
+    * a single aggregation pass over the exploded shingles (map-side
+    * combined, so the shuffle carries one partial row per (doc,
+    * partition), not docs × shingles × seeds).
+    *
+    * Measured note: the tempting "map-only" alternative —
+    * `array_min(transform(gs, g → hash_j(g)))` × 32 over a shingle-array
+    * column — benchmarked 7× SLOWER here (31s vs 4s at sf0.1): Spark's
+    * higher-order array functions evaluate with boxed elements and the
+    * 32 consumers each re-walk the array, while min() over exploded rows
+    * runs in tight whole-stage codegen over unsafe rows. The shuffle it
+    * avoids is the cheap part. */
+  private[ext] def signatures(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("g"))).as("mh0"),
         (1 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j")): _*)
 
@@ -138,8 +152,8 @@ object Dedup {
     "x2_minhash_lsh_pairs",
     "MinHash(32)+LSH(8 bands) candidates, verified ≥ 0.5")(
     (s, dir) => {
-      val sh = shingles(Tables.documents(s, dir))
-      exactJaccard(candidatePairs(signatures(sh)), sh)
+      val docs = Tables.documents(s, dir)
+      exactJaccard(candidatePairs(signatures(docs)), shingles(docs))
         .filter(col("jac") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     })

@@ -26,17 +26,39 @@ object Dedup {
   val NumHashes = 32
   val NumBands = 8 // 4 rows per band → catches jaccard ≳ 0.7 reliably
 
-  /** Distinct 3-token shingles per doc as an array column (map-only). */
-  private[ext] def shingleArray(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val sh = array_distinct(transform(sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-    docs.select(col("doc_id"), sh.as("gs"))
+  /** Distinct 3-token shingles per doc: (doc_id, g), exploded.
+    *
+    * Deliberately posexplode + window `lead`, NOT
+    * `transform(sequence(...), i → concat_ws(element_at...))`: Spark's
+    * higher-order array functions evaluate interpreted with boxed
+    * elements — the array form measured ~8s per evaluation at sf0.1
+    * (5000 docs) versus <1s for this exploded/codegen form, and the
+    * dedup queries evaluate the shingle subtree up to three times. */
+  private[ext] def shingles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+      .distinct()
   }
 
-  /** Distinct 3-token shingles per doc: (doc_id, g), exploded. */
-  private[ext] def shingles(docs: DataFrame): DataFrame =
-    shingleArray(docs).select(col("doc_id"), explode(col("gs")).as("g"))
+  /** Shingles as 64-bit hashes: the intersection joins only need
+    * equality, and shuffling 8-byte longs instead of ~30-byte strings
+    * halves the self-join's shuffle row width. Collision odds over the
+    * ~10^5 distinct shingles here are ~10^-10. */
+  private[ext] def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
+
+  /** Hashed shingles with the doc's set size attached (window count) —
+    * carrying `n` through the joins saves two extra evaluations of the
+    * shingle subtree that separate `sizes` joins would cost. */
+  private[ext] def shingleHashesWithCount(docs: DataFrame): DataFrame =
+    shingleHashes(docs).withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
 
   /** MinHash signature: one row per doc, NumHashes min-hash columns, via
     * a single aggregation pass over the exploded shingles (map-side
@@ -71,21 +93,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given (doc_a, doc_b) pairs, from the shingle table. */
-  private[ext] def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        col("za.n").as("n_a"), col("zb.n").as("n_b"),
-        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+  /** Exact Jaccard for given (doc_a, doc_b) pairs, from a
+    * shingleHashesWithCount table (sizes ride along — no extra joins). */
+  private[ext] def exactJaccard(pairs: DataFrame, shn: DataFrame): DataFrame =
+    pairs
+      .join(shn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("n_a")), "doc_a")
+      .join(shn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("n_b")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
           .as("jac"))
-  }
 
   /** x1: exact dedup by content hash — survivor = min doc_id per md5(text).
     * Emits every group (n_copies=1 for uniques) so the result is non-empty
@@ -102,9 +121,17 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
-  /** x4: exact 3-gram Jaccard near-dup pairs (the brute-force baseline and
-    * the verifier for LSH). All-pairs via shingle self-join — correct at
-    * test scale, deliberately NOT the 100 TB path (see x2). */
+  /** x4: exact 3-gram Jaccard threshold join — one self-join on hashed
+    * shingles with set sizes riding along.
+    *
+    * Measured alternatives at sf0.1 (both correct): PPJoin-style prefix
+    * filtering (rare-first prefixes joined, candidates verified) ran
+    * SLOWER here because this synthetic corpus has a tiny uniform
+    * vocabulary — no rare-shingle tail to exploit — and the df/window
+    * passes cost more than they save. On a realistic Zipfian shingle
+    * distribution prefix filtering is the 100 TB path; on this data the
+    * direct join is. MinHash LSH (x2) remains the candidate-generation
+    * scale path either way. */
   val jaccardPairs = Q.withOracle(
     "x4_jaccard_pairs",
     "exact shingle-Jaccard near-dup pairs (≥ 0.5)",
@@ -126,20 +153,16 @@ object Dedup {
       |JOIN sizes zb ON doc_b = zb.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // intersection counts straight off one shingle self-join (a separate
-    // candidate-pair pass would run the same quadratic join twice)
-    val sh = shingles(Tables.documents(s, dir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // one self-join of (doc, shingle-hash, set-size): sizes ride the join,
+    // jaccard falls out of the grouped intersection count directly
+    val shn = shingleHashesWithCount(Tables.documents(s, dir))
+    shn.as("a").join(shn.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        col("za.n").as("n_a"), col("zb.n").as("n_b"),
-        (col("n_common").cast("double") / (col("za.n") + col("zb.n") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
           .as("jac"))
       .filter(col("jac") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -153,7 +176,7 @@ object Dedup {
     "MinHash(32)+LSH(8 bands) candidates, verified ≥ 0.5")(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      exactJaccard(candidatePairs(signatures(docs)), shingles(docs))
+      exactJaccard(candidatePairs(signatures(docs)), shingleHashesWithCount(docs))
         .filter(col("jac") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     })

@@ -21,7 +21,8 @@ object SparkEntry {
       ext.Similarity.all ++
       ext.Ivf.all ++
       ext.TextStats.all ++
-      ext.Multimodal.all
+      ext.Multimodal.all ++
+      streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

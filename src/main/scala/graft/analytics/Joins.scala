@@ -166,5 +166,25 @@ object Joins {
       .orderBy(col("wk"))
   }
 
-  val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept)
+  /** Capability headroom beyond the reference (SURVEY §2.5 notes none):
+    * ROLLUP subtotal hierarchy over the dim chain. */
+  val rollup = Q.withOracle(
+    "a12_rollup_region_nation",
+    "GROUP BY ROLLUP (region, nation) with subtotal rows",
+    s"""SELECT r_name, n_name, ${sql.dsum("c_acctbal")} AS total_balance,
+       |  COUNT(*) AS n
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("total_balance"), count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept, rollup)
 }

@@ -35,13 +35,13 @@ object Similarity {
   val BitsPerTable = 4
 
   /** Vector as doubles + its L2 norm, computed once. */
-  private def withNorm(e: DataFrame): DataFrame =
-    e.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("nrm", sqrt(aggregate(transform(col("vd"), x => x * x),
-        lit(0.0), (a, x) => a + x)))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+  /** Cosine between double vectors — the native codegen'd expression
+    * (CosineExprSpec proves it bit-equal to the composed
+    * zip_with/aggregate fold, so the x5 oracle stays exact). */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.CosineSimilarity.cosineSim(a, b)
+  }
 
   /** x5: exact brute-force cosine top-k for a fixed query set. */
   val bruteForceKnn = Q.withOracle(
@@ -67,14 +67,15 @@ object Similarity {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, cos FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    val v = withNorm(Tables.embeddings(s, dir))
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
     val q = v.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nrm").as("qn"))
-    val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"), col("nrm").as("nn"))
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"))
+    val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     n.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("cos", cosine(s, col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -120,12 +121,13 @@ object Similarity {
       val cand = nb.join(broadcast(qb), Seq("table", "bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id")).distinct()
-      val v = withNorm(e)
-      val q = v.select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nrm").as("qn"))
-      val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"), col("nrm").as("nn"))
+      val v = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+      val q = v.select(col("vec_id").as("query_id"), col("vd").as("qv"))
+      val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       cand.join(n, "neighbor_id").join(broadcast(q), "query_id")
-        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("cos", cosine(s, col("qv"), col("nv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

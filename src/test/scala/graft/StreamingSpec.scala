@@ -48,6 +48,32 @@ class StreamingSpec extends SparkSuite {
     assert(replay.count() === afterSecond.count())
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) matches batch cumsum sessions") {
+    val flat = tmpDir("sess")
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(flat)
+    val q = graft.streaming.Sessionize.sessionStream(
+        graft.streaming.WeeklyFeed.readFeed(spark, flat))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_out")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    val batch = SparkEntry.queries("x13_sessionize")(spark, sf)
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    // append mode only emits CLOSED sessions; every emitted session must
+    // exactly match a batch session, and most batch sessions must close
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty, "streaming emitted a session batch doesn't have")
+    val unclosed = batch.count() - streamed.count()
+    // at most one open (never-emitted) session per user can remain
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(unclosed >= 0 && unclosed <= users, s"unclosed=$unclosed users=$users")
+  }
+
   test("tumbling weekly aggregation over the feed matches the batch computation") {
     val flat = tmpDir("flat2")
     Tables.events(spark, sf)

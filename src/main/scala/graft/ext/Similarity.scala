@@ -134,5 +134,40 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     })
 
-  val all: Seq[Q] = Seq(bruteForceKnn, annLsh)
+  /** x14: embedding-cosine near-duplicate detection — the dedup face of
+    * similarity: pairs above a cosine threshold, keep-lowest-id survivor
+    * marking. Bounded to the first 500 vectors so the all-pairs oracle
+    * stays cheap; the scale path swaps the pair source for the LSH/IVF
+    * bucket candidates (x6/x12) with identical verify semantics. */
+  val cosineDedup = Q.withOracle(
+    "x14_embedding_dedup",
+    "cosine near-dup pairs >= 0.3 with survivor marking",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      |pairs AS (
+      |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |         (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |         (x, y) -> x + y))) AS cos
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |SELECT keep_id, dup_id, cos FROM pairs WHERE cos >= 0.3
+      |ORDER BY keep_id, dup_id""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val a = v.select(col("vec_id").as("keep_id"), col("vd").as("va"))
+    val b = v.select(col("vec_id").as("dup_id"), col("vd").as("vb"))
+    a.join(b, col("keep_id") < col("dup_id"))
+      .withColumn("cos", cosine(s, col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("keep_id"), col("dup_id"), col("cos"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup)
 }

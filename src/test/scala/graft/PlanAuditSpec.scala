@@ -10,7 +10,14 @@ class PlanAuditSpec extends SparkSuite {
   // queries that intentionally cross-join a broadcast scalar/query set
   private val broadcastCrossOk = Set(
     "a7_latest_week_volume", "a9_stale_customers", "p6_latest_week_rows",
-    "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk")
+    "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk",
+    "x14_embedding_dedup") // non-equi (id<id) pair join over a bounded set
+
+  test("registry is well-formed: unique names, oracles only for registered queries") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -311,12 +311,19 @@ object Reports {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
+    // pre-aggregate the fact to order grain before the fact-fact join:
+    // decimal sums are exactly associative, so sum-of-presums equals the
+    // flat sum and the oracle is unchanged — while the join input shrinks
+    // ~4x (lines → orders). At 100 TB this is the shuffle that matters.
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev_o"))
+    liAgg
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(dsumExact(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .agg(sum(col("rev_o")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
       .limit(10)
   }

@@ -18,7 +18,7 @@ class HealthReportSpec extends SparkSuite {
   // beds: adult_beds, ped_beds, adult_occ, ped_occ, icu, icu_used, covid, covid_icu
   private def row(pk: String, name: String, state: String, week: String,
       beds: Seq[String]): String =
-    (Seq(pk, state, name, s"$pk Street", "City$state", "11111", "42",
+    (Seq(pk, state, name, s"$pk Street", s"City$state", "11111", "42",
       "\"POINT (-70.1 40.2)\"", week) ++ beds).mkString(",")
 
   private lazy val store: String = {
@@ -52,53 +52,65 @@ class HealthReportSpec extends SparkSuite {
 
   private lazy val report = new HealthReport(spark, store, java.sql.Date.valueOf("2022-01-14"))
 
-  test("Q1 records per week with WoW delta") {
+  test("Q1 records summary: count, previous week, difference, week DESC") {
     val r = report.recordsPerWeek
-      .select($"collection_week".cast("string"), $"hospital_count", $"delta")
-      .as[(String, Long, Long)].collect().toSeq
-    assert(r === Seq(("2022-01-07", 3L, 3L), ("2022-01-14", 2L, -1L)))
+      .select($"collection_week".cast("string"), $"hospital_count",
+        $"previous_week_count", $"week_difference")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("2022-01-14", 2L, 3L, -1L), ("2022-01-07", 3L, 0L, 3L)))
   }
 
-  test("Q2 beds summary: sums + guarded rounded occupancy pct") {
-    // week1: occupied (50+10)+(100+0)+(25+5)=190, beds 350+30=380 → 50.0%
-    val w1 = report.bedsSummary.filter($"collection_week" === "2022-01-07")
-      .select($"pct_occupied").as[Double].head()
-    assert(w1 === 50.0)
+  test("Q2 beds summary: the reference's five sums, week DESC") {
+    val r = report.bedsSummary
+      .select($"collection_week".cast("string"), $"total_adult_beds_available",
+        $"total_covid_beds_used")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r === Seq(("2022-01-14", 300.0, 14.0), ("2022-01-07", 350.0, 19.0)))
   }
 
-  test("Q3 quality × usage uses latest rating and latest week only") {
+  test("Q3 beds_utilization: percent per latest rating at latest week, NULL propagation") {
     val r = report.qualityVsUsage
-      .select($"quality_rating", $"beds_in_use", $"n_hospitals")
-      .as[(Option[Int], Option[Double], Long)].collect().toSeq
-    // latest week: H1 (rating 5) has NULL adult_occ → a+b NULL → sum NULL;
-    // H2 (rating 2) 120+0
-    assert(r.contains((Some(2), Some(120.0), 1L)))
-    assert(r.contains((Some(5), None, 1L)))
+      .select($"quality_rating", $"percent_beds_in_use")
+      .as[(Option[Int], Option[Double])].collect().toSeq
+    // latest week: H1 (rating 5) has NULL adult_occ -> numerator NULL;
+    // H2 (rating 2): 120*100/200 = 60.0
+    assert(r === Seq((Some(2), Some(60.0)), (Some(5), None)))
   }
 
-  test("Q4 NULL propagation: H1's week-2 beds_used drops entirely") {
+  test("Q4 weekly_beds_used: NULL-propagating total + covid per week") {
     val r = report.bedsUsedPerWeek
-      .select($"collection_week".cast("string"), $"beds_used")
-      .as[(String, Option[Double])].collect().toMap
-    assert(r("2022-01-07") === Some(190.0))
-    assert(r("2022-01-14") === Some(120.0)) // only H2; H1's NULL+12 dropped
+      .select($"collection_week".cast("string"), $"total_beds_used", $"covid_beds_used")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(r === Seq(
+      ("2022-01-07", Some(190.0), Some(19.0)),
+      ("2022-01-14", Some(120.0), Some(14.0)))) // H1's NULL+12 row drops from total only
   }
 
-  test("Q6 fewest open beds ranks states at the latest week") {
+  test("Q5 covid_cases_by_state: all weeks, per state") {
+    val r = report.covidByState
+      .select($"state", $"total_covid_cases").as[(String, Double)].collect().toSeq
+    assert(r === Seq(("OH", 3.0), ("PA", 30.0)))
+  }
+
+  test("Q6 fewest open beds: SUM(a+p) minus SUM(ao+po), each NULL-propagating alone") {
     val r = report.fewestOpenBedsByState
       .select($"state", $"open_beds").as[(String, Option[Double])].collect().toSeq
-    // latest week has only PA hospitals; H1 open = NULL (null adult_occ), H2 = 80
-    assert(r.map(_._1) === Seq("PA"))
+    // latest week PA: available 120+200=320; occupied: H1 row drops (NULL
+    // adult_occ), H2=120 -> open = 200 (NOT NULL - the two sums drop rows
+    // independently, unlike a single combined sum)
+    assert(r === Seq(("PA", Some(200.0))))
   }
 
-  test("Q7 non-reporting lists H3 only") {
-    val r = report.nonReporting.select($"hospital_pk").as[String].collect().toSeq
-    assert(r === Seq("H3"))
+  test("Q7 non-reporting: name/city/state + last week, H3 only") {
+    val r = report.nonReporting
+      .select($"hospital_name", $"city", $"state", $"last_reported_week".cast("string"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(r === Seq(("Gamma", "CityOH", "OH", "2022-01-07")))
   }
 
   test("Q8 utilization grid covers (week,state) with rounded pcts") {
     val r = report.utilizationByState
-      .select($"collection_week".cast("string"), $"state", $"pct_utilization")
+      .select($"collection_week".cast("string"), $"state", $"percent_utilization")
       .as[(String, String, Option[Double])].collect().toSet
     assert(r.contains(("2022-01-07", "OH", Some(50.0))))
     assert(r.contains(("2022-01-14", "PA", Some(37.5)))) // 120/320

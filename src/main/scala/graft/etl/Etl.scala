@@ -405,7 +405,10 @@ object Etl {
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
     val exKeys = existing.select(keys.map(col): _*).distinct()
       .toDF(keys.map(k => s"__ex_$k"): _*)
-    val cond = keys.map(k => incoming(k) === exKeys(s"__ex_$k")).reduce(_ && _)
+    // Null-safe <=>: a NULL key (e.g. a failed to_date parse) must still
+    // match its stored copy, or re-runs would re-append it forever and
+    // break the idempotence contract.
+    val cond = keys.map(k => incoming(k) <=> exKeys(s"__ex_$k")).reduce(_ && _)
     existing.unionByName(incoming.join(exKeys, cond, "left_anti"))
   }
 

@@ -98,7 +98,7 @@ object Ivf {
         .select(col("query_id"), col("neighbor_id")).distinct()
         .join(nv, "neighbor_id").join(broadcast(qv), "query_id")
         .withColumn("cos", CosineSimilarity.cosineSim(col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))

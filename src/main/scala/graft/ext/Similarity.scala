@@ -76,7 +76,7 @@ object Similarity {
     n.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(s, col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
@@ -128,7 +128,7 @@ object Similarity {
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       cand.join(n, "neighbor_id").join(broadcast(q), "query_id")
         .withColumn("cos", cosine(s, col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
         .orderBy(col("query_id"), col("rank"))

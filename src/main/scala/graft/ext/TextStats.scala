@@ -82,9 +82,9 @@ object TextStats {
     val t = toks(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
-      length(col("text")).as("n_chars"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_uniq"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_uniq"),
       (size(array_distinct(t)) * lit(1.0) / size(t)).as("uniq_ratio"),
       (markerCount(col("text"), markers.head._2) * lit(1.0) / size(t)).as("stop_ratio"))
       .orderBy(col("doc_id"))
@@ -101,8 +101,8 @@ object TextStats {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"),
-      size(toks(col("text"))).as("n_ws_tokens"),
-      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re_tokens"))
+      size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_re_tokens"))
       .orderBy(col("doc_id"))
   }
 

@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Why it matters at 100 TB: the composed form
   * (`aggregate(zip_with(a,b,*), 0, +)` plus two norm folds) materializes
   * an intermediate array per row and evaluates three higher-order loops;
-  * this expression is one branch-free loop over the vectors, fused into
+  * this expression is one tight loop over the vectors, fused into
   * the surrounding generated code. Semantics match the composed form
   * bit-for-bit: strict left-to-right double accumulation, NULL when
-  * either norm is zero (mirroring x5's guarded division).
+  * either norm is zero (mirroring x5's guarded division), NULL when the
+  * lengths differ (zip_with pads with NULL) or any element is NULL (a
+  * NULL term nulls the whole fold).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,10 +43,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Mismatched lengths or a null element → NULL, exactly like the
+    // composed zip_with/aggregate form (zip_with pads with NULL, and any
+    // NULL term nulls the whole fold).
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -59,16 +66,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) {
+         |if ($bad || $denom == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / $denom;

@@ -94,11 +94,19 @@ object HhsLoad {
   private val LocKey = Seq("city", "state", "zip_code", "address", "latitude", "longitude")
 
   /** Natural-key → surrogate-id location rows (nb cell 4: fips_code rides
-    * along, the six-column natural key is the identity). */
-  def locationRows(prepped: DataFrame): DataFrame =
-    prepped.withColumnRenamed("zip", "zip_code")
+    * along, the six-column natural key is the identity). Because
+    * location_id hashes only the natural key, a distinct over
+    * (key, fips_code) could emit two rows with the same id when the same
+    * address appears with different fips codes — dedup to exactly one row
+    * per natural key (smallest fips survives, deterministically), which
+    * is the UNIQUE-constraint invariant the reference enforces with
+    * ON CONFLICT (nb cell 4). */
+  def locationRows(prepped: DataFrame): DataFrame = {
+    val candidates = prepped.withColumnRenamed("zip", "zip_code")
       .select((LocKey :+ "fips_code").map(col): _*).distinct()
+    Etl.dedupFirst(candidates, LocKey, Seq(col("fips_code").asc_nulls_last))
       .withColumn("location_id", Etl.surrogateKey(LocKey.map(col): _*))
+  }
 
   /** One load = three upserts, mirroring load-hhs.py:21-28's transaction. */
   def load(spark: SparkSession, csvPath: String, storeDir: String): Map[String, Long] = {
@@ -113,9 +121,15 @@ object HhsLoad {
     val locJ = location.toDF(location.columns.map(c =>
       if (c == "location_id") c else s"__l_$c"): _*)
     val preppedK = prepped.withColumnRenamed("zip", "zip_code")
-    val hospital = preppedK
-      .join(locJ, LocKey.map(k => preppedK(k) <=> col(s"__l_$k")).reduce(_ && _), "left")
-      .select(preppedK("hospital_pk"), preppedK("hospital_name"), col("location_id"))
+    // locationRows guarantees one row per natural key, so this join is
+    // 1:1; the pk dedup is the UNIQUE(hospital_pk) safety net against a
+    // future fan-out regression (same invariant the reference gets from
+    // ON CONFLICT on the PK).
+    val hospital = Etl.dedupFirst(
+      preppedK
+        .join(locJ, LocKey.map(k => preppedK(k) <=> col(s"__l_$k")).reduce(_ && _), "left")
+        .select(preppedK("hospital_pk"), preppedK("hospital_name"), col("location_id")),
+      Seq("hospital_pk"), Seq(col("location_id").asc_nulls_last))
     val weekly = prepped.select(
       col("hospital_pk").as("hospital_weekly_id") +: col("collection_week") +:
         MetricCols.map(col): _*)

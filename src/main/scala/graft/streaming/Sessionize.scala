@@ -35,18 +35,21 @@ object Sessionize {
        |         WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |           IS NULL THEN 1
        |         ELSE 0 END AS new_session,
-       |    value
+       |    event_id, value
        |  FROM events),
        |numbered AS (
-       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
-       |    ROWS UNBOUNDED PRECEDING) AS session_no
+       |  -- CAST: DuckDB SUM(int) yields HUGEINT (pandas float64) while Spark
+       |  -- emits BIGINT — the driver's hash is dtype-sensitive. event_id
+       |  -- tie-break keeps the cumsum deterministic under equal timestamps.
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
        |  FROM flagged)
        |SELECT user_id, session_no, COUNT(*) AS n_events,
        |  MIN(tus) AS start_us, MAX(tus) AS end_us,
        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val cum = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("tus", unix_micros(col("ts")))
@@ -94,7 +97,13 @@ object Sessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.last / 1000 + SessionGapSec * 1000)
+      // Clamp to just past the current watermark: an event older than
+      // (watermark - gap) would otherwise compute a timeout below the
+      // watermark, which setTimeoutTimestamp rejects (IllegalArgumentException)
+      // and would kill the query.
+      state.setTimeoutTimestamp(
+        math.max(s.last / 1000 + SessionGapSec * 1000,
+          state.getCurrentWatermarkMs() + 1))
     }
     out.reverse.iterator
   }

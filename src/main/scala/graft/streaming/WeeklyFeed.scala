@@ -42,12 +42,18 @@ object WeeklyFeed {
 
   /** Grain enforcement: at most one row per (user_id, day), late data
     * accepted up to the watermark then dropped — the streaming form of
-    * UNIQUE(hospital_weekly_id, collection_week). */
+    * UNIQUE(hospital_weekly_id, collection_week).
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): the
+    * dedup subset lacks the event-time column, so the plain form would
+    * never evict state and it would grow with total key history. The
+    * WithinWatermark variant expires each key once the watermark passes
+    * its event time — state is bounded by keys inside the 28-day window. */
   def withGrain(feed: DataFrame): DataFrame =
     feed
       .withColumn("day", to_date(col("ts")))
       .withWatermark("ts", "28 days")
-      .dropDuplicates("user_id", "day")
+      .dropDuplicatesWithinWatermark("user_id", "day")
 
   /** Tumbling weekly aggregation with watermark (weekly-report.py:333-343
     * as a continuous query). */

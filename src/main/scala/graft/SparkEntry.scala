@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     analytics.Reports.all ++
       analytics.Joins.all ++
+      analytics.Temporal.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++
@@ -22,6 +23,7 @@ object SparkEntry {
       ext.Ivf.all ++
       ext.TextStats.all ++
       ext.Multimodal.all ++
+      ext.Sampling.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

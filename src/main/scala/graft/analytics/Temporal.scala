@@ -1,0 +1,145 @@
+package graft.analytics
+
+import graft.{Parity, Q, Tables}
+import graft.Parity.{day, dec, dsum, sql, week}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / reshaping operators beyond the reference's own surface:
+  * as-of join, moving windows, pivot, and exact distribution stats —
+  * the time-series half of a training-data pipeline (event attribution,
+  * trend smoothing, per-class statistics).
+  *
+  * Scale design: the as-of join is the union+window form — ONE shuffle
+  * on the join key, a linear scan per key partition, no range-join
+  * explosion and no per-row subquery. The week-axis windows operate on
+  * an already-aggregated axis (hundreds of rows at 100 TB, since the
+  * axis is calendar weeks), so their single-partition window is by
+  * construction small — the same deliberate choice as W1.
+  */
+object Temporal {
+
+  /** x15: as-of join — for each purchase, the most recent view by the
+    * same user at-or-before it (attribution). The scalable plan: tag
+    * both sides, union, and take `last(ignoreNulls)` over a
+    * (user, time) window — right-side rows sort before a left-side row
+    * at the same timestamp, so the match is inclusive (ts_view <=
+    * ts_purchase), exactly DuckDB's ASOF LEFT JOIN. One shuffle total;
+    * compare a naive range join (quadratic per key) or per-row scalar
+    * subquery (one scan per row). */
+  val asof = Q.withOracle(
+    "x15_asof_join",
+    "as-of join (attribution): latest prior view per purchase, union+window plan",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS tus, value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.tus AS purchase_tus,
+      |  v.tus AS view_tus, v.value AS view_value
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.tus <= p.tus
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        col("tus").as("v_tus"), col("value").as("v_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("v_tus"), lit(null).cast("double").as("v_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_tus", last(col("v_tus"), ignoreNulls = true).over(w))
+      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("tus").as("purchase_tus"),
+        col("view_tus"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** w3: 4-week moving average over the weekly quantity axis — windowed
+    * exact-decimal sums divided once in double, so both engines emit
+    * bit-identical values. The un-partitioned window is over the
+    * *week axis* (already one row per week), deliberately tiny at any
+    * data scale. */
+  val movingAvg = Q.withOracle(
+    "w3_moving_avg",
+    "W3: 4-week moving average from exact windowed sums",
+    s"""WITH weekly AS (
+       |  SELECT ${sql.week("l_shipdate")} AS wk,
+       |    SUM(${sql.dec("l_quantity")}) AS wsum, COUNT(*) AS n
+       |  FROM lineitem GROUP BY 1)
+       |SELECT wk,
+       |  CAST(SUM(wsum) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE)
+       |    AS avg_qty_4wk,
+       |  CAST(SUM(n) OVER w AS BIGINT) AS n_lines_4wk
+       |FROM weekly
+       |WINDOW w AS (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |ORDER BY wk""".stripMargin) { (s, dir) =>
+    val weekly = Tables.lineitem(s, dir)
+      .groupBy(week(col("l_shipdate")).as("wk"))
+      .agg(sum(dec(col("l_quantity"))).as("wsum"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("wk")).rowsBetween(-3, Window.currentRow)
+    weekly.select(col("wk"),
+      (sum(col("wsum")).over(w).cast("double") /
+        sum(col("n")).over(w).cast("double")).as("avg_qty_4wk"),
+      sum(col("n")).over(w).as("n_lines_4wk"))
+      .orderBy(col("wk"))
+  }
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** a13: pivot — weekly × event_type value matrix. The pivot values are
+    * declared explicitly, which matters twice: no extra distinct-scan job
+    * to discover them, and a stable output schema (a new event type in
+    * the data cannot silently widen the table mid-pipeline). */
+  val pivot = Q.withOracle(
+    "a13_pivot_week_type",
+    "A13: pivot weekly sums per event_type (explicit pivot values)",
+    s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+       |${EventTypes.map(t =>
+          s"  CAST(SUM(CASE WHEN event_type = '$t' THEN ${sql.dec("value")} END) AS DOUBLE) AS $t")
+          .mkString(",\n")}
+       |FROM events GROUP BY 1 ORDER BY wk""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(week(col("ts")).as("wk"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+      .orderBy(col("wk"))
+  }
+
+  /** a14: per-group mean and stddev from exact decimal sums — Σx and Σx²
+    * are aggregated in decimal (order-independent across partitions and
+    * AQE re-plans), then mean/variance come from one fixed double
+    * expression evaluated identically by both engines. A naive
+    * stddev_samp(double) would drift run-to-run at cluster scale, and
+    * Welford vs textbook formulas differ in the last ulp between
+    * engines. */
+  val groupStats = Q.withOracle(
+    "a14_group_stats",
+    "A14: mean/stddev per event_type via exact decimal Σx, Σx²",
+    s"""WITH agg AS (
+       |  SELECT event_type, COUNT(*) AS n_events,
+       |    CAST(SUM(${sql.dec("value")}) AS DOUBLE) AS s1,
+       |    CAST(SUM(${sql.dec("value")} * ${sql.dec("value")}) AS DOUBLE) AS s2
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n_events,
+       |  s1 / n_events AS mean_value,
+       |  SQRT(GREATEST(s2 - s1 * s1 / n_events, 0.0) / (n_events - 1))
+       |    AS sd_value
+       |FROM agg ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+      .select(col("event_type"), col("n_events"),
+        (col("s1") / col("n_events")).as("mean_value"),
+        sqrt(greatest(col("s2") - col("s1") * col("s1") / col("n_events"), lit(0.0)) /
+          (col("n_events") - 1)).as("sd_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats)
+}

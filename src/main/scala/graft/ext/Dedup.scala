@@ -121,8 +121,43 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
-  /** x4: exact 3-gram Jaccard threshold join — one self-join on hashed
-    * shingles with set sizes riding along.
+  /** Shared DuckDB CTE chain ending in `scored` (all pairs with their
+    * exact Jaccard) — the oracle-side twin of `scoredPairs`. */
+  private val JaccardCtes =
+    """toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks),
+      |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, n_common, za.n AS n_a, zb.n AS n_b,
+      |    CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jac
+      |  FROM inter
+      |  JOIN sizes za ON doc_a = za.doc_id
+      |  JOIN sizes zb ON doc_b = zb.doc_id)""".stripMargin
+
+  /** All co-shingling pairs with exact Jaccard: one self-join of
+    * (doc, shingle-hash, set-size) — sizes ride the join, jaccard falls
+    * out of the grouped intersection count directly. */
+  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val shn = shingleHashesWithCount(Tables.documents(s, dir))
+    shn.as("a").join(shn.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jac"))
+  }
+
+  /** x4: exact 3-gram Jaccard threshold join.
     *
     * Measured alternatives at sf0.1 (both correct): PPJoin-style prefix
     * filtering (rare-first prefixes joined, candidates verified) ran
@@ -135,37 +170,68 @@ object Dedup {
   val jaccardPairs = Q.withOracle(
     "x4_jaccard_pairs",
     "exact shingle-Jaccard near-dup pairs (≥ 0.5)",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(generate_series(1, len(t) - 2),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-      |  FROM toks),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_common, za.n AS n_a, zb.n AS n_b,
-      |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jac
-      |FROM inter
-      |JOIN sizes za ON doc_a = za.doc_id
-      |JOIN sizes zb ON doc_b = zb.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // one self-join of (doc, shingle-hash, set-size): sizes ride the join,
-    // jaccard falls out of the grouped intersection count directly
-    val shn = shingleHashesWithCount(Tables.documents(s, dir))
-    shn.as("a").join(shn.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
-        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-          .as("jac"))
+    s"""WITH $JaccardCtes
+       |SELECT doc_a, doc_b, n_common, n_a, n_b, jac
+       |FROM scored WHERE jac >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    scoredPairs(s, dir)
       .filter(col("jac") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Label-propagation rounds for x16 — covers any component diameter up
+    * to 8; ExtSpec pins that round 8 is already a fixpoint on this data,
+    * so Spark and the fixed-depth SQL oracle agree. */
+  val CcRounds = 8
+
+  /** x16: near-dup pairs → clusters, by connected components over the
+    * x4 pair graph (min-label propagation). Pairs alone under-report
+    * duplication: A≈B and B≈C is one 3-document cluster with ONE
+    * survivor, which only the transitive closure exposes.
+    *
+    * Scale design: each round is a join + groupBy(min) on the edge list —
+    * all shuffles on the vertex key, no driver-side graph. Rounds grow
+    * the label horizon one hop, so round count is bounded by component
+    * diameter (near-dup clusters are tiny; 8 is generous). At real
+    * petabyte scale the same loop with the large-star/small-star edge
+    * rewrite (Kiveris et al.) converges in O(log n) rounds; lineage is
+    * cut with localCheckpoint mid-loop exactly as here. */
+  val dedupClusters = Q.withOracle(
+    "x16_dedup_clusters",
+    "x16: connected components over near-dup pairs (min-label propagation)",
+    s"""WITH $JaccardCtes,
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS comp FROM edges),
+       |${(1 to CcRounds).map { k =>
+            s"""l$k AS MATERIALIZED (
+               |  SELECT l.v, LEAST(l.comp, COALESCE(m.nbr, l.comp)) AS comp
+               |  FROM l${k - 1} l LEFT JOIN (
+               |    SELECT e.v AS v, MIN(l2.comp) AS nbr
+               |    FROM edges e JOIN l${k - 1} l2 ON e.u = l2.v
+               |    GROUP BY e.v) m ON l.v = m.v)""".stripMargin
+          }.mkString(",\n")}
+       |SELECT v AS doc_id, comp AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY comp) AS n_members
+       |FROM l$CcRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+      .localCheckpoint() // computed once, read by every round
+    var labels = edges.select(col("u").as("v"), col("u").as("comp")).distinct()
+    for (k <- 1 to CcRounds) {
+      val nbrMin = edges.join(labels.select(col("v").as("u"), col("comp")), "u")
+        .groupBy(col("v")).agg(min(col("comp")).as("nbr"))
+      labels = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      if (k % 4 == 0) labels = labels.localCheckpoint() // cut iterative lineage
+    }
+    labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))).as("n_members"))
+      .orderBy(col("doc_id"))
   }
 
   /** x2: MinHash+LSH near-dup pairs — candidates from band buckets, then
@@ -203,7 +269,7 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
-  val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash)
+  val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset splitting for a training pipeline.
+  *
+  * `sample(fraction)` and `TABLESAMPLE` are seeded per-partition and
+  * reshuffle-dependent — at 100 TB the "same" sample differs between
+  * runs, cluster sizes, and engines, which poisons train/holdout
+  * hygiene. The portable primitive is a hash split: bucket each row by
+  * a stable content hash of its key and assign splits by bucket range.
+  * Same rows land in the same split on every engine, at any
+  * parallelism, forever — and membership is a pure map-side predicate
+  * (no shuffle, no state). */
+object Sampling {
+
+  /** First hex nibble of md5(key) — 16 stable buckets. */
+  private def bucket16(key: org.apache.spark.sql.Column) =
+    substring(md5(key.cast("string")), 1, 1)
+
+  /** x17: deterministic 1/8 holdout split of `documents` by md5 bucket.
+    * The split column is reproducible anywhere md5 exists; sampling a
+    * different fraction is just a different bucket range. */
+  val hashSplit = Q.withOracle(
+    "x17_hash_split",
+    "x17: deterministic md5-bucket train/holdout split",
+    """SELECT doc_id,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |    THEN 'holdout' ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val b = bucket16(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), b.as("bucket"),
+        when(b.isin("0", "1"), "holdout").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(hashSplit)
+}

@@ -141,5 +141,30 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats)
+  /** t6: per-key top-k through the custom TopKPerKey plan node
+    * (graft.plans) — bounded per-key heaps before AND after one
+    * key-shuffle of ≤ k·partitions rows per key, versus the window
+    * form's full-data shuffle + per-group sort. The oracle is the
+    * row_number window form, so this also proves the two agree. */
+  val topkPerKey = Q.withOracle(
+    "t6_topk_per_key",
+    "T6: custom plan node — top-3 orders per priority, partial+final heaps",
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    graft.plans.TopKPerKey.register(s)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerKey
+      .topKPerKey(o, Seq("o_orderpriority"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey)
 }

@@ -109,11 +109,14 @@ object CosineSimilarity {
 
 /** `SparkSessionExtensions` wiring — load with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
-  * function in every session without explicit register() calls. */
+  * function and the TopKPerKey planner strategy in every session
+  * without explicit register() calls. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

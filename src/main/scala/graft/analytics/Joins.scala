@@ -186,5 +186,31 @@ object Joins {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept, rollup)
+  /** a16: full CUBE over (priority, status) with GROUPING() ids — the
+    * ids disambiguate "subtotal row" from "genuinely NULL key", which
+    * raw NULLs cannot (A10's lesson generalized). GROUPING() is cast to
+    * INT on both sides: Spark emits TINYINT, DuckDB BIGINT, and the
+    * driver's hash is dtype-sensitive. */
+  val cube = Q.withOracle(
+    "a16_cube_priority_status",
+    "A16: GROUP BY CUBE with GROUPING() ids",
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       |  ${sql.dsum("o_totalprice")} AS total_price, COUNT(*) AS n
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+      .stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n"))
+      .orderBy(col("g_pri"), col("g_st"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept,
+    rollup, cube)
 }

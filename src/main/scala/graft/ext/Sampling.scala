@@ -37,5 +37,33 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(hashSplit)
+  /** x19: stratified deterministic sample — exactly ⌈n/4⌉ docs per
+    * `lang` stratum, chosen by md5 rank so membership is stable across
+    * engines and runs. The per-stratum quota arithmetic stays integral
+    * ((n+3) div 4): no float compare anywhere. One window pass per
+    * stratum — at scale this is a single shuffle on the stratum key,
+    * and per-stratum state is one counter. */
+  val stratified = Q.withOracle(
+    "x19_stratified_sample",
+    "x19: md5-ranked quarter sample per lang stratum",
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang FROM ranked
+      |WHERE rn <= (n + 3) // 4
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ranked = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.filter(expr("rn <= (n + 3) DIV 4"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(hashSplit, stratified)
 }

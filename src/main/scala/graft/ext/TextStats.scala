@@ -127,5 +127,43 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint)
+  /** x18: TF-IDF top term per document. The idf here is the raw ratio
+    * N/df rather than log(N/df): ranking is unchanged (log is
+    * monotonic) and the score stays in exactly-reproducible IEEE
+    * arithmetic — `tf * (N/df)` is one division and one multiply,
+    * bit-identical on any engine, where libm log can differ in the last
+    * ulp between runtimes. Two aggregations (term-frequency, doc-
+    * frequency) and one window top-1 — each a single key shuffle. */
+  val tfidfTop = Q.withOracle(
+    "x18_tfidf_topterm",
+    "x18: top TF-IDF term per doc (ratio idf, exact arithmetic)",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    tf * (CAST(n_docs AS DOUBLE) / df) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+      |  ORDER BY score DESC, term) = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toksDf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toksDf.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toksDf.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop)
 }

@@ -11,7 +11,8 @@ class PlanAuditSpec extends SparkSuite {
   private val broadcastCrossOk = Set(
     "a7_latest_week_volume", "a9_stale_customers", "p6_latest_week_rows",
     "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk",
-    "x14_embedding_dedup") // non-equi (id<id) pair join over a bounded set
+    "x14_embedding_dedup", // non-equi (id<id) pair join over a bounded set
+    "x18_tfidf_topterm")   // broadcast of the 1-row corpus-size aggregate
 
   test("registry is well-formed: unique names, oracles only for registered queries") {
     val names = SparkEntry.registry.map(_.name)

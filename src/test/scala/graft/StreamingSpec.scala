@@ -74,6 +74,30 @@ class StreamingSpec extends SparkSuite {
     assert(unclosed >= 0 && unclosed <= users, s"unclosed=$unclosed users=$users")
   }
 
+  test("stream-stream interval join (purchase⋈view attribution) matches the batch join") {
+    val flat = tmpDir("ssj")
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(flat)
+    val q = graft.streaming.Attribution.attribution(WeeklyFeed.readFeed(spark, flat))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_out")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("vu"), $"ts".as("v_ts"))
+    val batch = p.join(v, $"user_id" === $"vu" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"v_ts" <= $"p_ts")
+      .select($"purchase_id", $"user_id", $"p_ts", $"view_id", $"v_ts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("tumbling weekly aggregation over the feed matches the batch computation") {
     val flat = tmpDir("flat2")
     Tables.events(spark, sf)

@@ -357,6 +357,47 @@ object Reports {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_customers_approx"))
         .orderBy(col("wk")))
 
+  /** a17: exact interpolated percentiles per group. Cross-engine
+    * bit-parity holds here WITHOUT the decimal trick because
+    * l_quantity is integer-valued and the percentile fractions are
+    * dyadic (0.25/0.5/0.75): every term of the interpolation
+    * `lo + (hi-lo)·g` is an exact dyadic rational, so no rounding
+    * occurs in either engine. Spark's `percentile` is the exact
+    * (sort-based) aggregate; `approx_percentile` (KLL-free t-digest-
+    * style sketch) is the 100 TB path when inputs aren't dyadic-safe —
+    * same trade as a1 vs a1b. */
+  val a17 = Q.withOracle(
+    "a17_percentiles",
+    "A17: exact p25/p50/p75 per group (dyadic-exact interpolation)",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.50)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** a18: collect-to-list with deterministic order, surfaced as a
+    * joined string — `collect_set` alone is partition-order-dependent,
+    * which at cluster scale means a different answer every run; sorting
+    * before joining makes the aggregate order-independent. */
+  val a18 = Q.withOracle(
+    "a18_collect_sorted",
+    "A18: per-week sorted distinct status list as a string",
+    """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders GROUP BY 1 ORDER BY wk""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(week(col("o_orderdate")).as("wk"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"))
+      .orderBy(col("wk"))
+  }
+
   val all: Seq[Q] = Seq(q1, a1, a1approx, w1, a2, a3, a4, a6, a7, a9, a10, a11, w2,
-    t1, t2, t3, t5, o1)
+    t1, t2, t3, t5, o1, a17, a18)
 }

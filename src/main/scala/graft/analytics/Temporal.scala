@@ -166,5 +166,45 @@ object Temporal {
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey)
+  private val HourUs = 3600L * 1000000L
+
+  /** x20: interval (range) join — views within the hour before each
+    * purchase, counted. A naive range join is a per-key nested loop
+    * (BroadcastNestedLoopJoin or worse at scale); the scalable
+    * re-expression buckets time into hour cells and turns the range
+    * predicate into an equi-join on (user, bucket) — each purchase
+    * probes its own cell and the one before, so every candidate pair
+    * shares an equi-key and the residual range filter runs post-join.
+    * Shuffle is hash-partitioned, skew-safe under AQE, and the plan has
+    * no nested-loop operator (PlanAuditSpec enforces registry-wide). */
+  val intervalCount = Q.withOracle(
+    "x20_interval_count",
+    "x20: bucketed range join — views in the hour before each purchase",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, COUNT(v.tus) AS n_views_1h
+      |FROM p LEFT JOIN v
+      |  ON p.user_id = v.user_id
+      |  AND v.tus BETWEEN p.tus - 3600000000 AND p.tus
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+      .withColumn("bucket",
+        explode(array(floor(col("tus") / HourUs) - 1, floor(col("tus") / HourUs))))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus").as("vtus"),
+        floor(col("tus") / HourUs).as("bucket"))
+    p.join(v, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        col("vtus").isNotNull &&
+          col("vtus") >= col("tus") - HourUs && col("vtus") <= col("tus"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_views_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey, intervalCount)
 }

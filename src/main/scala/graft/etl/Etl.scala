@@ -213,12 +213,18 @@ object Etl {
       |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
       |      FROM lineitem)
       |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    // min(struct(ordering...)) instead of a row_number window: every
+    // output column sits inside the ordering tuple, so the lexicographic
+    // struct-min IS the keep-first survivor — and it runs as a hash
+    // aggregate with map-side partials (shuffle carries one row per key
+    // per partition), where the window form shuffles and fully sorts
+    // every input row. The generic any-column form stays in dedupFirst.
     Tables.lineitem(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))).as("f"))
+      .select(col("l_orderkey"), col("f.l_linenumber").as("l_linenumber"),
+        col("f.l_partkey").as("l_partkey"))
       .orderBy(col("l_orderkey"))
   }
 

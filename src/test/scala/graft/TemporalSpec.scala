@@ -31,6 +31,26 @@ class TemporalSpec extends SparkSuite {
     assert(got.count() === p.count()) // left join: one row per purchase
   }
 
+  test("x15 plans with ZERO join operators and at most 2 shuffles (window + final sort)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val df = Temporal.asof.fn(spark, sf)
+    df.count()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the as-of JOIN is computed without any join operator at all —
+    // that's the union+window re-expression working as designed
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      s"unexpected join in: ${nodes.map(_.nodeName).distinct}")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"expected <=2 shuffles (key window + result sort), got $shuffles")
+  }
+
   test("x16 connected components: fixpoint by round 8, labels are component minima") {
     val labels = Dedup.dedupClusters.fn(spark, "/root/testdata/sf0.01")
       .select($"doc_id", $"cluster_id").cache()

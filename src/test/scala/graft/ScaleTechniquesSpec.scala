@@ -59,6 +59,37 @@ class ScaleTechniquesSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // one join key holds ~90% of the left side; with aggressive skew
+    // thresholds AQE must replan the SMJ with skew-split partitions.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(200000)
+        .select(when($"id" % 10 < 9, lit(7L)).otherwise($"id" % 50).as("k"), $"id".as("payload"))
+      val right = spark.range(50).select($"id".as("k"), ($"id" * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would build a new
+      // one and leave this plan unexecuted / un-adapted)
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals direct aggregation on a skewed key") {
     // skew: one key holds ~half the rows
     val skewed = spark.range(100000)

@@ -32,7 +32,8 @@ object Bench {
     }
     // 4-decimal rounding keeps the whole line ~1.5 KB so a bounded
     // tail-capture of the build log still holds it intact.
-    def r(v: Double): String = f"$v%.4f"
+    def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f",
+      java.lang.Double.valueOf(v)) // locale-pinned: a comma decimal would break the JSON
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -43,11 +43,18 @@ object Temporal {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("tus"), lit(0).as("side"),
         lit(null).cast("long").as("event_id"),
+        col("event_id").as("v_eid"),
         col("tus").as("v_tus"), col("value").as("v_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tus"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("v_eid"),
         lit(null).cast("long").as("v_tus"), lit(null).cast("double").as("v_value"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("side"))
+    // v_eid tie-break: two views sharing (user, tus) would otherwise make
+    // last(...) partitioning-dependent (the Sessionize lesson). Testdata
+    // has no such ties at any SF — DuckDB's ASOF picks an arbitrary tied
+    // row, so determinism here is defensive, not oracle-visible.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"), col("v_eid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionByName(purchases)
       .withColumn("view_tus", last(col("v_tus"), ignoreNulls = true).over(w))
@@ -126,8 +133,9 @@ object Temporal {
        |  FROM events GROUP BY 1)
        |SELECT event_type, n_events,
        |  s1 / n_events AS mean_value,
-       |  SQRT(GREATEST(s2 - s1 * s1 / n_events, 0.0) / (n_events - 1))
-       |    AS sd_value
+       |  CASE WHEN n_events > 1 THEN
+       |    SQRT(GREATEST(s2 - s1 * s1 / n_events, 0.0) / (n_events - 1))
+       |  END AS sd_value
        |FROM agg ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -136,8 +144,10 @@ object Temporal {
         sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
       .select(col("event_type"), col("n_events"),
         (col("s1") / col("n_events")).as("mean_value"),
-        sqrt(greatest(col("s2") - col("s1") * col("s1") / col("n_events"), lit(0.0)) /
-          (col("n_events") - 1)).as("sd_value"))
+        // n=1 guard: unguarded 0.0/0 is NaN in Spark but NULL in DuckDB
+        when(col("n_events") > 1,
+          sqrt(greatest(col("s2") - col("s1") * col("s1") / col("n_events"), lit(0.0)) /
+            (col("n_events") - 1))).as("sd_value"))
       .orderBy(col("event_type"))
   }
 

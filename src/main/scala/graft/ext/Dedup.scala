@@ -226,6 +226,10 @@ object Dedup {
     // where diameter is data-dependent. Result is identical to the
     // fixed-depth oracle because a fixpoint is stable under more rounds
     // (TemporalSpec pins fixpoint-by-8 on this data).
+    // NOTE: the per-round isEmpty action means building this DataFrame
+    // EXECUTES the loop (driver-coordinated iteration, as in any CC
+    // implementation); plan audits over the returned frame see the final
+    // labels behind checkpoints, not the loop's (all equi-) joins.
     var round = 0
     var converged = false
     while (round < CcRounds && !converged) {

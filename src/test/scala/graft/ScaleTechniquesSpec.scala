@@ -20,17 +20,8 @@ class ScaleTechniquesSpec extends SparkSuite {
       .filter($"ship_week" === lit(java.sql.Date.valueOf("1997-03-03")))
       .groupBy($"l_returnflag").agg(sum($"l_quantity"))
     df.collect()
-    // AQE wraps materialized stages in QueryStageExec whose inner plan a
-    // plain collect() does not traverse — descend explicitly
-    def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          deepScans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(deepScans)
-      }
-    val scans = deepScans(df.queryExecution.executedPlan)
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     assert(scans.nonEmpty, "no file scan in plan")
     // the filter must land in PartitionFilters (pruned at planning), not
     // as a post-scan data filter over all partitions

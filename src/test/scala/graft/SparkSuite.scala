@@ -8,6 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Flatten an executed plan, descending through the AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec) that hide materialized
+    * stages from a plain children traversal. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flattenPlan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flattenPlan(q.plan)
+      case _ => p +: p.children.flatMap(flattenPlan)
+    }
 }
 
 object SparkSuite {

@@ -32,17 +32,10 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("x15 plans with ZERO join operators and at most 2 shuffles (window + final sort)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
     val df = Temporal.asof.fn(spark, sf)
     df.count()
-    val nodes = flatten(df.queryExecution.executedPlan)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
     // the as-of JOIN is computed without any join operator at all —
     // that's the union+window re-expression working as designed
     assert(!nodes.exists(_.nodeName.contains("Join")),

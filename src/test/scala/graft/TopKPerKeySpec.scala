@@ -1,8 +1,6 @@
 package graft
 
 import graft.plans.{TopKPerKey, TopKPerKeyFinalExec, TopKPerKeyPartialExec}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,12 +9,6 @@ import org.apache.spark.sql.functions._
   * TopKPerKeyStrategy → partial/final bounded-heap execs. */
 class TopKPerKeySpec extends SparkSuite {
   import spark.implicits._
-
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-    case q: QueryStageExec => p +: flatten(q.plan)
-    case _ => p +: p.children.flatMap(flatten)
-  }
 
   test("t6 equals the window row_number formulation exactly") {
     TopKPerKey.register(spark)
@@ -41,7 +33,7 @@ class TopKPerKeySpec extends SparkSuite {
     val df = TopKPerKey.topKPerKey(o, Seq("o_orderpriority"),
       Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
     df.count() // force AQE to finalize stages
-    val nodes = flatten(df.queryExecution.executedPlan)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
     val fin = nodes.collect { case f: TopKPerKeyFinalExec => f }
     val part = nodes.collect { case pp: TopKPerKeyPartialExec => pp }
     assert(fin.size === 1 && part.size === 1)
@@ -50,7 +42,7 @@ class TopKPerKeySpec extends SparkSuite {
     assert(!fin.head.child.isInstanceOf[TopKPerKeyPartialExec])
     assert(nodes.exists(_.isInstanceOf[ShuffleExchangeLike]))
     // the partial runs before the exchange: its subtree contains no shuffle
-    assert(!flatten(part.head).tail.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    assert(!flattenPlan(part.head).tail.exists(_.isInstanceOf[ShuffleExchangeLike]))
   }
 
   test("bounded heaps: k larger than group, single row, ties, empty input") {
@@ -67,6 +59,16 @@ class TopKPerKeySpec extends SparkSuite {
     // empty input → empty output, no failure
     assert(TopKPerKey.topKPerKey(tiny.filter($"k" === "zzz"), Seq("k"),
       Seq(("v", true)), 2).count() === 0)
+  }
+
+  test("keyless call is GLOBAL top-k (AllTuples), not per-partition top-k") {
+    TopKPerKey.register(spark)
+    val df = spark.range(1000).select($"id", ($"id" % 313).cast("double").as("v"))
+      .repartition(8)
+    val got = TopKPerKey.topKPerKey(df, Seq.empty, Seq(("v", false), ("id", true)), 5)
+      .orderBy($"v".desc, $"id").select($"id").as[Long].collect()
+    val exp = df.orderBy($"v".desc, $"id").limit(5).select($"id").as[Long].collect()
+    assert(got.toSeq === exp.toSeq) // exactly 5 rows globally, not 5 per partition
   }
 
   test("per-partition partial really bounds rows entering the shuffle") {

@@ -216,5 +216,35 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey, intervalCount)
+  /** a19: unpivot/melt — the inverse reshape of a13, wide event-type
+    * columns back to (wk, event_type, sum_value) long form. Spark's
+    * native `unpivot` (codegen'd Expand) against a portable UNION ALL
+    * oracle. NULL cells (week × type with no events) are dropped by
+    * unpivot's contract; the oracle filters to match. */
+  val unpivot = Q.withOracle(
+    "a19_unpivot_week_type",
+    "A19: unpivot the weekly × type matrix back to long form",
+    s"""WITH piv AS (
+       |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+       |${EventTypes.map(t =>
+          s"    CAST(SUM(CASE WHEN event_type = '$t' THEN ${sql.dec("value")} END) AS DOUBLE) AS $t")
+          .mkString(",\n")}
+       |  FROM events GROUP BY 1)
+       |SELECT wk, event_type, sum_value FROM (
+       |${EventTypes.map(t =>
+          s"  SELECT wk, '$t' AS event_type, $t AS sum_value FROM piv")
+          .mkString("\n  UNION ALL\n")}
+       |) WHERE sum_value IS NOT NULL
+       |ORDER BY wk, event_type""".stripMargin) { (s, dir) =>
+    val piv = Tables.events(s, dir)
+      .groupBy(week(col("ts")).as("wk"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+    piv.unpivot(Array(col("wk")), EventTypes.map(col).toArray, "event_type", "sum_value")
+      .filter(col("sum_value").isNotNull)
+      .orderBy(col("wk"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey, intervalCount,
+    unpivot)
 }

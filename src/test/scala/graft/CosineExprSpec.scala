@@ -53,6 +53,29 @@ class CosineExprSpec extends SparkSuite {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("cosine_sim: length mismatch → NULL, null element → NULL (codegen and interpreted)") {
+    CosineSimilarity.register(spark)
+    val mismatched = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(mismatched.select(CosineSimilarity.cosineSim($"a", $"b"))
+      .as[Option[Double]].head().isEmpty)
+    val withNullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(withNullElem.select(CosineSimilarity.cosineSim($"a", $"b"))
+      .as[Option[Double]].head().isEmpty)
+    // interpreted path (nullSafeEval) must agree with codegen
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(expr.nullSafeEval(
+      ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayData.toArrayData(Array(1.0, 2.0))) == null)
+  }
+
   test("x12 IVF: cosines on hits are exactly x5's, rows shaped top-k") {
     val ivf = SparkEntry.queries("x12_ivf_ann_topk")(spark, sf)
     assert(ivf.count() > 0)

@@ -26,32 +26,29 @@ object Dedup {
   val NumHashes = 32
   val NumBands = 8 // 4 rows per band → catches jaccard ≳ 0.7 reliably
 
-  /** Distinct 3-token shingles per doc: (doc_id, g), exploded.
+  /** Distinct 3-gram shingle HASHES per doc: (doc_id, g: long), exploded.
     *
-    * Deliberately posexplode + window `lead`, NOT
-    * `transform(sequence(...), i → concat_ws(element_at...))`: Spark's
-    * higher-order array functions evaluate interpreted with boxed
-    * elements — the array form measured ~8s per evaluation at sf0.1
-    * (5000 docs) versus <1s for this exploded/codegen form, and the
-    * dedup queries evaluate the shingle subtree up to three times. */
-  private[ext] def shingles(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .withColumn("w2", lead(col("w"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+    * Third formulation, each measured at sf0.1:
+    * 1. `transform(sequence(...), i → concat_ws(element_at...))` —
+    *    interpreted higher-order functions with boxed elements, ~8s per
+    *    evaluation. Rejected in round 1.
+    * 2. posexplode → window `lead`×2 → concat_ws → xxhash64 — codegen'd
+    *    but pays a full shuffle + per-doc sort just to align tokens.
+    * 3. (current) native `shingle_hash3` expression: alignment is an
+    *    array index, hashing inlines into whole-stage codegen, NO
+    *    shuffle before the distinct. Hash values identical to form 2,
+    *    so the self-join, MinHash seeds, and LSH bands are unchanged.
+    *
+    * Longs, not strings: the intersection joins only need equality, and
+    * shuffling 8-byte longs instead of ~30-byte strings halves the
+    * self-join's shuffle row width. Collision odds over the ~10^5
+    * distinct shingles here are ~10^-10. */
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHash3.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash3.shingleHash3(split(col("text"), " "))).as("g"))
       .distinct()
   }
-
-  /** Shingles as 64-bit hashes: the intersection joins only need
-    * equality, and shuffling 8-byte longs instead of ~30-byte strings
-    * halves the self-join's shuffle row width. Collision odds over the
-    * ~10^5 distinct shingles here are ~10^-10. */
-  private[ext] def shingleHashes(docs: DataFrame): DataFrame =
-    shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
 
   /** Hashed shingles with the doc's set size attached (window count) —
     * carrying `n` through the joins saves two extra evaluations of the
@@ -73,7 +70,7 @@ object Dedup {
     * runs in tight whole-stage codegen over unsafe rows. The shuffle it
     * avoids is the cheap part. */
   private[ext] def signatures(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id"))
+    shingleHashes(docs).groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("g"))).as("mh0"),
         (1 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j")): _*)
 

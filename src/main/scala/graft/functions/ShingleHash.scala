@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingle_hash3(tokens)` — the 64-bit hashes of every 3-token shingle
+  * of a token array, in one codegen'd pass.
+  *
+  * Replaces the shuffle-shaped formulation
+  * `posexplode → window lead ×2 → concat_ws → xxhash64`: that pipeline
+  * pays a full shuffle + per-doc sort just to align each token with its
+  * two successors, and materializes every shingle STRING before hashing.
+  * Here the alignment is an array index, the only allocation is one
+  * short-lived concat per shingle, and the whole loop inlines into
+  * whole-stage codegen — the shuffle disappears entirely from the
+  * shingling stage (the measured higher-order-function alternative was
+  * interpreted/boxed; this is neither).
+  *
+  * Hash values are IDENTICAL to `xxhash64(concat_ws(' ', w, w1, w2))`
+  * (XXH64 over the joined string, seed 42) so every downstream consumer
+  * (Jaccard self-join, MinHash signatures, LSH bands) sees the same
+  * keys as before. */
+case class ShingleHash3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash3"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    ShingleHash3.hashAll(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ShingleHash3.hashAll($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
+object ShingleHash3 {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty = UTF8String.fromString("")
+  val Seed = 42L // Spark's xxhash64 default seed
+
+  /** Shared by interpreted eval and generated code (one static call —
+    * the loop body is JIT-friendly either way). */
+  def hashAll(arr: ArrayData): UnsafeArrayData = {
+    val n = math.max(arr.numElements() - 2, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      def tok(j: Int): UTF8String = {
+        val s = arr.getUTF8String(j)
+        if (s == null) Empty else s
+      }
+      val joined = UTF8String.concatWs(Space, tok(i), tok(i + 1), tok(i + 2))
+      out(i) = XXH64.hashUTF8String(joined, Seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  val name = "shingle_hash3"
+
+  /** Idempotent session registration, mirroring CosineSimilarity. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => ShingleHash3(exprs.head), "built-in")
+
+  def shingleHash3(tokens: Column): Column = call_function(name, tokens)
+}

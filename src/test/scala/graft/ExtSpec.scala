@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
 class ExtSpec extends SparkSuite {
   import spark.implicits._
 
+  test("shingle_hash3 emits exactly the window-lead formulation's hash set") {
+    // the native expression must produce the SAME (doc, hash) set as the
+    // posexplode → lead×2 → concat_ws → xxhash64 pipeline it replaced —
+    // Jaccard joins, MinHash seeds, and LSH bands all key on these values
+    val docs = Tables.documents(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val legacy = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "t")))
+      .withColumn("t1", lead($"t", 1).over(w))
+      .withColumn("t2", lead($"t", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", xxhash64(concat_ws(" ", $"t", $"t1", $"t2")).as("g"))
+      .distinct()
+    val native = Dedup.shingleHashes(docs)
+    assert(native.exceptAll(legacy).isEmpty && legacy.exceptAll(native).isEmpty)
+  }
+
   test("x2 MinHash+LSH finds every exact-Jaccard pair at >= 0.8 (recall 1.0 band)") {
     val exact = SparkEntry.queries("x4_jaccard_pairs")(spark, sf)
       .filter($"jac" >= 0.8).select("doc_a", "doc_b")

@@ -22,13 +22,16 @@ object Bench {
     // thread hiccup otherwise lands on one query and reads as a plan
     // regression (observed: one 8s outlier on a query that steadily
     // runs in ~0.5s).
+    // A failed iteration records NaN, and any failure poisons the query's
+    // reported time to -1 — a plan that regresses into an exception must
+    // read as FAILED in the bench JSON, not as its wall-clock-to-throw.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.NaN }
       }
-      name -> times.min
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     // 4-decimal rounding keeps the whole line ~1.5 KB so a bounded
     // tail-capture of the build log still holds it intact.

@@ -39,7 +39,13 @@ object Temporal {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND v.tus <= p.tus
       |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    asofPlan(Tables.events(s, dir).withColumn("tus", unix_micros(col("ts"))))
+  }
+
+  /** The as-of core over any (event_id, user_id, tus, event_type, value)
+    * frame — split out so the NULL-value pairing contract is testable on
+    * synthetic input (testdata has no NULL values at any SF). */
+  def asofPlan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("tus"), lit(0).as("side"),
         lit(null).cast("long").as("event_id"),
@@ -56,12 +62,18 @@ object Temporal {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("side"), col("v_eid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The view's (tus, value) travel as ONE struct: a bare last(v_value)
+    // would skip a view whose value is genuinely NULL and pair view_tus
+    // with an older view's value. The when() guard keeps the struct
+    // itself non-null for every view row (a naked struct() never is),
+    // so both fields always come from the same matched row.
     views.unionByName(purchases)
-      .withColumn("view_tus", last(col("v_tus"), ignoreNulls = true).over(w))
-      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .withColumn("v",
+        last(when(col("side") === 0, struct(col("v_tus"), col("v_value"))),
+          ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("tus").as("purchase_tus"),
-        col("view_tus"), col("view_value"))
+        col("v.v_tus").as("view_tus"), col("v.v_value").as("view_value"))
       .orderBy(col("event_id"))
   }
 

@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hash values are IDENTICAL to `xxhash64(concat_ws(' ', w, w1, w2))`
   * (XXH64 over the joined string, seed 42) so every downstream consumer
   * (Jaccard self-join, MinHash signatures, LSH bands) sees the same
-  * keys as before. */
+  * keys as before — including on null tokens, which are passed through
+  * to `UTF8String.concatWs` and skipped without a separator, exactly
+  * SQL `concat_ws` semantics (`['a', null, 'b']` joins to `"a b"`). */
 case class ShingleHash3(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -52,21 +54,20 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
 
 object ShingleHash3 {
   private val Space = UTF8String.fromString(" ")
-  private val Empty = UTF8String.fromString("")
   val Seed = 42L // Spark's xxhash64 default seed
 
   /** Shared by interpreted eval and generated code (one static call —
-    * the loop body is JIT-friendly either way). */
+    * the loop body is JIT-friendly either way). Null tokens go straight
+    * to concatWs, which drops them AND their separator — the same rule
+    * SQL concat_ws applies — so hashes match xxhash64(concat_ws(...))
+    * even for arrays with null elements. */
   def hashAll(arr: ArrayData): UnsafeArrayData = {
     val n = math.max(arr.numElements() - 2, 0)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      def tok(j: Int): UTF8String = {
-        val s = arr.getUTF8String(j)
-        if (s == null) Empty else s
-      }
-      val joined = UTF8String.concatWs(Space, tok(i), tok(i + 1), tok(i + 2))
+      val joined = UTF8String.concatWs(Space,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
       out(i) = XXH64.hashUTF8String(joined, Seed)
       i += 1
     }

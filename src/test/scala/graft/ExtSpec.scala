@@ -28,6 +28,25 @@ class ExtSpec extends SparkSuite {
     assert(native.exceptAll(legacy).isEmpty && legacy.exceptAll(native).isEmpty)
   }
 
+  test("shingle_hash3 matches xxhash64(concat_ws) on arrays WITH null tokens") {
+    // SQL concat_ws drops a NULL argument and its separator ('a b', not
+    // 'a  b'); the native expression passes nulls straight to
+    // UTF8String.concatWs, which applies the same rule — pinned here
+    // because the function is session-registered for general SQL use
+    // where (unlike split() output) null elements are reachable.
+    graft.functions.ShingleHash3.register(spark)
+    val rows = Seq(
+      Seq[String]("a", null, "b"),
+      Seq[String](null, null, "x"),
+      Seq[String]("p", "q", null, "r", "s")
+    ).toDF("toks")
+    val got = rows.select(
+      graft.functions.ShingleHash3.shingleHash3($"toks").as("h"),
+      expr("transform(sequence(0, size(toks) - 3), " +
+        "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("ref"))
+    assert(got.filter(!($"h" <=> $"ref")).count() === 0)
+  }
+
   test("x2 MinHash+LSH finds every exact-Jaccard pair at >= 0.8 (recall 1.0 band)") {
     val exact = SparkEntry.queries("x4_jaccard_pairs")(spark, sf)
       .filter($"jac" >= 0.8).select("doc_a", "doc_b")

@@ -44,6 +44,26 @@ class TemporalSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected <=2 shuffles (key window + result sort), got $shuffles")
   }
 
+  test("x15 pairs view_tus and view_value from the SAME view row when value is NULL") {
+    // A view with a genuinely-NULL value must still win the as-of match:
+    // view_tus = its timestamp AND view_value = NULL, never an older
+    // view's value (the struct-carry contract; bare last(v_value,
+    // ignoreNulls) would desync the two columns here).
+    val ev = Seq(
+      (1L, 100L, 10L, "view", Some(5.0)),   // older view, value present
+      (2L, 100L, 20L, "view", None),        // newest view, value NULL
+      (3L, 100L, 30L, "purchase", Some(9.9)),
+      (4L, 200L, 40L, "purchase", Some(1.0)) // purchase with no view at all
+    ).toDF("event_id", "user_id", "tus", "event_type", "value")
+    val got = Temporal.asofPlan(ev).orderBy($"event_id").collect()
+    assert(got.length === 2)
+    val r1 = got(0) // user 100: matched the tus=20 view, whose value is NULL
+    assert(r1.getLong(3) === 20L)
+    assert(r1.isNullAt(4), s"view_value must be the matched row's NULL, got $r1")
+    val r2 = got(1) // user 200: no view → both NULL
+    assert(r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
   test("x16 connected components: fixpoint by round 8, labels are component minima") {
     val labels = Dedup.dedupClusters.fn(spark, "/root/testdata/sf0.01")
       .select($"doc_id", $"cluster_id").cache()

@@ -13,9 +13,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query-name filter for profiling one query
+    // at a time while iterating (driver runs never set it → full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     // Warmup pass: JIT/codegen compilation and parquet footer reads dominate
     // a cold first query (~6s vs ~0.3s steady state); measure steady state.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Min of two timed runs per query: a single GC pause or broadcast-
@@ -25,7 +29,7 @@ object Bench {
     // A failed iteration records NaN, and any failure poisons the query's
     // reported time to -1 — a plan that regresses into an exception must
     // read as FAILED in the bench JSON, not as its wall-clock-to-throw.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

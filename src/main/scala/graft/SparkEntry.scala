@@ -24,6 +24,7 @@ object SparkEntry {
       ext.TextStats.all ++
       ext.Multimodal.all ++
       ext.Sampling.all ++
+      ext.Curation.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -211,6 +211,30 @@ object Joins {
         col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
 
+  /** A20: GROUPING SETS — the general form behind rollup (a12) and cube
+    * (a16), with an explicitly chosen set list. Spark's DataFrame API has
+    * no grouping-sets builder, so this goes through the SQL surface —
+    * same Aggregate(Expand) plan Catalyst produces for rollup/cube. */
+  val groupingSets: Q = {
+    val body =
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+         |  ${sql.dsum("o_totalprice")} AS total_price, COUNT(*) AS n
+         |FROM %s
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())
+         |ORDER BY g_st, g_pri, o_orderstatus NULLS FIRST,
+         |  o_orderpriority NULLS FIRST""".stripMargin
+    Q.withOracle(
+      "a20_grouping_sets",
+      "A20: GROUP BY GROUPING SETS with GROUPING() ids",
+      body.format("orders")) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_a20")
+      s.sql(body.format("orders_a20"))
+    }
+  }
+
   val all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, setUnion, setIntersect, setExcept,
-    rollup, cube)
+    rollup, cube, groupingSets)
 }

@@ -1,0 +1,294 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents`: repetition signals,
+  * benchmark decontamination, sequence packing, text normalization,
+  * quality binning, and quality-weighted sampling — the curation stages of
+  * a pretraining pipeline that sit between raw ingest and tokenization.
+  *
+  * Scale design (100 TB):
+  * - x21/x24/x26 are pure per-document map/agg work: no cross-document
+  *   shuffle at all (x21's aggregations are per-doc-key with map-side
+  *   combine).
+  * - x22 joins the train corpus against the *holdout's* distinct shingle
+  *   set. In production that right side is a benchmark suite — a few
+  *   thousand documents — so the join is a broadcast semi-join and the
+  *   100 TB train side never shuffles. Here both sides derive from
+  *   `documents`, so the optimizer picks; the train side still moves only
+  *   (doc_id, 8-byte shingle hash) pairs, never text.
+  * - x23's global prefix-sum uses a two-level segmented scan (per-bucket
+  *   window + tiny bucket-offset table) instead of one ORDER BY the whole
+  *   corpus: the only single-partition window runs over #buckets rows
+  *   (≈ docs/256), and everything else is partitioned by bucket.
+  * - x25's NTILE is the exact form; at scale the same binning comes from
+  *   approx_percentile boundaries + a map-side bucket lookup, trading
+  *   exact decile edges for zero global sort.
+  */
+object Curation {
+
+  /** x21: Gopher-style repetition signals — the fraction of the document
+    * covered by its most frequent token and by its most frequent adjacent
+    * bigram. High values flag boilerplate/spam for a quality filter.
+    * Counts are exact; fractions are single IEEE divisions of those exact
+    * counts (bit-identical across engines). */
+  val repetition = Q.withOracle(
+    "x21_repetition",
+    "x21: repetition signals (top-token / top-bigram fractions)",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+      |tokc AS (
+      |  SELECT doc_id, MAX(c) AS top_tok_n FROM (
+      |    SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1])) AS b
+      |  FROM toks),
+      |bgc AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+      |    SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  tokc.top_tok_n,
+      |  CAST(tokc.top_tok_n AS DOUBLE) / len(t.t) AS top_tok_frac,
+      |  CAST(COALESCE(bgc.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+      |  CASE WHEN len(t.t) > 1
+      |    THEN CAST(COALESCE(bgc.top_bigram_n, 0) AS DOUBLE) / (len(t.t) - 1)
+      |  END AS top_bigram_frac
+      |FROM toks t
+      |JOIN tokc ON t.doc_id = tokc.doc_id
+      |LEFT JOIN bgc ON t.doc_id = bgc.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val tok = d.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tk")))
+    val tokc = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok_n"))
+    // Adjacent bigrams via lead() over token position — one key-partitioned
+    // window; at scale this shuffles (doc_id, pos, token) rows only.
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bgc = tok.withColumn("tk2", lead(col("tk"), 1).over(wp))
+      .filter(col("tk2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tk"), col("tk2")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(tokc, "doc_id")
+      .join(bgc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).cast("long").as("top_bigram_n"),
+        when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x22: benchmark decontamination — for every train-split document,
+    * count its distinct 3-gram shingles that also appear anywhere in the
+    * holdout split (x17's md5-bucket split rule), and flag overlaps.
+    * Spark side joins on 8-byte shingle *hashes* (collision odds ~1e-10
+    * over this vocabulary, same contract as x4); the oracle joins the
+    * string shingles directly. */
+  val decontaminate = Q.withOracle(
+    "x22_decontam",
+    "x22: train-split docs sharing 3-gram shingles with the holdout split",
+    """WITH sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |tagged AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |      THEN 'holdout' ELSE 'train' END AS split
+      |  FROM documents),
+      |hold AS MATERIALIZED (
+      |  SELECT DISTINCT g FROM sh JOIN tagged USING (doc_id)
+      |  WHERE split = 'holdout'),
+      |hits AS MATERIALIZED (
+      |  SELECT sh.doc_id, COUNT(*) AS n
+      |  FROM sh JOIN tagged USING (doc_id) JOIN hold ON sh.g = hold.g
+      |  WHERE split = 'train' GROUP BY 1)
+      |SELECT t.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_shingles,
+      |  COALESCE(hits.n, 0) > 0 AS contaminated
+      |FROM tagged t LEFT JOIN hits ON t.doc_id = hits.doc_id
+      |WHERE t.split = 'train'
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val holdout = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val trainSh = Dedup.shingleHashes(docs.filter(!holdout))
+    val holdSh = Dedup.shingleHashes(docs.filter(holdout)).select(col("g")).distinct()
+    val hits = trainSh.join(holdSh, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    docs.filter(!holdout).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_hit_shingles"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens per fixed-length training sequence for x23. */
+  val SeqLen = 64
+  /** Docs per prefix-scan bucket for x23 — the only global window runs
+    * over ≈ n_docs/PackBucket rows. */
+  val PackBucket = 256
+
+  /** x23: sequence packing — concatenate all documents in doc_id order
+    * and chunk the token stream into fixed SeqLen-token training
+    * sequences; emit each document's span(s) as (seq_id, tok_start,
+    * tok_len). This is GPT-style pack-and-chunk (documents cross sequence
+    * boundaries; tok_start is the offset *inside* the doc).
+    *
+    * The global token prefix-sum is a two-level segmented scan keyed on
+    * `doc_id DIV PackBucket` (contiguous, monotone in doc_id, no density
+    * assumption): per-bucket running sums in a key-partitioned window,
+    * plus one tiny window over the bucket-totals table for the offsets —
+    * identical result to `SUM() OVER (ORDER BY doc_id)` without ever
+    * sorting the full corpus in one partition. */
+  val packSequences = Q.withOracle(
+    "x23_pack_sequences",
+    "x23: pack-and-chunk token-stream packing (segmented prefix scan)",
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS gs
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, n, gs,
+       |    unnest(generate_series(gs // $SeqLen, (gs + n - 1) // $SeqLen)) AS seq_id
+       |  FROM c)
+       |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(GREATEST(gs, seq_id * $SeqLen) - gs AS BIGINT) AS tok_start,
+       |  CAST(LEAST(gs + n, (seq_id + 1) * $SeqLen)
+       |    - GREATEST(gs, seq_id * $SeqLen) AS BIGINT) AS tok_len
+       |FROM sp ORDER BY doc_id, seq_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bkt", expr(s"doc_id DIV $PackBucket"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketOffsets = d.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val withGs = d.withColumn("cum_in", sum(col("n")).over(wIn))
+      .join(broadcast(bucketOffsets), "bkt")
+      .withColumn("gs", col("off") + col("cum_in") - col("n"))
+    withGs
+      .select(col("doc_id"), col("n"), col("gs"),
+        explode(sequence(expr(s"gs DIV $SeqLen"), expr(s"(gs + n - 1) DIV $SeqLen")))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id").cast("long").as("seq_id"),
+        (greatest(col("gs"), col("seq_id") * SeqLen) - col("gs")).as("tok_start"),
+        (least(col("gs") + col("n"), (col("seq_id") + 1) * SeqLen)
+          - greatest(col("gs"), col("seq_id") * SeqLen)).as("tok_len"))
+      .orderBy(col("doc_id"), col("seq_id"))
+  }
+
+  private val Stopwords = Seq("a", "the")
+
+  /** x24: stopword scrub — text normalization that drops stopword tokens
+    * and rejoins. Pure map over the corpus: no shuffle at any scale. */
+  val stopwordScrub = Q.withOracle(
+    "x24_stopword_scrub",
+    "x24: stopword-removal normalization (pure map)",
+    s"""SELECT doc_id,
+       |  array_to_string(list_filter(string_split(text, ' '),
+       |    t -> t NOT IN (${Stopwords.map(w => s"'$w'").mkString(", ")})), ' ')
+       |    AS clean_text,
+       |  CAST(len(string_split(text, ' '))
+       |    - len(list_filter(string_split(text, ' '),
+       |        t -> t NOT IN (${Stopwords.map(w => s"'$w'").mkString(", ")})))
+       |    AS BIGINT) AS n_removed
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val kept = filter(toks, t => !t.isin(Stopwords: _*))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc quality score used by x25/x26: distinct-token ratio (the x8
+    * `uniq_ratio` signal) — one IEEE division of two exact counts. */
+  private def qualityScore = {
+    val t = split(col("text"), " ")
+    (size(array_distinct(t)).cast("double") / size(t))
+  }
+  private val qualityScoreSql =
+    """CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' '))""".stripMargin
+
+  /** x25: decile binning of the quality score + per-bin stats — the
+    * "inspect the quality distribution before choosing a filter
+    * threshold" step. Exact NTILE over a (score, doc_id) total order;
+    * no double is ever summed (min/max of per-row-identical doubles,
+    * exact BIGINT sums otherwise), so parity is bit-exact. */
+  val qualityDeciles = Q.withOracle(
+    "x25_quality_deciles",
+    "x25: quality-score deciles with per-bin stats",
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $qualityScoreSql AS score
+       |  FROM documents),
+       |dec AS (
+       |  SELECT *, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM base)
+       |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+       |  MIN(score) AS min_score, MAX(score) AS max_score,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      qualityScore.as("score"))
+    base.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  /** x26: quality-weighted deterministic Bernoulli sample — keep a doc
+    * when a stable per-doc uniform draw falls below its quality score, so
+    * higher-quality documents survive proportionally more often. The
+    * "uniform" is a Knuth multiplicative hash of doc_id reduced mod a
+    * prime — pure integer arithmetic, reproducible on any engine at any
+    * parallelism (same portability argument as x17's md5 split; see
+    * Sampling.scala). Membership is a map-side predicate: no shuffle. */
+  val weightedSample = Q.withOracle(
+    "x26_weighted_sample",
+    "x26: quality-weighted deterministic sample (integer-hash uniform)",
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003 AS u,
+       |    $qualityScoreSql AS score
+       |  FROM documents)
+       |SELECT doc_id, u, score FROM base
+       |WHERE u < score ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000003L)).cast("double")
+          ./(lit(1000003)).as("u"),
+        qualityScore.as("score"))
+      .filter(col("u") < col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
+    stopwordScrub, qualityDeciles, weightedSample)
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the curation operators (x21–x26, a20) beyond the
+  * driver's oracle hash-compare: structural properties that must hold on
+  * ANY corpus, checked on sf0.001. */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("x21 repetition fractions are well-formed and bigram <= token max") {
+    val r = q("x21_repetition").collect()
+    assert(r.length === docs.count())
+    r.foreach { row =>
+      val (nTok, topTok, topBg) = (row.getLong(1), row.getLong(2), row.getLong(4))
+      assert(topTok >= 1 && topTok <= nTok)
+      // every occurrence of the top bigram contains the bigram's first
+      // token, so its count can never exceed the top token count
+      assert(topBg <= topTok)
+      val frac = row.getDouble(3)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("x21 matches a hand-computed doc") {
+    val first = docs.orderBy($"doc_id").select($"doc_id", $"text").head()
+    val toks = first.getString(1).split(" ")
+    val topTok = toks.groupBy(identity).values.map(_.length).max
+    val topBg = toks.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).values.map(_.length).max
+    val got = q("x21_repetition").filter($"doc_id" === first.getLong(0)).head()
+    assert(got.getLong(1) === toks.length.toLong)
+    assert(got.getLong(2) === topTok.toLong)
+    assert(got.getLong(4) === topBg.toLong)
+  }
+
+  test("x22 decontam covers exactly the train split and agrees with a JVM recount") {
+    val out = q("x22_decontam").collect()
+    val split = q("x17_hash_split").select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    assert(out.map(_.getLong(0)).toSet === split.collect { case (id, "train") => id }.toSet)
+    // recount one contaminated doc's overlapping shingles from raw text
+    val holdShingles = docs.filter(substring(md5($"doc_id".cast("string")), 1, 1)
+        .isin("0", "1"))
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ").sliding(3).map(_.mkString(" "))).toSet
+    out.filter(_.getBoolean(2)).take(3).foreach { row =>
+      val text = docs.filter($"doc_id" === row.getLong(0)).select($"text").as[String].head()
+      val mine = text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+        .count(holdShingles.contains)
+      assert(row.getLong(1) === mine.toLong, s"doc ${row.getLong(0)}")
+    }
+  }
+
+  test("x23 packing: spans tile each doc exactly and fill every interior sequence") {
+    val out = q("x23_pack_sequences").cache()
+    // per doc: spans are contiguous from 0 and sum to the token count
+    val perDoc = out.groupBy($"doc_id")
+      .agg(sum($"tok_len").as("covered"), min($"tok_start").as("s0"),
+        count(lit(1)).as("n_spans"))
+    val nToks = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    assert(perDoc.join(nToks, "doc_id").filter($"covered" =!= $"n" || $"s0" =!= 0).isEmpty)
+    // per sequence: every seq except the last carries exactly SeqLen tokens
+    val lastSeq = out.agg(max($"seq_id")).head().getLong(0)
+    val bad = out.groupBy($"seq_id").agg(sum($"tok_len").as("filled"))
+      .filter($"seq_id" < lastSeq && $"filled" =!= ext.Curation.SeqLen)
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  test("x23 segmented prefix scan equals the single-window formulation") {
+    val d = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val naive = d.withColumn("gs",
+      coalesce(sum($"n").over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", explode(sequence(expr("gs DIV 64"), expr("(gs + n - 1) DIV 64")))
+        .as("seq_id"))
+      .select($"doc_id", $"seq_id".cast("long").as("seq_id"))
+    val got = q("x23_pack_sequences").select($"doc_id", $"seq_id")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("x24 scrub removes every stopword and nothing else") {
+    val out = q("x24_stopword_scrub")
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+    val reTok = split($"clean_text", " ")
+    assert(out.filter(array_contains(reTok, "a") || array_contains(reTok, "the")).isEmpty)
+    val recount = size(filter(split($"text", " "), t => t === "a" || t === "the"))
+    assert(out.filter($"n_removed" =!= recount.cast("long")).isEmpty)
+  }
+
+  test("x25 deciles partition the corpus into balanced, ordered bins") {
+    val d = q("x25_quality_deciles").collect()
+    assert(d.map(_.getLong(1)).sum === docs.count())
+    val sizes = d.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"NTILE balance violated: ${sizes.toSeq}")
+    d.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-15,
+        s"decile ${lo.getLong(0)} max > decile ${hi.getLong(0)} min")
+    case _ => ()
+    }
+  }
+
+  test("x26 weighted sample keeps exactly the u<score set, monotone in quality") {
+    val kept = q("x26_weighted_sample").select($"doc_id").as[Long].collect().toSet
+    val all = docs.select($"doc_id",
+        (($"doc_id" * lit(2654435761L)) % lit(1000003L)).cast("double")
+          ./(lit(1000003)).as("u"),
+        (size(array_distinct(split($"text", " "))).cast("double")
+          / size(split($"text", " "))).as("score"))
+      .as[(Long, Double, Double)].collect()
+    all.foreach { case (id, u, score) =>
+      assert(kept.contains(id) === (u < score), s"doc $id u=$u score=$score")
+    }
+    assert(kept.nonEmpty && kept.size < all.length)
+  }
+
+  test("a20 grouping-set rollup levels are mutually consistent") {
+    val rows = q("a20_grouping_sets").collect()
+    val total = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(total.length === 1)
+    val n = total.head.getLong(5)
+    val byStatus = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val byPair = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    assert(byStatus.map(_.getLong(5)).sum === n)
+    assert(byPair.map(_.getLong(5)).sum === n)
+    assert(rows.length === 1 + byStatus.length + byPair.length)
+  }
+}

@@ -257,6 +257,27 @@ object Reports {
       .orderBy(col("o_custkey"))
   }
 
+  /** W4: rank-family window functions — percent_rank + cume_dist of each
+    * customer's balance within its nation. The composite (balance, key)
+    * ordering makes ranks tie-free, so both fractions are single IEEE
+    * divisions of identical integers on either engine. One key-partitioned
+    * window: a single shuffle on the nation key at any scale. */
+  val w4 = Q.withOracle(
+    "w4_percent_rank",
+    "W4: percent_rank / cume_dist per nation by balance",
+    """SELECT c_custkey, c_nationkey,
+      |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** T1: ORDER BY … DESC LIMIT 1 with deterministic tie-break.
     * Ref: weekly-report.py:285-286. */
   val t1 = Q.withOracle(
@@ -399,5 +420,5 @@ object Reports {
   }
 
   val all: Seq[Q] = Seq(q1, a1, a1approx, w1, a2, a3, a4, a6, a7, a9, a10, a11, w2,
-    t1, t2, t3, t5, o1, a17, a18)
+    w4, t1, t2, t3, t5, o1, a17, a18)
 }

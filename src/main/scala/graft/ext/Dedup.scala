@@ -281,7 +281,42 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
-  val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters)
+  /** Bands for x27: 4 × 16-bit slices of the 64-bit simhash. By
+    * pigeonhole, any pair within hamming distance 3 leaves at least one
+    * band untouched, so banding has recall 1.0 for the ≤3 threshold. */
+  val SimhashBands = 4
+
+  /** x27: SimHash near-dup pairs at scale — LSH-band the 64-bit simhash
+    * (x3) into 16-bit buckets, self-join only within buckets, then verify
+    * candidates with the exact hamming distance. Completes the simhash
+    * story: x3 computes the fingerprint, x27 turns it into pairs without
+    * the all-pairs comparison (the self-join touches only co-bucketed
+    * docs; each doc contributes 4 rows of (16-bit key, id, hash)).
+    * Rows-only (xxhash64-derived); ExtSpec pins pigeonhole recall. */
+  val simhashPairs = Q(
+    "x27_simhash_band_pairs",
+    "x27: simhash LSH bands → hamming-verified near-dup pairs (≤ 3)")(
+    (s, dir) => {
+      val sh = simhash.fn(s, dir).select(col("doc_id"), col("simhash"))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+        .distinct() // a pair can match in several bands
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
+    simhashPairs)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -83,6 +83,19 @@ class ExtSpec extends SparkSuite {
     assert(randMean > 2.0 * (meanNear + 1), s"no locality gap: bg=$randMean near=$meanNear")
   }
 
+  test("x27 simhash banding finds EVERY pair within hamming 3 (pigeonhole recall)") {
+    // brute-force ground truth over all simhash pairs at sf0.001
+    val sim = SparkEntry.queries("x3_simhash")(spark, sf)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+    val truth = (for {
+      (a, ha) <- sim; (b, hb) <- sim if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("x27_simhash_band_pairs")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got === truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
   test("x6 ANN returns ranked candidates and respects the cosine ordering of x5 on hits") {
     val ann = SparkEntry.queries("x6_ann_lsh_topk")(spark, sf)
     assert(ann.count() > 0, "ANN produced no candidates — bucketing too fine")

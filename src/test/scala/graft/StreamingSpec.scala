@@ -118,4 +118,41 @@ class StreamingSpec extends SparkSuite {
       .select($"window.start".as("wstart"), $"event_type", $"n_events", $"sum_value")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming doc dedup keeps one survivor per content hash; curation maps match batch") {
+    val docsWithTs = Tables.documents(spark, sf)
+      .withColumn("ingest_ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val flat = tmpDir("docs")
+    docsWithTs.coalesce(1).write.mode("overwrite").parquet(flat)
+    // re-deliver the whole drop (duplicate file inside the watermark window)
+    docsWithTs.coalesce(1).write.mode("append").parquet(flat)
+
+    val q = graft.streaming.DocFeed.dedupStream(
+        graft.streaming.DocFeed.readDocs(spark, flat))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("docs_dedup")
+    // one survivor per distinct content hash, despite the double delivery
+    val expect = Tables.documents(spark, sf).select(md5($"text")).distinct().count()
+    assert(streamed.count() === expect)
+    assert(streamed.groupBy($"content_hash").count().filter($"count" > 1).isEmpty)
+
+    // the stateless curation stage emits exactly the batch x8/x24 values
+    val q2 = graft.streaming.DocFeed.curateStream(
+        graft.streaming.DocFeed.readDocs(spark, flat))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_curated")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val curated = spark.table("docs_curated").distinct() // double delivery → dedupe
+    val batchScrub = SparkEntry.queries("x24_stopword_scrub")(spark, sf)
+      .join(SparkEntry.queries("x8_quality_score")(spark, sf)
+        .select($"doc_id", $"uniq_ratio"), "doc_id")
+      .select($"doc_id", $"uniq_ratio", $"clean_text", $"n_removed")
+    assert(curated.exceptAll(batchScrub).isEmpty && batchScrub.exceptAll(curated).isEmpty)
+  }
 }

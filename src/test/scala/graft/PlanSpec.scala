@@ -46,4 +46,34 @@ class PlanSpec extends SparkSuite {
     val plan = planOf(analytics.Joins.j1)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("x23 packing: bucket offsets broadcast; the only global window is the bucket table") {
+    val df = ext.Curation.packSequences.fn(spark, sf)
+    df.collect()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "bucket-offset join is not a broadcast")
+    // every Window over the full doc table must be bucket-partitioned; an
+    // un-partitioned window may only run over the tiny bucket-totals table
+    val unpartitioned = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    // the bucket-totals window outputs (bkt, bt, …); the raw doc axis would
+    // show doc_id/n instead
+    assert(unpartitioned.forall(_.output.exists(_.name == "bt")),
+      s"global window over non-bucket data:\n${unpartitioned.mkString("\n")}")
+  }
+
+  test("x21/x22: no shuffle ever carries the raw text column") {
+    Seq(ext.Curation.repetition, ext.Curation.decontaminate).foreach { q =>
+      val df = q.fn(spark, sf)
+      df.collect()
+      val wide = flattenPlan(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "text") => e
+      }
+      assert(wide.isEmpty, s"${q.name} shuffles raw text:\n${wide.mkString("\n")}")
+    }
+  }
 }

@@ -37,14 +37,26 @@ object Bench {
       }
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
-    // 4-decimal rounding keeps the whole line ~1.5 KB so a bounded
-    // tail-capture of the build log still holds it intact.
-    def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f",
+    // The driver captures a bounded TAIL of the build log (~2 KB observed):
+    // a single line carrying all ~90 per-query timings outgrew it twice
+    // (rounds 2-3 recorded parsed:null). So the detail goes on one small
+    // line per query — each independently parseable — and the very last
+    // line is a compact summary whose size is bounded by construction
+    // (total + counts + the 10 slowest), so the headline number always
+    // survives the tail window intact.
+    def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v)) // locale-pinned: a comma decimal would break the JSON
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":true}""")
+    // Ascending by time: the slowest (most diagnostic) detail lines sit
+    // closest to the end of the log, inside the tail window.
+    results.toSeq.sortBy(_._2).foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","value":${r(v)},"unit":"sec"}""")
+    }
+    val failures = results.count(_._2 < 0)
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val slowest = ok.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":$failures,"queries":$slowest,"sf":"$sfDir","warmup":true}""")
     spark.stop()
   }
 }

@@ -60,8 +60,11 @@ object Joins {
        |JOIN nation ON c_nationkey = n_nationkey
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // customer scales with SF (15M rows at sf100) — no broadcast hint;
+    // AQE picks runtime broadcast when it actually fits, sort-merge when
+    // it doesn't. Only the bounded dims (nation=25, region=5) are hinted.
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))

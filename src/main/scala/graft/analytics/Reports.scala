@@ -216,8 +216,9 @@ object Reports {
        |  ${sql.dsum("o_totalprice")} AS sum_price, COUNT(*) AS n_orders
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // customer scales with SF — no broadcast hint; AQE decides at runtime.
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(week(col("o_orderdate")).as("wk"), col("c_mktsegment"))
       .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n_orders"))
       .orderBy(col("wk"), col("c_mktsegment"))
@@ -341,7 +342,9 @@ object Reports {
       .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev_o"))
     liAgg
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      // customer scales with SF — no broadcast hint (AQE decides); only
+      // the bounded nation dim keeps one.
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("rev_o")).cast("double").as("revenue"))

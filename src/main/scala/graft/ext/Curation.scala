@@ -136,8 +136,11 @@ object Curation {
   /** Tokens per fixed-length training sequence for x23. */
   val SeqLen = 64
   /** Docs per prefix-scan bucket for x23 — the only global window runs
-    * over ≈ n_docs/PackBucket rows. */
-  val PackBucket = 256
+    * over ≈ n_docs/PackBucket rows. Power of two so the bucket key is a
+    * shift (true floor division — `DIV` truncates toward zero, which
+    * would break bucket-order monotonicity for negative doc_ids). */
+  val PackBucketBits = 8
+  val PackBucket: Int = 1 << PackBucketBits
 
   /** x23: sequence packing — concatenate all documents in doc_id order
     * and chunk the token stream into fixed SeqLen-token training
@@ -174,7 +177,7 @@ object Curation {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       .filter(col("n") > 0)
-      .withColumn("bkt", expr(s"doc_id DIV $PackBucket"))
+      .withColumn("bkt", shiftright(col("doc_id"), PackBucketBits))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bucketOffsets = d.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
@@ -196,7 +199,18 @@ object Curation {
       .orderBy(col("doc_id"), col("seq_id"))
   }
 
-  private val Stopwords = Seq("a", "the")
+  /** Shared by batch x24 and the streaming scrub (DocFeed.curateStream) so
+    * the two paths cannot drift. */
+  val Stopwords = Seq("a", "the")
+
+  /** The x24 scrub as reusable Columns over a `text` column — the single
+    * definition both the batch query and the streaming map apply. */
+  def scrubTokens: org.apache.spark.sql.Column = split(col("text"), " ")
+  def scrubKept: org.apache.spark.sql.Column =
+    filter(scrubTokens, t => !t.isin(Stopwords: _*))
+  def scrubCleanText: org.apache.spark.sql.Column = array_join(scrubKept, " ")
+  def scrubNumRemoved: org.apache.spark.sql.Column =
+    (size(scrubTokens) - size(scrubKept)).cast("long")
 
   /** x24: stopword scrub — text normalization that drops stopword tokens
     * and rejoins. Pure map over the corpus: no shuffle at any scale. */
@@ -212,12 +226,10 @@ object Curation {
        |        t -> t NOT IN (${Stopwords.map(w => s"'$w'").mkString(", ")})))
        |    AS BIGINT) AS n_removed
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = split(col("text"), " ")
-    val kept = filter(toks, t => !t.isin(Stopwords: _*))
     Tables.documents(s, dir).select(
       col("doc_id"),
-      array_join(kept, " ").as("clean_text"),
-      (size(toks) - size(kept)).cast("long").as("n_removed"))
+      scrubCleanText.as("clean_text"),
+      scrubNumRemoved.as("n_removed"))
       .orderBy(col("doc_id"))
   }
 
@@ -269,21 +281,31 @@ object Curation {
     * "uniform" is a Knuth multiplicative hash of doc_id reduced mod a
     * prime — pure integer arithmetic, reproducible on any engine at any
     * parallelism (same portability argument as x17's md5 split; see
-    * Sampling.scala). Membership is a map-side predicate: no shuffle. */
+    * Sampling.scala). Membership is a map-side predicate: no shuffle.
+    *
+    * The multiply is done in modular form — (a*b) mod p ==
+    * ((a mod p)*(b mod p)) mod p — because the naive `doc_id * 2654435761`
+    * overflows LongType (ANSI ArithmeticException) once doc_id exceeds
+    * ~3.47e9, which a 100 TB corpus will. Max intermediate here is
+    * 1000002 * 427799 ≈ 4.3e11: overflow-free on both engines, and the
+    * draw is bit-identical to the naive form where that form is defined. */
+  private val SamplePrime = 1000003L
+  private val KnuthModP = 2654435761L % SamplePrime // = 427799
   val weightedSample = Q.withOracle(
     "x26_weighted_sample",
     "x26: quality-weighted deterministic sample (integer-hash uniform)",
     s"""WITH base AS (
        |  SELECT doc_id,
-       |    CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003 AS u,
+       |    CAST(((doc_id % $SamplePrime) * $KnuthModP) % $SamplePrime AS DOUBLE)
+       |      / $SamplePrime AS u,
        |    $qualityScoreSql AS score
        |  FROM documents)
        |SELECT doc_id, u, score FROM base
        |WHERE u < score ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir).select(
         col("doc_id"),
-        ((col("doc_id") * lit(2654435761L)) % lit(1000003L)).cast("double")
-          ./(lit(1000003)).as("u"),
+        (((col("doc_id") % SamplePrime) * lit(KnuthModP)) % SamplePrime).cast("double")
+          ./(lit(SamplePrime)).as("u"),
         qualityScore.as("score"))
       .filter(col("u") < col("score"))
       .orderBy(col("doc_id"))

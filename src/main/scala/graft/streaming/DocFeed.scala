@@ -47,12 +47,13 @@ object DocFeed {
   /** Streaming curation signals — the x8/x24 Column expressions applied
     * verbatim to the stream (stateless, map-only). */
   def curateStream(feed: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val kept = filter(t, tok => !(tok === "a" || tok === "the"))
+    // The scrub Columns are Curation's own definitions (not a re-statement
+    // of them), so the batch x24 path and this stream cannot drift.
+    val t = graft.ext.Curation.scrubTokens
     feed.select(
       col("doc_id"),
       (size(array_distinct(t)).cast("double") / size(t)).as("uniq_ratio"),
-      array_join(kept, " ").as("clean_text"),
-      (size(t) - size(kept)).cast("long").as("n_removed"))
+      graft.ext.Curation.scrubCleanText.as("clean_text"),
+      graft.ext.Curation.scrubNumRemoved.as("n_removed"))
   }
 }

@@ -37,6 +37,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
   }
 
+  test("explicit broadcast hints never attach to an unbounded SF-scaling scan") {
+    // A forced broadcast of a table that grows with scale factor (customer
+    // is 15M rows / ~1.7 GB at sf100) OOMs executors at 100x instead of
+    // letting AQE pick sort-merge vs runtime broadcast. Rule: a hint whose
+    // subtree scans an SF-scaling table must contain SOMETHING that bounds
+    // cardinality (limit, aggregate, distinct, sample, or at minimum a
+    // filter — the bare-whole-table hint is the defect class). Bounded
+    // dims (nation=25, region=5) may be hinted freely.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val bigTables = Seq("customer", "orders", "lineitem", "part", "supplier",
+      "documents", "embeddings", "events").map(t => s"$t.parquet")
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val analyzed = q.fn(spark, sf).queryExecution.analyzed
+      val bad = analyzed.collect { case h: ResolvedHint => h }.filter { h =>
+        val scansBig = h.child.collectLeaves()
+          .exists(l => bigTables.exists(l.toString.contains))
+        val bounding = h.child.collect {
+          case p @ (_: Aggregate | _: GlobalLimit | _: LocalLimit |
+                    _: Deduplicate | _: Sample | _: Filter) => p
+        }
+        scansBig && bounding.isEmpty
+      }
+      if (bad.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"unbounded broadcast hints in: $offenders")
+  }
+
   test("every query result is deterministically ordered (repeatable bytes)") {
     // spot-check a representative sample: run twice, identical sequences
     val sample = Seq("q1_pricing_summary", "w2_latest_order_per_customer",

@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *   window + tiny bucket-offset table) instead of one ORDER BY the whole
   *   corpus: the only single-partition window runs over #buckets rows
   *   (≈ docs/256), and everything else is partitioned by bucket.
-  * - x25's NTILE is the exact form; at scale the same binning comes from
-  *   approx_percentile boundaries + a map-side bucket lookup, trading
-  *   exact decile edges for zero global sort.
+  * - x25's NTILE is the exact form (one global sort — fine for the
+  *   "inspect a sample" use); x25b is the 100 TB form: approx_percentile
+  *   sketch boundaries + a map-side bucket lookup, zero global sort.
   */
 object Curation {
 
@@ -275,6 +275,38 @@ object Curation {
       .orderBy(col("decile"))
   }
 
+  /** x25b: the scale path for x25 — decile binning from approx_percentile
+    * boundaries plus a map-side bucket lookup, no global sort anywhere.
+    * approx_percentile is a mergeable sketch (map-side combined, one
+    * partial row per partition), the 9 boundaries broadcast to every task,
+    * and bin assignment is `1 + #{boundaries below score}` — a pure map.
+    * Exact NTILE (x25) splits tied scores across deciles by doc_id;
+    * boundary binning keeps ties together, so bin populations agree with
+    * x25 only up to tie-group size (CurationSpec pins the tolerance).
+    * Rows-only driver check: the sketch is Spark-specific, so no DuckDB
+    * oracle — the correctness story is the spec against exact x25. */
+  val qualityDecilesApprox = Q(
+    "x25b_quality_deciles_approx",
+    "x25b: approx-percentile decile binning (sketch boundaries, no global sort)")(
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        qualityScore.as("score"))
+      val bnds = base.agg(
+        percentile_approx(col("score"), array((1 to 9).map(i => lit(i / 10.0)): _*),
+          lit(10000)).as("bnds"))
+      base.crossJoin(broadcast(bnds))
+        .withColumn("decile",
+          (lit(1) + size(filter(col("bnds"), b => b < col("score")))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy(col("decile"))
+    })
+
   /** x26: quality-weighted deterministic Bernoulli sample — keep a doc
     * when a stable per-doc uniform draw falls below its quality score, so
     * higher-quality documents survive proportionally more often. The
@@ -312,5 +344,5 @@ object Curation {
   }
 
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
-    stopwordScrub, qualityDeciles, weightedSample)
+    stopwordScrub, qualityDeciles, qualityDecilesApprox, weightedSample)
 }

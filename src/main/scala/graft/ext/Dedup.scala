@@ -297,7 +297,13 @@ object Dedup {
     "x27_simhash_band_pairs",
     "x27: simhash LSH bands → hamming-verified near-dup pairs (≤ 3)")(
     (s, dir) => {
+      // localCheckpoint: the banded self-join reads this table TWICE (sides
+      // a and b), and without materialization each side re-runs x3's
+      // 64-aggregate vote pass — measured ~2× the query's cost. The
+      // checkpointed table is tiny ((doc_id, long) per doc), so this is
+      // cheap insurance at any scale.
       val sh = simhash.fn(s, dir).select(col("doc_id"), col("simhash"))
+        .localCheckpoint()
       val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until SimhashBands).map { b =>
           struct(lit(b).as("band"),

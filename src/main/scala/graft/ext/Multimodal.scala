@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * of batches in, an iterator of batches out; the runtime never
   * materializes a whole partition).
   *
-  * The container has no image/audio codecs, so `decodeStub` below is a
-  * clearly-marked DETERMINISTIC FAKE: it derives "decoded" features from
-  * the bytes alone. Everything around it — the binary column, the typed
-  * feature schema, the Encoder, the batch shape, the partition-preserving
-  * execution — is the real plumbing a codec would drop into.
+  * The decode is REAL for the raster formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio`, zero external dependencies):
+  * format sniffed from magic bytes, then width/height/mean-luma from the
+  * decoded pixels. For everything else (audio/video containers — no codec
+  * in a bare JVM) `decodeStub` remains the clearly-marked DETERMINISTIC
+  * FAKE fallback, so the pipeline stays total and testable end-to-end.
   *
   * Scale notes: media blobs dominate row size; the pipeline keeps them in
   * a single projected binary column (parquet reads it lazily), never
@@ -32,10 +33,56 @@ object Multimodal {
       height: Int,
       mean_luma: Double)
 
-  /** DETERMINISTIC FAKE of a media decode (`???`-equivalent): a real
-    * implementation would parse the container header and decode frames.
-    * This one derives stable pseudo-features from the byte content so the
-    * pipeline is testable end-to-end without codecs. */
+  /** Magic-byte format sniff for the raster formats `javax.imageio` can
+    * decode. Returns None for anything else (text blobs, audio/video). */
+  def detectImageFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+             (bytes(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
+
+  /** REAL media decode for JDK-supported raster images: dimensions from
+    * the decoded raster, mean luma as Rec.601 luminance over all pixels.
+    * Falls back to `decodeStub` when the blob is not a decodable image
+    * (wrong magic, truncated file, or a format the JVM has no codec for),
+    * so the batched pipeline never throws on dirty data — the production
+    * posture for a 100 TB crawl where a fraction of blobs is always
+    * corrupt. */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+    detectImageFormat(bytes) match {
+      case Some(fmt) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) decodeStub(id, bytes)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var lumaSum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lumaSum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(id, bytes.length, fmt, w, h, lumaSum / (w.toLong * h))
+        }
+      case None => decodeStub(id, bytes)
+    }
+
+  /** DETERMINISTIC FAKE fallback for blobs without a JVM codec: a real
+    * implementation would parse the container and decode frames. This one
+    * derives stable pseudo-features from the byte content so the pipeline
+    * is testable end-to-end on any blob. */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
     val lumaSum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -54,7 +101,7 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        batch.map { case (id, bytes) => decode(id, bytes) }
       }
     }
   }

@@ -105,6 +105,28 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("x25b approx binning agrees with exact NTILE up to tie-group size") {
+    // x25b keeps tied scores in one bin where NTILE splits them by doc_id,
+    // so cumulative populations at each decile boundary may differ by at
+    // most the largest tie group; everything else must line up.
+    val exact = q("x25_quality_deciles")
+      .select($"decile", $"n_docs").as[(Long, Long)].collect().toMap
+    val approx = q("x25b_quality_deciles_approx")
+      .select($"decile", $"n_docs").as[(Long, Long)].collect().toMap
+    assert(approx.values.sum === docs.count(), "x25b dropped or duplicated docs")
+    assert(approx.keySet.subsetOf((1L to 10L).toSet), s"bins out of range: $approx")
+    val maxTie = docs
+      .groupBy((size(array_distinct(split($"text", " "))).cast("double")
+        / size(split($"text", " "))).as("score"))
+      .count().agg(max($"count")).as[Long].head()
+    def cum(m: Map[Long, Long], d: Long) = (1L to d).map(m.getOrElse(_, 0L)).sum
+    (1L to 9L).foreach { d =>
+      val diff = math.abs(cum(approx, d) - cum(exact, d))
+      assert(diff <= maxTie,
+        s"decile $d: cum approx ${cum(approx, d)} vs exact ${cum(exact, d)}, tie bound $maxTie")
+    }
+  }
+
   test("x26 weighted sample keeps exactly the u<score set, monotone in quality") {
     val kept = q("x26_weighted_sample").select($"doc_id").as[Long].collect().toSet
     val all = docs.select($"doc_id",

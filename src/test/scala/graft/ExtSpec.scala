@@ -123,6 +123,33 @@ class ExtSpec extends SparkSuite {
     assert(a.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes > 0))
   }
 
+  test("multimodal decode reads a real PNG: format, dimensions, mean luma") {
+    // a genuine 33x17 PNG rendered in-memory: left half gray(120), right
+    // half gray(200) — expected Rec.601 luma is the exact pixel average
+    val (w, h) = (33, 17)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < 16) 120 else 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val expectedLuma = (0 until w).map(x => if (x < 16) 120.0 else 200.0).sum / w *
+      (0.299 + 0.587 + 0.114)
+    // drive it through the full batched Dataset path, mixed with a
+    // non-image blob that must fall back to the stub
+    val blobs = Seq((1L, png), (2L, "just text".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(blobs).collect().sortBy(_.doc_id)
+    val p = feats(0)
+    assert(p.format === "png" && p.width === w && p.height === h)
+    assert(math.abs(p.mean_luma - expectedLuma) < 1e-9,
+      s"luma ${p.mean_luma} != $expectedLuma")
+    assert(p.n_bytes === png.length)
+    // the text blob has no image magic → deterministic stub fallback
+    assert(feats(1) === Multimodal.decodeStub(2L, "just text".getBytes("UTF-8")))
+  }
+
   test("multimodal frame sampling covers the blob with the right stride") {
     val frames = Multimodal.sampleFrames(Multimodal.blobTable(spark, sf), stride = 64)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSuite {
     "a7_latest_week_volume", "a9_stale_customers", "p6_latest_week_rows",
     "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk",
     "x14_embedding_dedup", // non-equi (id<id) pair join over a bounded set
-    "x18_tfidf_topterm")   // broadcast of the 1-row corpus-size aggregate
+    "x18_tfidf_topterm",   // broadcast of the 1-row corpus-size aggregate
+    "x25b_quality_deciles_approx") // broadcast of the 1-row boundary sketch
 
   test("registry is well-formed: unique names, oracles only for registered queries") {
     val names = SparkEntry.registry.map(_.name)
@@ -62,6 +63,15 @@ class PlanAuditSpec extends SparkSuite {
       if (bad.nonEmpty) Some(q.name) else None
     }
     assert(offenders.isEmpty, s"unbounded broadcast hints in: $offenders")
+  }
+
+  test("x25b plans no Window at all (the decile bin is a map, not a sort)") {
+    // x25's exact NTILE is the one sanctioned global-window query; its
+    // scale twin must get the same answer shape with zero Window operators
+    // — boundaries from a sketch aggregate, bin lookup as a projection.
+    val plan = SparkEntry.queries("x25b_quality_deciles_approx")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"x25b regressed to a window/sort plan:\n$plan")
   }
 
   test("every query result is deterministically ordered (repeatable bytes)") {

@@ -11,19 +11,27 @@ import org.apache.spark.sql.functions._
   * aggregation extension point), vectors assigned to their nearest
   * centroid cell, queries probing the top `NProbe` cells.
   *
-  * The quantizer here seeds cells from the `label` partitions (k-means
-  * iterations would refine the same plumbing; with this corpus's isotropic
-  * vectors they would not converge to anything better, so we keep the
-  * deterministic seed). Scale shape: centroids are tiny (k × dim) →
-  * broadcast; the cell assignment is a map-only pass over the vectors; the
-  * probe join shuffles only (query, cell) pairs — never the full vector
-  * set against itself.
+  * The quantizer seeds cells from the `label` partitions, then runs one
+  * Lloyd re-centering iteration (`lloydStep`) — on this corpus's isotropic
+  * vectors the refinement barely moves the cells, but on real clustered
+  * embeddings it is the step that pulls centroids onto the modes (IvfSpec
+  * proves the strict cost decrease on a synthetic clustered set). Scale
+  * shape: centroids are tiny (k × dim) → broadcast; cell assignment is a
+  * map-only pass over the vectors (one extra pass per Lloyd iteration);
+  * the probe join shuffles only (query, cell) pairs — never the full
+  * vector set against itself.
   */
 object Ivf {
 
   private val NumQueries = 20
   private val TopK = 5
-  val NProbe = 3
+  /** Probed cells per query and Lloyd refinement passes — tuned on the
+    * measured recall-vs-x5 grid (IvfSpec pins the ordering): at nprobe 4
+    * of 10 cells, recall is 0.64 with the raw label seed, 0.70 after two
+    * Lloyd passes. nprobe is THE latency/recall knob of any IVF index; at
+    * real scale k grows ~ sqrt(N) and nprobe stays a small fraction. */
+  val NProbe = 4
+  val LloydIters = 2
 
   /** Element-wise mean of double vectors — typed Aggregator (IN =
     * Array[Double], BUF = (sums, count), OUT = Array[Double]). */
@@ -49,22 +57,37 @@ object Ivf {
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
 
-  /** Centroid per label cell via the Aggregator (typed path). */
-  def centroids(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("label"), transform(col("embedding"), x => x.cast("double")).as("vd"))
-      .as[(Int, Array[Double])]
-    val dim = 64
-    vecs.groupByKey(_._1)
+  /** Element-wise mean vector per cell via the Aggregator (typed path):
+    * input is any (cell: int, vd: array<double>) frame. Used both to seed
+    * the quantizer from labels and to re-center cells in a Lloyd step. */
+  def meanByCell(assigned: DataFrame, dim: Int = 64): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select(col("cell"), col("vd")).as[(Int, Array[Double])]
+      .groupByKey(_._1)
       .mapValues(_._2)(ExprEnc.arrayDouble)
       .agg(new VectorMean(dim).toColumn.name("centroid"))
       .toDF("cell", "centroid")
   }
 
+  /** Seed centroid per label cell. */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    meanByCell(Tables.embeddings(s, dir)
+      .select(col("label").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")))
+
+  /** One Lloyd iteration: assign every vector to its nearest current
+    * centroid, then re-center each cell on the mean of its members — the
+    * standard k-means refinement, run through the same broadcast-assign +
+    * Aggregator plumbing as the seeding pass (two map-only passes over the
+    * vectors and one keyed aggregation; nothing new at 100 TB).
+    * IvfSpec pins that on genuinely clustered vectors with off-center
+    * seeds one iteration strictly reduces quantization cost. */
+  def lloydStep(v: DataFrame, cents: DataFrame, s: SparkSession): DataFrame =
+    meanByCell(v.join(assign(v, cents, 1, s), "vec_id"))
+
   /** Nearest-cell assignment: rank cells by cosine(vector, centroid) and
     * keep the top `n` — broadcast centroids, map-only otherwise. */
-  private def assign(v: DataFrame, cents: DataFrame, n: Int, s: SparkSession): DataFrame = {
+  private[graft] def assign(v: DataFrame, cents: DataFrame, n: Int, s: SparkSession): DataFrame = {
     CosineSimilarity.register(s)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
     v.crossJoin(broadcast(cents))
@@ -78,31 +101,42 @@ object Ivf {
     * exact cosine (native expression) within probed cells. Rows-only
     * driver check; ExtSpec asserts cosine exactness on hits and recall
     * versus brute force. */
+  /** The full IVF top-k for a given number of Lloyd refinement passes —
+    * parameterized so IvfSpec can compare the refined quantizer against
+    * the raw label seed on identical plumbing. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, lloydIters: Int,
+      nProbe: Int = NProbe): DataFrame = {
+    CosineSimilarity.register(s)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
+    // label seed, then Lloyd re-centering passes. The centroid table is
+    // read three times below (cells + two probe assignments), so
+    // materialize it once — it is k x dim, trivially small.
+    val cents = (1 to lloydIters)
+      .foldLeft(centroids(s, dir))((c, _) => lloydStep(v, c, s))
+      .localCheckpoint()
+    val cells = assign(v, cents, 1, s)
+    val probes = assign(v.filter(col("vec_id") < NumQueries), cents, nProbe, s)
+      .withColumnRenamed("vec_id", "query_id")
+    val qv = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"))
+    val nv = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(nv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", CosineSimilarity.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val ivfAnn = Q(
     "x12_ivf_ann_topk",
-    "IVF(label-seeded cells, nprobe=3) approximate top-5")(
-    (s, dir) => {
-      CosineSimilarity.register(s)
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
-      val cents = centroids(s, dir)
-      val cells = assign(v, cents, 1, s)
-      val probes = assign(v.filter(col("vec_id") < NumQueries), cents, NProbe, s)
-        .withColumnRenamed("vec_id", "query_id")
-      val qv = v.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("vd").as("qv"))
-      val nv = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      probes.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-        .join(nv, "neighbor_id").join(broadcast(qv), "query_id")
-        .withColumn("cos", CosineSimilarity.cosineSim(col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
-        .orderBy(col("query_id"), col("rank"))
-    })
+    "IVF(label seed + 2 Lloyd iters, nprobe=4) approximate top-5")(
+    (s, dir) => ivfTopK(s, dir, lloydIters = LloydIters))
 
   val all: Seq[Q] = Seq(ivfAnn)
 }

@@ -107,6 +107,21 @@ class ExtSpec extends SparkSuite {
     assert(bad.isEmpty, "ANN cosine drifted from exact")
   }
 
+  test("x6 multi-probe strictly improves candidate recall over single-probe") {
+    // same tables, same bits — the only change is each query also probing
+    // its bucket's 1-bit neighbors, so the candidate set is a superset and
+    // must recover strictly more of x5's true top-5 pairs on this corpus
+    val e = Tables.embeddings(spark, sf)
+    val truth = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id")
+    val n = truth.count().toDouble
+    val single = truth.intersect(
+      Similarity.lshCandidates(e, multiProbe = false)).count() / n
+    val multi = truth.intersect(
+      Similarity.lshCandidates(e, multiProbe = true)).count() / n
+    assert(multi > single, s"multi-probe gained no recall: single=$single multi=$multi")
+  }
+
   test("x5 brute-force knn: self excluded, k rows per query, rank contiguous") {
     val knn = SparkEntry.queries("x5_cosine_topk")(spark, sf)
     assert(knn.filter($"query_id" === $"neighbor_id").isEmpty)

@@ -62,6 +62,16 @@ object Dedup {
     * combined, so the shuffle carries one partial row per (doc,
     * partition), not docs × shingles × seeds).
     *
+    * The hash family is `md5(seed ':' shingle-STRING)` with MIN taken in
+    * binary string order — deliberately engine-portable, so the whole
+    * MinHash+LSH pair set has a DuckDB oracle (an xxhash64-over-long
+    * family is ~2-3× cheaper per hash and is what you'd run at 100 TB;
+    * the md5 form buys a hard cross-engine correctness gate for the same
+    * plumbing, and the string min is well-defined on both engines:
+    * lowercase-hex ASCII under binary collation). No distinct() before
+    * the aggregate: MIN over the shingle multiset equals MIN over the
+    * set, so the pre-aggregation dedup shuffle is pure waste.
+    *
     * Measured note: the tempting "map-only" alternative —
     * `array_min(transform(gs, g → hash_j(g)))` × 32 over a shingle-array
     * column — benchmarked 7× SLOWER here (31s vs 4s at sf0.1): Spark's
@@ -69,17 +79,24 @@ object Dedup {
     * 32 consumers each re-walk the array, while min() over exploded rows
     * runs in tight whole-stage codegen over unsafe rows. The shuffle it
     * avoids is the cheap part. */
-  private[ext] def signatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("g"))).as("mh0"),
-        (1 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j")): _*)
+  private[ext] def signatures(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleStr3.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(graft.functions.ShingleStr3.shingleStr3(split(col("text"), " "))).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat_ws(":", lit("0"), col("g")))).as("mh0"),
+        (1 until NumHashes).map(j =>
+          min(md5(concat_ws(":", lit(j.toString), col("g")))).as(s"mh$j")): _*)
+  }
 
-  /** LSH candidate pairs: docs sharing any band of the signature. */
+  /** LSH candidate pairs: docs sharing any band of the signature (band
+    * key = md5 over the band's concatenated min-hashes — portable, same
+    * argument as the signature family). */
   private[ext] def candidatePairs(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bands = explode(array((0 until NumBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }: _*))
     val banded = sig.select(col("doc_id"), bands.as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -247,17 +264,47 @@ object Dedup {
   }
 
   /** x2: MinHash+LSH near-dup pairs — candidates from band buckets, then
-    * exact verification of candidates only. No SQL oracle (xxhash64 seeds
-    * are engine-specific); DedupSpec asserts recall against x4. */
-  val minhash = Q(
+    * exact verification of candidates only. Full DuckDB oracle: the
+    * md5-based hash family (see `signatures`) is computable on both
+    * engines, so the driver hash-checks the entire candidate+verify
+    * pipeline, not just the verified survivors. */
+  val minhash = Q.withOracle(
     "x2_minhash_lsh_pairs",
-    "MinHash(32)+LSH(8 bands) candidates, verified ≥ 0.5")(
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      exactJaccard(candidatePairs(signatures(docs)), shingleHashesWithCount(docs))
-        .filter(col("jac") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-    })
+    "MinHash(32)+LSH(8 bands) candidates, verified ≥ 0.5",
+    minhashOracle) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    exactJaccard(candidatePairs(signatures(docs)), shingleHashesWithCount(docs))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of the full x2 pipeline: same md5 signature family, same
+    * banding, same exact-Jaccard verification (string shingles where the
+    * Spark side joins their 64-bit hashes — identical sets, x4 contract). */
+  private def minhashOracle: String = {
+    val rowsPerBand = NumHashes / NumBands
+    val sigCols = (0 until NumHashes)
+      .map(j => s"MIN(md5('$j:' || g)) AS mh$j").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $JaccardCtes,
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |banded AS MATERIALIZED (
+       |  $bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT s.doc_a, s.doc_b, s.n_common, s.n_a, s.n_b, s.jac
+       |FROM cand c JOIN scored s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+       |WHERE s.jac >= 0.5 ORDER BY 1, 2""".stripMargin
+  }
 
   /** x3: 64-bit SimHash per doc from token hashes — one aggregation pass
     * with 64 bit-vote sums recombined into a long. Rows-only check;

@@ -52,6 +52,57 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_str3(tokens)` — the 3-token shingle STRINGS of a token array,
+  * in one codegen'd pass: the un-hashed sibling of `shingle_hash3`, for
+  * consumers that need engine-portable shingle values (x2's md5-based
+  * MinHash signatures, which the DuckDB oracle must reproduce — xxhash64
+  * exists only in Spark). Same alignment-by-index, same concat_ws null
+  * rule, no shuffle. */
+case class ShingleStr3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_str3"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleStr3.joinAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleStr3.joinAll($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStr3 =
+    copy(child = newChild)
+}
+
+object ShingleStr3 {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def joinAll(arr: ArrayData): ArrayData = {
+    val n = math.max(arr.numElements() - 2, 0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.concatWs(Space,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  val name = "shingle_str3"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => ShingleStr3(exprs.head), "built-in")
+
+  def shingleStr3(tokens: Column): Column = call_function(name, tokens)
+}
+
 object ShingleHash3 {
   private val Space = UTF8String.fromString(" ")
   val Seed = 42L // Spark's xxhash64 default seed

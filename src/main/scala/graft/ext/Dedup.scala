@@ -25,6 +25,15 @@ object Dedup {
 
   val NumHashes = 32
   val NumBands = 8 // 4 rows per band → catches jaccard ≳ 0.7 reliably
+  /** The 32 min-hash functions are Kirsch–Mitzenmacher double hashes
+    * `h_j = (hi + j·lo) mod 2^32` over ONE md5 per shingle (hi/lo = the
+    * first two 32-bit hex lanes). One digest amortizes across all seeds:
+    * a 32-md5-per-shingle family measured ~4s at sf0.1 (2M digest calls
+    * dominate; the un-pruned aggregate exposed it), this one ~1s. KM
+    * double hashing is the standard trick for k-hash sketches; the LSH
+    * recall specs against exact x4 gate its quality empirically. Max
+    * intermediate hi + 31·lo < 2^37: overflow-free on both engines. */
+  val Mod32 = 4294967296L
 
   /** Distinct 3-gram shingle HASHES per doc: (doc_id, g: long), exploded.
     *
@@ -53,7 +62,7 @@ object Dedup {
   /** Hashed shingles with the doc's set size attached (window count) —
     * carrying `n` through the joins saves two extra evaluations of the
     * shingle subtree that separate `sizes` joins would cost. */
-  private[ext] def shingleHashesWithCount(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashesWithCount(docs: DataFrame): DataFrame =
     shingleHashes(docs).withColumn("n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
 
@@ -62,15 +71,15 @@ object Dedup {
     * combined, so the shuffle carries one partial row per (doc,
     * partition), not docs × shingles × seeds).
     *
-    * The hash family is `md5(seed ':' shingle-STRING)` with MIN taken in
-    * binary string order — deliberately engine-portable, so the whole
-    * MinHash+LSH pair set has a DuckDB oracle (an xxhash64-over-long
-    * family is ~2-3× cheaper per hash and is what you'd run at 100 TB;
-    * the md5 form buys a hard cross-engine correctness gate for the same
-    * plumbing, and the string min is well-defined on both engines:
-    * lowercase-hex ASCII under binary collation). No distinct() before
-    * the aggregate: MIN over the shingle multiset equals MIN over the
-    * set, so the pre-aggregation dedup shuffle is pure waste.
+    * The hash family is `h_j(g) = (hi(g) + j·lo(g)) mod 2^32` where
+    * hi/lo are the first two 32-bit lanes of `md5(shingle-STRING)` —
+    * deliberately engine-portable, so the whole MinHash+LSH pair set has
+    * a DuckDB oracle (Spark: conv(hex,16,10); DuckDB: ('0x'||hex)::BIGINT
+    * — an xxhash64-over-long family is what a Spark-only deployment would
+    * run at 100 TB; the md5 form buys a hard cross-engine correctness
+    * gate for the same plumbing). No distinct() before the aggregate:
+    * MIN over the shingle multiset equals MIN over the set, so the
+    * pre-aggregation dedup shuffle is pure waste.
     *
     * Measured note: the tempting "map-only" alternative —
     * `array_min(transform(gs, g → hash_j(g)))` × 32 over a shingle-array
@@ -79,37 +88,61 @@ object Dedup {
     * 32 consumers each re-walk the array, while min() over exploded rows
     * runs in tight whole-stage codegen over unsafe rows. The shuffle it
     * avoids is the cheap part. */
-  private[ext] def signatures(docs: DataFrame): DataFrame = {
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
     graft.functions.ShingleStr3.register(docs.sparkSession)
-    docs.select(col("doc_id"),
+    // ONE md5 per shingle, parsed once into (hi, lo) LONG lanes; the 32
+    // per-seed mins are then pure integer arithmetic in a single
+    // map-side-combined aggregation. min(long) keeps the pass in
+    // HashAggregate's mutable unsafe-row buffer — min(string) demotes the
+    // whole aggregate to SortAggregate (measured: sort cost dominated).
+    val withLanes = docs.select(col("doc_id"),
         explode(graft.functions.ShingleStr3.shingleStr3(split(col("text"), " "))).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(concat_ws(":", lit("0"), col("g")))).as("mh0"),
-        (1 until NumHashes).map(j =>
-          min(md5(concat_ws(":", lit(j.toString), col("g")))).as(s"mh$j")): _*)
+      .withColumn("m", md5(col("g")))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+    val mins = (0 until NumHashes).map { j =>
+      min((col("hi") + lit(j.toLong) * col("lo")) % Mod32).as(s"mh$j")
+    }
+    withLanes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature (band
-    * key = md5 over the band's concatenated min-hashes — portable, same
-    * argument as the signature family). */
-  private[ext] def candidatePairs(sig: DataFrame): DataFrame = {
+    * key = md5 over the band's '|'-joined DECIMAL min-hash renderings —
+    * portable: both engines print an unsigned 32-bit value identically).
+    *
+    * Pairs come from grouping bucket-mates (`collect_list` per (band,
+    * bucket) + in-bucket pair expansion), NOT from a banded self-join:
+    * the self-join evaluates the whole signature pipeline once per side
+    * (there is no exchange under a broadcast join side for Spark to
+    * reuse), while this shape runs it once and shuffles each (band,
+    * bucket, doc) row exactly once. LSH buckets are tiny by construction
+    * (that is the point of banding), so the per-bucket quadratic
+    * expansion is bounded; a pathological mega-bucket would mean the
+    * band hash family is broken, not the plan. */
+  private[graft] def candidatePairs(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bands = explode(array((0 until NumBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }: _*))
-    val banded = sig.select(col("doc_id"), bands.as("bb"))
+    sig.select(col("doc_id"), bands.as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs, from a
     * shingleHashesWithCount table (sizes ride along — no extra joins). */
-  private[ext] def exactJaccard(pairs: DataFrame, shn: DataFrame): DataFrame =
+  private[graft] def exactJaccard(pairs: DataFrame, shn: DataFrame): DataFrame =
     pairs
       .join(shn.select(col("doc_id").as("doc_a"), col("g"), col("n").as("n_a")), "doc_a")
       .join(shn.select(col("doc_id").as("doc_b"), col("g"), col("n").as("n_b")),
@@ -284,17 +317,24 @@ object Dedup {
   private def minhashOracle: String = {
     val rowsPerBand = NumHashes / NumBands
     val sigCols = (0 until NumHashes)
-      .map(j => s"MIN(md5('$j:' || g)) AS mh$j").mkString(",\n    ")
+      .map(j => s"MIN((hi + $j * lo) % $Mod32) AS mh$j")
+      .mkString(",\n    ")
     val bandSelects = (0 until NumBands).map { b =>
       val cat = (0 until rowsPerBand)
-        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $JaccardCtes,
+       |lanes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi,
+       |    ('0x' || substr(md5(g), 9, 8))::BIGINT AS lo
+       |  FROM sh),
        |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM sh GROUP BY doc_id),
+       |  FROM lanes GROUP BY doc_id),
        |banded AS MATERIALIZED (
        |  $bandSelects),
        |cand AS MATERIALIZED (

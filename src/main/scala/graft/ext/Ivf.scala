@@ -89,12 +89,22 @@ object Ivf {
     * keep the top `n` — broadcast centroids, map-only otherwise. */
   private[graft] def assign(v: DataFrame, cents: DataFrame, n: Int, s: SparkSession): DataFrame = {
     CosineSimilarity.register(s)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
-    v.crossJoin(broadcast(cents))
+    val scored = v.crossJoin(broadcast(cents))
       .withColumn("sim", CosineSimilarity.cosineSim(col("vd"), col("centroid")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= n)
-      .select(col("vec_id"), col("cell"))
+    if (n == 1)
+      // nearest-cell argmax as a max_by aggregate: map-side combined, no
+      // window shuffle+sort — this is the hot path (every vector, every
+      // Lloyd pass). Tie-break matches the window form: higher sim, then
+      // lower cell id (cell negated inside the max'd struct).
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+    else {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+      scored
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= n)
+        .select(col("vec_id"), col("cell"))
+    }
   }
 
   /** x12: IVF ANN — vectors in 1 cell, queries probe NProbe cells,

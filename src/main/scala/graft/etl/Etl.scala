@@ -398,7 +398,44 @@ object Etl {
       .orderBy(col("is_purchase"))
   }
 
-  val all: Seq[Q] = Seq(s3, s5, p1, p2, p3, p4, p5, p6, p7, p8,
+  /** S5b: MERGE-style mutable upsert — the industrial (Delta MERGE)
+    * sibling of the insert-only snapshot upsert (s5): matched keys take
+    * the update row's values, unmatched update rows insert, every other
+    * current row is retained. Exercised over customer with a third of the
+    * keys updated and a disjoint batch inserted. */
+  val s5b = Q.withOracle(
+    "s5b_merge_upsert",
+    "S5b: MERGE upsert (update matched, insert new, retain rest)",
+    """WITH cur AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, 'RESEGMENTED' AS c_mktsegment,
+      |    CAST(c_acctbal + 100 AS DOUBLE) AS acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, CAST(0.0 AS DOUBLE)
+      |  FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+      |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+      |       ELSE c.c_mktsegment END AS c_mktsegment,
+      |  CASE WHEN u.c_custkey IS NOT NULL THEN u.acctbal
+      |       ELSE c.acctbal END AS acctbal
+      |FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("double").as("acctbal"))
+    val upd = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), lit("RESEGMENTED").as("c_mktsegment"),
+        (col("c_acctbal") + 100).cast("double").as("acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_mktsegment"), lit(0.0).as("acctbal")))
+    merge(cur, upd, Seq("c_custkey")).orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[Q] = Seq(s3, s5, s5b, p1, p2, p3, p4, p5, p6, p7, p8,
     d1, d2, d3, d4, d5, d6, d7, d8, v1, v2)
 
   // ---- reusable building blocks (used by streaming + tests) ----
@@ -416,6 +453,27 @@ object Etl {
     // break the idempotence contract.
     val cond = keys.map(k => incoming(k) <=> exKeys(s"__ex_$k")).reduce(_ && _)
     existing.unionByName(incoming.join(exKeys, cond, "left_anti"))
+  }
+
+  /** MERGE-style upsert (UPDATE matched + INSERT unmatched in one pass):
+    * every data column of a matched key takes the update row's value;
+    * update rows with no current match insert; current rows with no
+    * update survive unchanged. One keyed full-outer join — at scale both
+    * sides shuffle once on the key (AQE broadcasts a small update side).
+    * Update-side columns are renamed before the join so updates derived
+    * from `current` itself (the common backfill) cannot trip Spark's
+    * self-join attribute ambiguity. Keys are matched null-safely, like
+    * `upsert`. */
+  def merge(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = current.columns.filterNot(keys.contains).toSeq
+    val u = updates.select(
+      keys.map(k => col(k).as(s"__u_$k")) ++
+        dataCols.map(c => col(c).as(s"__u_$c")) :+ lit(true).as("__upd"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    current.join(u, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__u_$k"), col(k)).as(k)) ++
+        dataCols.map(c =>
+          when(col("__upd"), col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   /** Deterministic keep-first dedup. */

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.HttpJson
+import org.apache.spark.sql.functions._
+
+/** S4's HTTP/JSON source and S5b's MERGE upsert beyond the oracle row:
+  * the fetch pipeline with an injected transport (zero-egress container)
+  * and MERGE's three-way row disposition on hand-built frames. */
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val geojson =
+    """{"type":"FeatureCollection","features":[
+      |{"id":"01","properties":{"name":"Alabama"},"geometry":{"type":"MultiPolygon"}},
+      |{"id":"06","properties":{"name":"California"},"geometry":{"type":"Polygon"}},
+      |{"id":"48","properties":{"name":"Texas"},"geometry":{"type":"Polygon"}}
+      |]}""".stripMargin
+
+  test("geoFeatures flattens a fetched FeatureCollection to one row per feature") {
+    var fetched: List[String] = Nil
+    val fake: HttpJson.Transport = { url => fetched ::= url; geojson }
+    val url = "https://example.invalid/us-states.json"
+    val rows = HttpJson.geoFeatures(spark, url, fake)
+      .orderBy($"feature_id")
+      .as[(String, String, String)].collect().toSeq
+    assert(fetched === List(url), "transport called exactly once with the url")
+    assert(rows === Seq(
+      ("01", "Alabama", "MultiPolygon"),
+      ("06", "California", "Polygon"),
+      ("48", "Texas", "Polygon")))
+  }
+
+  test("geoFeatures joins to a report frame like the reference choropleth") {
+    // the reference joins state → value onto the GeoJSON ids
+    // (weekly-report.py:149-157); same shape here, broadcast-dim sized
+    val geo = HttpJson.geoFeatures(spark, "u", _ => geojson)
+    val report = Seq(("Alabama", 12L), ("Texas", 40L)).toDF("state", "beds")
+    val joined = geo.join(report, $"name" === $"state", "left")
+      .select($"feature_id", coalesce($"beds", lit(0L)).as("beds"))
+      .orderBy($"feature_id").as[(String, Long)].collect().toSeq
+    assert(joined === Seq(("01", 12L), ("06", 0L), ("48", 40L)))
+  }
+
+  test("merge: update matched, insert new, retain rest — and idempotent re-merge") {
+    val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val updates = Seq((2L, "B", 99.0), (9L, "new", 1.0)).toDF("k", "tag", "v")
+    val merged = etl.Etl.merge(current, updates, Seq("k"))
+    val got = merged.orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 10.0), // retained
+      (2L, "B", 99.0), // updated
+      (3L, "c", 30.0), // retained
+      (9L, "new", 1.0))) // inserted
+    // re-applying the same update batch changes nothing
+    val again = etl.Etl.merge(merged, updates, Seq("k"))
+      .orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    assert(again === got)
+  }
+
+  test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
+    val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
+    val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")
+    val got = etl.Etl.merge(current, updates, Seq("k"))
+      .orderBy($"k".asc_nulls_first).as[(Option[Long], String)].collect().toSeq
+    assert(got === Seq((None, "BAD2"), (Some(1L), "a")))
+  }
+}

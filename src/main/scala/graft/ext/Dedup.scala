@@ -296,6 +296,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** One large-star or small-star rewrite round over a SYMMETRIC edge
+    * list (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): per node u, m = min(N(u) ∪ {u}); large-star re-points
+    * strictly larger neighbors at m, small-star re-points the rest (and u
+    * itself). Each round is one groupBy(min) + one keyed join — the same
+    * per-round shuffle shape as label propagation, but the alternation
+    * converges in O(log n) rounds instead of O(diameter). */
+  private[graft] def starRound(edges: DataFrame, large: Boolean): DataFrame = {
+    val m = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val joined = edges.join(m, "u")
+    val repointed =
+      if (large)
+        joined.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+      else
+        joined.filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(m.select(col("u").as("a"), col("m").as("b")))
+    val e = repointed.filter(col("a") =!= col("b"))
+    e.union(e.select(col("b"), col("a"))).toDF("u", "v").distinct()
+  }
+
+  /** x16b: the O(log n) connected-components form the x16 scaladoc
+    * promises — alternating large-star/small-star edge rewrites until the
+    * edge set is a fixpoint (a union of min-centered stars), then labels
+    * read straight off the stars. Identical cluster assignment to x16's
+    * label propagation, so it shares x16's DuckDB oracle verbatim; at
+    * petabyte scale this is the variant that survives high-diameter
+    * components (chains of pairwise near-dups), where per-round-one-hop
+    * propagation needs O(diameter) rounds. */
+  val dedupClustersStar = Q.withOracle(
+    "x16b_dedup_clusters_star",
+    "x16b: connected components via large-star/small-star (O(log n) rounds)",
+    dedupClusters.oracle.get) { (s, dir) =>
+    val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    var edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+      .distinct().localCheckpoint()
+    // Fixpoint detection by (count, bit_xor of edge hashes): edge sets are
+    // distinct-ed every round, so equal fingerprints mean equal sets (xor
+    // collision odds 2^-64, and the DuckDB oracle still gates the final
+    // answer). One tiny aggregate per round instead of two exceptAll
+    // joins — at any scale the check costs one map-side-combined pass.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      import e.sparkSession.implicits._
+      e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).as[(Long, Long)].head()
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) { // 20 ≈ log2 of any plausible n; the
+      rounds += 1                       // fixpoint check is the real stop
+      val next = starRound(starRound(edges, large = true), large = false)
+        .localCheckpoint()
+      val fpNext = fingerprint(next)
+      converged = fpNext == fp
+      fp = fpNext
+      edges = next
+    }
+    // stars: a child's one neighbor is its center; a center's neighbors
+    // are all larger children — least(min neighbor, self) labels both
+    val labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("mn"), col("u")).as("cluster_id"))
+    labels.select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))).as("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x2: MinHash+LSH near-dup pairs — candidates from band buckets, then
     * exact verification of candidates only. Full DuckDB oracle: the
     * md5-based hash family (see `signatures`) is computable on both
@@ -409,7 +479,7 @@ object Dedup {
     })
 
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
-    simhashPairs)
+    dedupClustersStar, simhashPairs)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -107,6 +107,37 @@ class ExtSpec extends SparkSuite {
     assert(bad.isEmpty, "ANN cosine drifted from exact")
   }
 
+  test("x16b star rewrites reproduce x16's clusters exactly") {
+    val lp = SparkEntry.queries("x16_dedup_clusters")(spark, sf).collect().toSeq
+    val star = SparkEntry.queries("x16b_dedup_clusters_star")(spark, sf).collect().toSeq
+    assert(star === lp)
+  }
+
+  test("x16b converges on a diameter-20 chain (where 8-round propagation cannot)") {
+    // a path graph 0-1-2-...-20: one component, diameter 20. Fixed-depth
+    // one-hop label propagation needs 20 rounds; the star alternation
+    // collapses it in O(log n). This is exactly the shape (chains of
+    // pairwise near-dups) that motivates x16b at petabyte scale.
+    val n = 21
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    var edges = chain.union(chain.select($"v", $"u")).toDF("u", "v").distinct()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 10) {
+      rounds += 1
+      val next = Dedup.starRound(Dedup.starRound(edges, large = true), large = false)
+        .localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    assert(converged, "star alternation did not converge in 10 double-rounds")
+    assert(rounds <= 6, s"expected O(log n) convergence, took $rounds")
+    val labels = edges.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"mn", $"u").as("c"))
+    assert(labels.select($"c").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(labels.count() === n)
+  }
+
   test("x6 multi-probe strictly improves candidate recall over single-probe") {
     // same tables, same bits — the only change is each query also probing
     // its bucket's 1-bit neighbors, so the candidate set is a superset and

@@ -17,10 +17,18 @@ object Bench {
     // at a time while iterating (driver runs never set it → full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+    // The timed consumer is the noop SINK, not count(): count() lets the
+    // optimizer prune aggregate values, projection expressions, and the
+    // final sort (a pure-map query like the x24 scrub "benches" as a row
+    // count of its input). The noop write materializes every output
+    // column of every row and keeps the ORDER BY in the plan — the
+    // honest cost of actually producing the result.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warmup pass: JIT/codegen compilation and parquet footer reads dominate
     // a cold first query (~6s vs ~0.3s steady state); measure steady state.
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     // Min of two timed runs per query: a single GC pause or broadcast-
     // thread hiccup otherwise lands on one query and reads as a plan
@@ -32,7 +40,7 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => Double.NaN }
       }
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)

@@ -58,4 +58,27 @@ class PropertySpec extends SparkSuite {
     assert(back.schema === src.schema)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("ORC and JSON-lines write→read round-trips preserve values (source formats)") {
+    // the other two sources/sinks a platform user reaches for, both
+    // built into Spark: ORC (columnar, schema in footer) and JSON lines
+    // (schema declared on read, like the CSV path — inference is a scan
+    // of the whole dataset and never acceptable at scale)
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast("double").as("price"),
+        to_date($"o_orderdate").as("day"))
+    val orcDir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(orcDir)
+    val backOrc = spark.read.orc(orcDir)
+    assert(backOrc.schema === src.schema)
+    assert(backOrc.exceptAll(src).isEmpty && src.exceptAll(backOrc).isEmpty)
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    src.write.mode("overwrite").json(jsonDir)
+    val backJson = spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE, day DATE")
+      .json(jsonDir)
+    assert(backJson.schema === src.schema)
+    assert(backJson.exceptAll(src).isEmpty && src.exceptAll(backJson).isEmpty)
+  }
 }

@@ -99,4 +99,40 @@ class ScaleTechniquesSpec extends SparkSuite {
       assert(math.abs(sres(k)._1 - sv) < 1e-6 && sres(k)._2 === n, s"mismatch at $k")
     }
   }
+
+  test("runtime Bloom filter from a selective dim filter prunes the fact side") {
+    // At 100 TB the win is rejecting fact rows BEFORE the join shuffle:
+    // Spark's runtime-filter optimizer builds a Bloom filter from the
+    // filtered (creation) side and injects might_contain on the fact
+    // scan. Thresholds are sized for cluster-scale tables, so for the
+    // demonstration we drop them to cover the testdata; the assertion is
+    // on the injected plan shape, which is scale-independent.
+    val conf = spark.conf
+    val old = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // force a shuffle join: runtime bloom filters target exactly the
+      // case where the dim cannot broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val fact = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString()
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it must not change the answer
+      val n = joined.count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(fact.join(dim, $"l_orderkey" === $"o_orderkey").count() === n)
+    } finally old.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

@@ -435,8 +435,72 @@ object Etl {
     merge(cur, upd, Seq("c_custkey")).orderBy(col("c_custkey"))
   }
 
+  /** D10: SCD Type-2 dimension history — the version-tracking upsert a
+    * warehouse migration expects next to plain MERGE: a quarter of the
+    * customers change segment (old version closes, new one opens), the
+    * rest re-deliver unchanged (no-op), and a disjoint key batch inserts
+    * fresh open versions. */
+  val d10 = Q.withOracle(
+    "d10_scd2_history",
+    "D10: SCD2 apply (close changed, retain unchanged, insert new keys)",
+    """WITH hist AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    DATE '1996-06-01' AS ts
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEWKEY', DATE '1996-06-01'
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |changed AS (
+      |  SELECT u.c_custkey, u.c_mktsegment, u.ts
+      |  FROM upd u JOIN hist h ON u.c_custkey = h.c_custkey
+      |  WHERE h.valid_to IS NULL AND u.c_mktsegment <> h.c_mktsegment),
+      |newkeys AS (
+      |  SELECT u.c_custkey, u.c_mktsegment, u.ts FROM upd u
+      |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+      |    WHERE h.c_custkey = u.c_custkey AND h.valid_to IS NULL))
+      |,applied AS (
+      |  SELECT h.c_custkey, h.c_mktsegment, h.valid_from, c.ts AS valid_to
+      |  FROM hist h JOIN changed c ON h.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT h.c_custkey, h.c_mktsegment, h.valid_from, h.valid_to
+      |  FROM hist h WHERE NOT EXISTS
+      |    (SELECT 1 FROM changed c WHERE c.c_custkey = h.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, ts, CAST(NULL AS DATE) FROM changed
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, ts, CAST(NULL AS DATE) FROM newkeys)
+      |SELECT c_custkey, c_mktsegment, valid_from,
+      |  COALESCE(valid_to, DATE '9999-12-31') AS valid_to
+      |FROM applied ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val hist = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit(java.sql.Date.valueOf("1995-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val upd = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        lit(java.sql.Date.valueOf("1996-06-01")).as("ts"))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("NEWKEY").as("c_mktsegment"),
+          lit(java.sql.Date.valueOf("1996-06-01")).as("ts")))
+    // open versions surface as the conventional high date: the driver's
+    // value compare treats NULL-vs-NULL dates as unequal (NaT semantics),
+    // and the sentinel is the standard warehouse encoding anyway
+    scd2Apply(hist, upd, Seq("c_custkey"), "ts")
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit(java.sql.Date.valueOf("9999-12-31"))))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   val all: Seq[Q] = Seq(s3, s5, s5b, p1, p2, p3, p4, p5, p6, p7, p8,
-    d1, d2, d3, d4, d5, d6, d7, d8, v1, v2)
+    d1, d2, d3, d4, d5, d6, d7, d8, d10, v1, v2)
 
   // ---- reusable building blocks (used by streaming + tests) ----
 
@@ -474,6 +538,51 @@ object Etl {
       .select(keys.map(k => coalesce(col(s"__u_$k"), col(k)).as(k)) ++
         dataCols.map(c =>
           when(col("__upd"), col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** SCD Type-2 apply: version history maintenance for a dimension.
+    * `history` carries (keys, attrs..., valid_from, valid_to) with
+    * valid_to NULL marking the open version; `updates` carries (keys,
+    * attrs..., tsCol). For each update whose attributes differ from the
+    * open version (null-safely, any column), the open version closes at
+    * the update timestamp and a new open version begins there; updates
+    * identical to the open version are no-ops (idempotent re-delivery);
+    * keys with no open version insert a fresh open row. Closed history
+    * passes through untouched.
+    *
+    * Scale shape: one keyed left join (open × updates) + one keyed
+    * anti join (new keys) + unions — every shuffle on the dimension key,
+    * closed history never joined at all. */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val attrs = history.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == "valid_from" || c == "valid_to")
+    val vtType = history.schema("valid_to").dataType
+    val open = history.filter(col("valid_to").isNull)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val u = updates.select(
+      keys.map(k => col(k).as(s"__u_$k")) ++
+        attrs.map(a => col(a).as(s"__u_$a")) :+ col(tsCol).as("__u_ts"): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    val j = open.join(u, joinCond, "left")
+    val differs = attrs.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
+    val changed = col("__u_ts").isNotNull && differs
+    val outCols = (keys ++ attrs).map(col)
+    val closedNow = j.filter(changed)
+      .select(outCols :+ col("valid_from") :+ col("__u_ts").as("valid_to"): _*)
+    val stillOpen = j.filter(!changed)
+      .select(outCols :+ col("valid_from") :+ lit(null).cast(vtType).as("valid_to"): _*)
+    val newVersions = j.filter(changed).select(
+      keys.map(k => col(s"__u_$k").as(k)) ++ attrs.map(a => col(s"__u_$a").as(a)) :+
+        col("__u_ts").as("valid_from") :+ lit(null).cast(vtType).as("valid_to"): _*)
+    val openKeys = open.select(keys.map(k => col(k).as(s"__o_$k")): _*)
+    val newKeys = u.join(openKeys,
+        keys.map(k => col(s"__u_$k") <=> col(s"__o_$k")).reduce(_ && _), "left_anti")
+      .select(keys.map(k => col(s"__u_$k").as(k)) ++ attrs.map(a => col(s"__u_$a").as(a)) :+
+        col("__u_ts").as("valid_from") :+ lit(null).cast(vtType).as("valid_to"): _*)
+    closed.select(outCols :+ col("valid_from") :+ col("valid_to"): _*)
+      .unionByName(closedNow).unionByName(stillOpen)
+      .unionByName(newVersions).unionByName(newKeys)
   }
 
   /** Deterministic keep-first dedup. */

@@ -107,6 +107,31 @@ object Temporal {
       .orderBy(col("wk"))
   }
 
+  /** w5: trailing-30-DAY spend per customer — a RANGE frame over the
+    * date axis, not a ROWS frame: the window is "orders in the last 30
+    * days", however many rows that is, and same-day orders are peers that
+    * always share a frame. Dates become integer day numbers so the range
+    * arithmetic is engine-portable; the shuffle is one key partition on
+    * the customer. */
+  val trailingSpend = Q.withOracle(
+    "w5_trailing_30d_spend",
+    "W5: per-customer trailing 30-day spend (RANGE frame over day numbers)",
+    s"""SELECT o_orderkey, o_custkey, o_orderdate,
+       |  CAST(SUM(${sql.dec("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS spend_30d
+       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1990-01-01"))))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** a13: pivot — weekly × event_type value matrix. The pivot values are
@@ -257,6 +282,6 @@ object Temporal {
       .orderBy(col("wk"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(asof, movingAvg, pivot, groupStats, topkPerKey, intervalCount,
-    unpivot)
+  val all: Seq[Q] = Seq(asof, movingAvg, trailingSpend, pivot, groupStats, topkPerKey,
+    intervalCount, unpivot)
 }

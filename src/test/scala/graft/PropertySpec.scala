@@ -35,6 +35,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: merge(current, updates) equals the Map-model merge for arbitrary batches") {
+    samples(Gen.zip(batchGen, batchGen), 8).foreach { case (c, u) =>
+      val current = c.toDF("k", "v").dropDuplicates("k")
+      val updates = u.toDF("k", "v").dropDuplicates("k")
+      val got = Etl.merge(current, updates, Seq("k"))
+        .as[(Int, String)].collect().sortBy(identity).toSeq
+      // the model: current overlaid by updates, key-wise
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Int, String)].collect().toMap
+      val model = (toMap(current) ++ toMap(updates)).toSeq.sortBy(identity)
+      assert(got === model)
+    }
+  }
+
+  test("property: scd2Apply never loses history, keeps exactly one open row per live key") {
+    val day0 = java.sql.Date.valueOf("2000-01-01")
+    val day1 = java.sql.Date.valueOf("2001-01-01")
+    samples(Gen.zip(batchGen, batchGen), 8).foreach { case (h, u) =>
+      val hist = h.toDF("k", "v").dropDuplicates("k")
+        .withColumn("valid_from", lit(day0))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val updates = u.toDF("k", "v").dropDuplicates("k").withColumn("ts", lit(day1))
+      val out = Etl.scd2Apply(hist, updates, Seq("k"), "ts")
+      val rows = out.as[(Int, String, java.sql.Date, Option[java.sql.Date])]
+        .collect().toSeq
+      val histKeys = hist.as[(Int, String, java.sql.Date, Option[java.sql.Date])]
+        .collect().map(_._1).toSet
+      val updKeys = updates.as[(Int, String, java.sql.Date)].collect().map(_._1).toSet
+      // every key that ever existed still has rows; exactly one open row
+      // per key; closed rows close at the update ts
+      val byKey = rows.groupBy(_._1)
+      assert(byKey.keySet === (histKeys ++ updKeys))
+      byKey.foreach { case (k, vs) =>
+        assert(vs.count(_._4.isEmpty) === 1, s"key $k open-row count != 1")
+        vs.filter(_._4.isDefined).foreach(v => assert(v._4.get === day1))
+      }
+    }
+  }
+
   test("property: zero-guarded ratio-of-sums is NULL on zero denominator, never an error") {
     samples(Gen.listOfN(20, Gen.choose(-5.0, 5.0)), 8).foreach { xs =>
       val df = xs.toDF("x")

@@ -54,17 +54,22 @@ object Bench {
     // survives the tail window intact.
     def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v)) // locale-pinned: a comma decimal would break the JSON
-    // Ascending by time: the slowest (most diagnostic) detail lines sit
-    // closest to the end of the log, inside the tail window.
-    results.toSeq.sortBy(_._2).foreach { case (k, v) =>
+    // Ascending by time with FAILURES LAST: the most diagnostic lines —
+    // slow queries and broken queries — sit closest to the end of the
+    // log, inside the tail window (a failure sorted by its -1.0 value
+    // would land first and scroll out).
+    results.toSeq.sortBy { case (_, v) => (v < 0, v) }.foreach { case (k, v) =>
       println(s"""{"metric":"query","name":"$k","value":${r(v)},"unit":"sec"}""")
     }
-    val failures = results.count(_._2 < 0)
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val slowest = ok.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":$failures,"queries":$slowest,"sf":"$sfDir","warmup":true}""")
+    // failure NAMES (bounded) ride the summary line — the count alone
+    // says something broke without saying what
+    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"queries":$slowest,"sf":"$sfDir","warmup":true}""")
     spark.stop()
   }
 }

@@ -340,9 +340,12 @@ object Dedup {
     // collision odds 2^-64, and the DuckDB oracle still gates the final
     // answer). One tiny aggregate per round instead of two exceptAll
     // joins — at any scale the check costs one map-side-combined pass.
-    def fingerprint(e: DataFrame): (Long, Long) = {
+    // Option: bit_xor over ZERO rows is NULL, which cannot decode into a
+    // bare Long — an edge-free corpus (no pair at the threshold) must
+    // converge to an empty result, not throw.
+    def fingerprint(e: DataFrame): (Long, Option[Long]) = {
       import e.sparkSession.implicits._
-      e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).as[(Long, Long)].head()
+      e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).as[(Long, Option[Long])].head()
     }
     var fp = fingerprint(edges)
     var converged = false

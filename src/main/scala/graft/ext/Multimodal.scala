@@ -62,12 +62,17 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
+          // bulk row reads: per-pixel getRGB pays ColorModel dispatch per
+          // call, which dominates decode on megapixel images in the
+          // batched hot path — one packed-ARGB row fetch amortizes it
+          val row = new Array[Int](w)
           var lumaSum = 0.0
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               lumaSum += 0.299 * ((rgb >> 16) & 0xff) +
                 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
               x += 1

@@ -57,12 +57,23 @@ object HttpJson {
 
   /** Fetch + flatten a GeoJSON FeatureCollection to one row per feature:
     * (feature_id, name, geometry_type). This is the exact shape the
-    * reference's choropleth join consumes (state id → name). */
+    * reference's choropleth join consumes (state id → name).
+    *
+    * Fails LOUDLY on bad payloads, matching the transport's non-2xx
+    * posture: FAILFAST parse mode throws on malformed JSON (a 200 HTML
+    * maintenance page), and a valid-JSON document that is not a
+    * FeatureCollection raises instead of silently exploding to zero
+    * rows — an empty dim would quietly drop every geo feature from the
+    * downstream left join. */
   def geoFeatures(s: SparkSession, url: String,
       transport: Transport = httpTransport()): DataFrame =
     fetchRaw(s, url, transport)
-      .select(from_json(col("payload"), geoFeatureSchema).as("g"))
-      .select(explode(col("g.features")).as("f"))
+      .select(col("url"),
+        from_json(col("payload"), geoFeatureSchema,
+          Map("mode" -> "FAILFAST")).as("g"))
+      .select(explode(when(col("g.features").isNotNull, col("g.features"))
+        .otherwise(raise_error(
+          concat(lit("not a GeoJSON FeatureCollection: "), col("url"))))).as("f"))
       .select(col("f.id").as("feature_id"),
         col("f.properties.name").as("name"),
         col("f.geometry.type").as("geometry_type"))

@@ -40,23 +40,23 @@ object Cdc {
       }
       .start()
 
-  /** MERGE a batch of row images into the parquet snapshot: collapse the
-    * batch to one image per key first (a full-outer MERGE with duplicate
-    * update keys would multiply rows), then update-matched /
-    * insert-unmatched / retain-rest, committed with the same
-    * version-and-swap as WeeklyFeed. */
+  /** MERGE a batch of row images into the parquet snapshot. Newest image
+    * per key wins GLOBALLY, not just within the batch: the store row
+    * competes on `orderCol` too, so a stale image re-delivered in a later
+    * micro-batch (or files replayed out of order into a fresh checkpoint)
+    * can never overwrite a newer store row — without this, "newest wins"
+    * held only within one batch and replay order changed the result. On
+    * an `orderCol` tie the incoming image wins (MERGE update semantics).
+    * Committed via the shared SnapshotStore version-and-swap. */
   def mergeIntoStore(batch: DataFrame, storeDir: String,
       keys: Seq[String], orderCol: String): Unit = {
-    val spark = batch.sparkSession
     val newest = Etl.dedupFirst(batch, keys, Seq(col(orderCol).desc))
-    val store = new java.io.File(storeDir)
-    val merged =
-      if (store.exists() && store.listFiles().exists(_.getName.endsWith(".parquet"))) {
-        val existing = spark.read.parquet(storeDir)
-        Etl.merge(existing, newest.select(existing.columns.map(col): _*), keys)
-      } else newest
-    val tmp = storeDir + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
+    SnapshotStore.commit(newest, storeDir) { (existing, incoming) =>
+      Etl.dedupFirst(
+        existing.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1))),
+        keys, Seq(col(orderCol).desc, col("__src").desc))
+        .drop("__src")
+    }
   }
 }

@@ -80,22 +80,9 @@ object WeeklyFeed {
       .start()
 
   /** Snapshot upsert: read current store, anti-join the batch, append only
-    * new grain keys. Version-and-replace keeps each write atomic. */
-  def upsertIntoStore(batch: DataFrame, storeDir: String): Unit = {
-    val spark = batch.sparkSession
-    val store = new java.io.File(storeDir)
-    val existing: Option[DataFrame] =
-      if (store.exists() && store.listFiles().exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(storeDir))
-      else None
-    val merged = existing match {
-      case Some(e) => Etl.upsert(e, batch.select(e.columns.map(col): _*), Seq("user_id", "day"))
-      case None => batch
-    }
-    // materialize to a temp version then swap — the batch analog of the
-    // reference's single-transaction commit (load-hhs.py:28-33)
-    val tmp = storeDir + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
-  }
+    * new grain keys. Committed via the shared SnapshotStore
+    * version-and-swap protocol. */
+  def upsertIntoStore(batch: DataFrame, storeDir: String): Unit =
+    SnapshotStore.commit(batch, storeDir)(
+      (existing, incoming) => Etl.upsert(existing, incoming, Seq("user_id", "day")))
 }

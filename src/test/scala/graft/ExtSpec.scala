@@ -138,6 +138,18 @@ class ExtSpec extends SparkSuite {
     assert(labels.count() === n)
   }
 
+  test("x16 and x16b return empty (not throw) on a corpus with no near-dup pair") {
+    // a synthesized documents table of fully disjoint texts: zero edges.
+    // x16b's fingerprint aggregates over an empty frame (bit_xor → NULL),
+    // which must decode cleanly, and both operators must yield 0 rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodup").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    assert(SparkEntry.queries("x16_dedup_clusters")(spark, dir).count() === 0)
+    assert(SparkEntry.queries("x16b_dedup_clusters_star")(spark, dir).count() === 0)
+  }
+
   test("x6 multi-probe strictly improves candidate recall over single-probe") {
     // same tables, same bits — the only change is each query also probing
     // its bucket's 1-bit neighbors, so the candidate set is a superset and

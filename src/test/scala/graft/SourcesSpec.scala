@@ -41,6 +41,19 @@ class SourcesSpec extends SparkSuite {
     assert(joined === Seq(("01", 12L), ("06", 0L), ("48", 40L)))
   }
 
+  test("geoFeatures fails loudly on malformed JSON and non-FeatureCollection payloads") {
+    // a 200 response carrying an HTML maintenance page: FAILFAST parse
+    intercept[Exception] {
+      HttpJson.geoFeatures(spark, "u", _ => "<html>down for maintenance</html>").collect()
+    }
+    // valid JSON that is NOT a FeatureCollection: raise, never 0 rows
+    val e = intercept[Exception] {
+      HttpJson.geoFeatures(spark, "https://example.invalid/x.json",
+        _ => """{"type":"Topology"}""").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("merge: update matched, insert new, retain rest — and idempotent re-merge") {
     val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "tag", "v")

@@ -45,6 +45,17 @@ class StreamingSpec extends SparkSuite {
     val replay = spark.read.parquet(store2).orderBy($"k")
       .select($"k", $"tag", $"v").as[(Long, String, Double)].collect().toSeq
     assert(replay === got)
+
+    // drop 3: a STALE image (seq below the store's) re-delivered in a
+    // later batch must NOT overwrite the newer store row — newest-wins
+    // is global, not per-batch
+    Seq((2L, "STALE", 0.0, 0L))
+      .toDF("k", "tag", "v", "seq").coalesce(1).write.mode("append").parquet(drop)
+    graft.streaming.Cdc.runCdc(spark, drop, schema, store, cp, Seq("k"), "seq")
+      .awaitTermination()
+    val afterStale = spark.read.parquet(store).filter($"k" === 2L)
+      .select($"tag", $"v").as[(String, Double)].head()
+    assert(afterStale === ("B2", 22.0), s"stale image overwrote store: $afterStale")
   }
 
   test("scd2Apply versions: closed rows pass through, re-applied updates are no-ops") {

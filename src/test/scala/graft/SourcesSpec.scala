@@ -71,6 +71,32 @@ class SourcesSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("versioned store: linear history, time travel, O(1) rollback, compaction") {
+    import graft.model.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore").toString
+    val v1 = VersionedStore.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "tag"), root)
+    val v2 = VersionedStore.commit(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "tag"), root)
+    assert((v1, v2) === (1, 2))
+    assert(VersionedStore.read(spark, root).count() === 3)
+    // time travel: version 1 still fully readable
+    assert(VersionedStore.read(spark, root, Some(1))
+      .orderBy($"k").as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // rollback is a pointer swap; v2 stays readable explicitly
+    VersionedStore.rollback(root, 1)
+    assert(VersionedStore.read(spark, root).count() === 2)
+    assert(VersionedStore.read(spark, root, Some(2)).count() === 3)
+    // a fragmented commit (many tiny files) compacts into few, data intact
+    VersionedStore.rollback(root, 2)
+    VersionedStore.commit(
+      VersionedStore.read(spark, root).repartition(16), root)
+    val before = VersionedStore.read(spark, root)
+    val v4 = VersionedStore.compact(spark, root, targetRowsPerFile = 1000)
+    val after = VersionedStore.read(spark, root)
+    assert(after.inputFiles.length < before.inputFiles.length)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(VersionedStore.latestVersion(root) === v4)
+  }
+
   test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
     val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
     val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")

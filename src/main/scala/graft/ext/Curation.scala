@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +155,33 @@ object Curation {
     * plus one tiny window over the bucket-totals table for the offsets —
     * identical result to `SUM() OVER (ORDER BY doc_id)` without ever
     * sorting the full corpus in one partition. */
+  /** The x23 segmented-scan packing over any (doc_id, n_tokens) frame:
+    * two-level prefix sum (per-bucket window + broadcast bucket offsets),
+    * then span explosion — reused by the x30 end-to-end pipeline over its
+    * curated subset. */
+  private[ext] def packSpans(docsWithN: DataFrame): DataFrame = {
+    val d = docsWithN.withColumn("bkt", shiftright(col("doc_id"), PackBucketBits))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketOffsets = d.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val withGs = d.withColumn("cum_in", sum(col("n")).over(wIn))
+      .join(broadcast(bucketOffsets), "bkt")
+      .withColumn("gs", col("off") + col("cum_in") - col("n"))
+    withGs
+      .select(col("doc_id"), col("n"), col("gs"),
+        explode(sequence(expr(s"gs DIV $SeqLen"), expr(s"(gs + n - 1) DIV $SeqLen")))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id").cast("long").as("seq_id"),
+        (greatest(col("gs"), col("seq_id") * SeqLen) - col("gs")).as("tok_start"),
+        (least(col("gs") + col("n"), (col("seq_id") + 1) * SeqLen)
+          - greatest(col("gs"), col("seq_id") * SeqLen)).as("tok_len"))
+      .orderBy(col("doc_id"), col("seq_id"))
+  }
+
   val packSequences = Q.withOracle(
     "x23_pack_sequences",
     "x23: pack-and-chunk token-stream packing (segmented prefix scan)",
@@ -174,29 +202,9 @@ object Curation {
        |  CAST(LEAST(gs + n, (seq_id + 1) * $SeqLen)
        |    - GREATEST(gs, seq_id * $SeqLen) AS BIGINT) AS tok_len
        |FROM sp ORDER BY doc_id, seq_id""".stripMargin) { (s, dir) =>
-    val d = Tables.documents(s, dir)
+    packSpans(Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-      .filter(col("n") > 0)
-      .withColumn("bkt", shiftright(col("doc_id"), PackBucketBits))
-    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bucketOffsets = d.groupBy(col("bkt")).agg(sum(col("n")).as("bt"))
-      .withColumn("off", coalesce(
-        sum(col("bt")).over(Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    val withGs = d.withColumn("cum_in", sum(col("n")).over(wIn))
-      .join(broadcast(bucketOffsets), "bkt")
-      .withColumn("gs", col("off") + col("cum_in") - col("n"))
-    withGs
-      .select(col("doc_id"), col("n"), col("gs"),
-        explode(sequence(expr(s"gs DIV $SeqLen"), expr(s"(gs + n - 1) DIV $SeqLen")))
-          .as("seq_id"))
-      .select(col("doc_id"), col("seq_id").cast("long").as("seq_id"),
-        (greatest(col("gs"), col("seq_id") * SeqLen) - col("gs")).as("tok_start"),
-        (least(col("gs") + col("n"), (col("seq_id") + 1) * SeqLen)
-          - greatest(col("gs"), col("seq_id") * SeqLen)).as("tok_len"))
-      .orderBy(col("doc_id"), col("seq_id"))
+      .filter(col("n") > 0))
   }
 
   /** Shared by batch x24 and the streaming scrub (DocFeed.curateStream) so
@@ -343,6 +351,54 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** x30: the curation stages composed END-TO-END in one query — exact
+    * dedup survivors (x1) → quality filter (x8's uniq-ratio ≥ 0.5) →
+    * holdout removal (x17's md5 split rule) → sequence packing (x23's
+    * segmented scan) over what remains. This is the DAG a training-data
+    * pipeline actually runs; each stage is the already-verified operator,
+    * and the composition itself is hash-checked against DuckDB. Plan
+    * shape: dedup is one hash-agg, both filters are map-side predicates
+    * fused into the same scan, and only the surviving (doc_id, n) pairs
+    * reach the packing shuffle — at 100 TB the filters run where the
+    * data lives and the sort-free scan sees a fraction of the corpus. */
+  val curationPipeline = Q.withOracle(
+    "x30_curation_pipeline",
+    "x30: dedup -> quality filter -> decontamination split -> packing, end-to-end",
+    s"""WITH surv AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |cur AS (
+       |  SELECT d.doc_id, string_split(d.text, ' ') AS t
+       |  FROM documents d JOIN surv ON d.doc_id = surv.doc_id
+       |  WHERE $qualityScoreSql >= 0.5
+       |    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')),
+       |d AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM cur WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS gs
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, n, gs,
+       |    unnest(generate_series(gs // $SeqLen, (gs + n - 1) // $SeqLen)) AS seq_id
+       |  FROM c)
+       |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(GREATEST(gs, seq_id * $SeqLen) - gs AS BIGINT) AS tok_start,
+       |  CAST(LEAST(gs + n, (seq_id + 1) * $SeqLen)
+       |    - GREATEST(gs, seq_id * $SeqLen) AS BIGINT) AS tok_len
+       |FROM sp ORDER BY doc_id, seq_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val survivors = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val curated = docs.join(survivors, "doc_id")
+      .filter(qualityScore >= 0.5)
+      .filter(!substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    packSpans(curated)
+  }
+
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
-    stopwordScrub, qualityDeciles, qualityDecilesApprox, weightedSample)
+    stopwordScrub, qualityDeciles, qualityDecilesApprox, weightedSample,
+    curationPipeline)
 }

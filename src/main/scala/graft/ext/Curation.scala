@@ -241,6 +241,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub — the masking stage a crawl-derived corpus runs before
+    * training (emails, phone-shaped digit runs, SSN-shaped triples →
+    * typed placeholder tokens), as reusable Columns over a `text`
+    * column: pure map, no shuffle, composes with the rest of the
+    * curation DAG like the stopword scrub. The synthetic corpus contains
+    * no digits/emails, so this carries a crafted-input spec
+    * (CurationSpec) instead of a no-op registry oracle. Patterns stay in
+    * the regex subset shared by Java and RE2 so the same strings drive
+    * any engine. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiSsn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  // no leading \b: it cannot anchor before an opening paren, and for PII
+  // the failure mode of a looser left edge is over-redaction — the safe
+  // direction
+  val PiiPhone = "(\\+?[0-9]{1,2}[ .-]?)?(\\(?[0-9]{3}\\)?[ .-]?)[0-9]{3}[ .-][0-9]{4}\\b"
+
+  def piiScrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiSsn, "<SSN>"),
+      PiiPhone, "<PHONE>")
+
+  /** Redaction count: matches of any PII class in the original text.
+    * (SSN before phone in the replace chain — an SSN also matches the
+    * looser phone shape, and the count mirrors that precedence.) */
+  def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (size(regexp_extract_all(text, lit(PiiEmail), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, PiiSsn, "<SSN>"),
+        lit(PiiPhone), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiSsn), lit(0)))).cast("long")
+
   /** Per-doc quality score used by x25/x26: distinct-token ratio (the x8
     * `uniq_ratio` signal) — one IEEE division of two exact counts. */
   private def qualityScore = {

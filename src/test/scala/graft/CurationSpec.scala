@@ -141,6 +141,28 @@ class CurationSpec extends SparkSuite {
     assert(kept.nonEmpty && kept.size < all.length)
   }
 
+  test("PII scrub masks emails/SSNs/phones with typed placeholders, counts match") {
+    import graft.ext.Curation
+    val cases = Seq(
+      ("write to bob.smith+spam@example.co.uk today", "write to <EMAIL> today", 1L),
+      ("ssn 123-45-6789 and phone (412) 555-1234 ok", "ssn <SSN> and phone <PHONE> ok", 2L),
+      ("call +1 412-555-1234 or 412.555.1234", "call <PHONE> or <PHONE>", 2L),
+      ("no pii here at all", "no pii here at all", 0L),
+      ("a@b.io c@d.io", "<EMAIL> <EMAIL>", 2L))
+    val got = cases.map(_._1).toDF("text")
+      .select($"text", Curation.piiScrubbed($"text").as("clean"),
+        Curation.piiRedactions($"text").as("n"))
+      .as[(String, String, Long)].collect().toSeq
+    got.zip(cases).foreach { case ((orig, clean, n), (_, expClean, expN)) =>
+      assert(clean === expClean, s"scrub of '$orig'")
+      assert(n === expN, s"count of '$orig'")
+    }
+    // the whole corpus passes through unchanged (no PII in the synthetic
+    // docs) — the scrub is safe to leave in the standing DAG
+    val corpus = docs.select($"text", Curation.piiScrubbed($"text").as("c"))
+    assert(corpus.filter($"text" =!= $"c").isEmpty)
+  }
+
   test("a20 grouping-set rollup levels are mutually consistent") {
     val rows = q("a20_grouping_sets").collect()
     val total = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)

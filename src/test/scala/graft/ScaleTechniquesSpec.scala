@@ -31,6 +31,48 @@ class ScaleTechniquesSpec extends SparkSuite {
     assert(files >= 1 && files <= 4, s"expected pruned scan, read $files files")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the runtime sibling of static pruning: the predicate lives on the
+    // DIM side, so planning-time pruning can't fire — DPP injects the
+    // dim's post-filter key set as a subquery into the fact scan's
+    // partition filters. At 100 TB this is what turns "join the fact to
+    // three urgent weeks" into a 3-partition read instead of a full scan.
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_week", Parity.week($"l_shipdate"))
+      .write.partitionBy("ship_week").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val allWeeks = fact.select($"ship_week").distinct()
+    // an independent PARQUET-BACKED dim with a genuine Filter on it —
+    // DPP requires a selective predicate on the dim side (a bare LIMIT
+    // does not qualify) and a scan-backed relation (an in-memory
+    // LocalRelation never triggers the rule). This is also the realistic
+    // shape: "the three weeks marked urgent in the calendar dim".
+    val weeks = allWeeks.orderBy($"ship_week").as[java.sql.Date].collect()
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    weeks.zipWithIndex
+      .map { case (w, i) => (w, if (i < 3) "urgent" else "normal") }.toSeq
+      .toDF("ship_week", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "urgent")
+    val conf = spark.conf
+    val oldBt = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcastable dim → DPP reuses the broadcast for the filter
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val joined = fact.join(dim, Seq("ship_week"))
+        .groupBy($"tag").agg(sum($"l_quantity").as("q"))
+      joined.collect()
+      val scans = flattenPlan(joined.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .filter(_.toString.contains("dynamicpruning"))
+      assert(scans.nonEmpty, "no dynamically-pruned scan in plan")
+      val total = allWeeks.count()
+      val read = scans.head.metrics("numPartitions").value
+      assert(read <= 3, s"DPP read $read of $total partitions, expected <= 3")
+    } finally oldBt.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("bucketed tables join without a shuffle on the join key") {
     // warehouse dir is a static conf, set at session build in SparkSuite
     Tables.orders(spark, sf).write.mode("overwrite")

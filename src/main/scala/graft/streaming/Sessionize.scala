@@ -121,5 +121,48 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
   }
 
-  val all: Seq[Q] = Seq(batchSessions)
+  /** x13b: the same gap sessions via Spark's NATIVE `session_window`
+    * aggregation — the declarative form of x13's cumsum (and of the
+    * streaming flatMapGroupsWithState): one groupBy, no window-function
+    * pass, and in streaming mode the state store merges sessions for
+    * free. Boundary semantics differ from x13 at exactly-gap spacing
+    * (session windows are [start, end): an event landing ON the previous
+    * session's end starts a NEW session, where x13's `> gap` test keeps
+    * it), so the oracle mirrors session_window's `>=` rule rather than
+    * reusing x13's. end_us = last event + gap, per the operator's
+    * window-end definition. */
+  val sessionWindowBatch = Q.withOracle(
+    "x13b_session_window",
+    "gap sessions via native session_window aggregation",
+    s"""WITH flagged AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value,
+       |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+       |           >= ${SessionGapSec * 1000000L} THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sno
+       |  FROM flagged)
+       |SELECT user_id, MIN(tus) AS start_us,
+       |  CAST(MAX(tus) + ${SessionGapSec * 1000000L} AS BIGINT) AS end_us,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM numbered GROUP BY user_id, sno
+       |ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val all: Seq[Q] = Seq(batchSessions, sessionWindowBatch)
 }

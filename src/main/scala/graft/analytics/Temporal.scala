@@ -77,6 +77,48 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** x15b: FORWARD as-of join — for each purchase, the EARLIEST view by
+    * the same user at-or-after it ("what did they look at next"), the
+    * mirror of x15's attribution direction. Same union+window plan (one
+    * key shuffle, linear per-partition scan): `first(ignoreNulls)` over
+    * a [current, ∞) frame, with purchases sorting BEFORE equal-timestamp
+    * views (side descending) so the ≥ match is inclusive — exactly
+    * DuckDB's `ASOF LEFT JOIN ... ON v.tus >= p.tus`. */
+  val asofForward = Q.withOracle(
+    "x15b_asof_forward",
+    "forward as-of join: earliest following view per purchase, union+window plan",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS tus, value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.tus AS purchase_tus,
+      |  v.tus AS view_tus, v.value AS view_value
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.tus >= p.tus
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("v_eid"),
+        col("tus").as("v_tus"), col("value").as("v_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("v_eid"),
+        lit(null).cast("long").as("v_tus"), lit(null).cast("double").as("v_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side").desc, col("v_eid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(purchases)
+      .withColumn("v",
+        first(when(col("side") === 0, struct(col("v_tus"), col("v_value"))),
+          ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("tus").as("purchase_tus"),
+        col("v.v_tus").as("view_tus"), col("v.v_value").as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** w3: 4-week moving average over the weekly quantity axis — windowed
     * exact-decimal sums divided once in double, so both engines emit
     * bit-identical values. The un-partitioned window is over the
@@ -282,6 +324,6 @@ object Temporal {
       .orderBy(col("wk"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(asof, movingAvg, trailingSpend, pivot, groupStats, topkPerKey,
-    intervalCount, unpivot)
+  val all: Seq[Q] = Seq(asof, asofForward, movingAvg, trailingSpend, pivot, groupStats,
+    topkPerKey, intervalCount, unpivot)
 }

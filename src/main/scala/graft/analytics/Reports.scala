@@ -422,6 +422,41 @@ object Reports {
       .orderBy(col("wk"))
   }
 
+  /** a21: deterministic per-group MODE — the most frequent order
+    * priority per market segment. Built as count-then-rank rather than a
+    * native `mode()` aggregate because mode's TIE behavior is
+    * engine-arbitrary (Spark and DuckDB may pick different members of a
+    * tied class); ranking by (count desc, value asc) pins one answer on
+    * both engines and adds nothing at scale — the ranked input is the
+    * already-aggregated (group, value) table, tiny relative to the
+    * corpus it summarizes. */
+  val a21 = Q.withOracle(
+    "a21_mode_priority",
+    "A21: most frequent order priority per segment (deterministic mode)",
+    """WITH cnt AS (
+      |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY n DESC, o_orderpriority) AS rn
+      |  FROM cnt)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+      |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val cnt = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(q1, a1, a1approx, w1, a2, a3, a4, a6, a7, a9, a10, a11, w2,
-    w4, t1, t2, t3, t5, o1, a17, a18)
+    w4, t1, t2, t3, t5, o1, a17, a18, a21)
 }

@@ -419,32 +419,109 @@ object Dedup {
        |WHERE s.jac >= 0.5 ORDER BY 1, 2""".stripMargin
   }
 
-  /** x3: 64-bit SimHash per doc from token hashes — one aggregation pass
-    * with 64 bit-vote sums recombined into a long. Rows-only check;
-    * DedupSpec asserts hamming proximity for known near-dups. */
-  val simhash = Q(
+  /** DuckDB CTE chain for the portable simhash: distinct tokens → md5
+    * (hi, lo) 32-bit lanes → 64 bit-vote sums → unsigned HUGEINT value
+    * `u` in `uns`. Same recipe the x2 oracle proved: both engines parse
+    * the first two 8-hex-char md5 lanes into exact integers, so every
+    * downstream bit is reproducible. The signed BIGHINT conversion (two's
+    * complement fold of `u`) happens in the consumer. */
+  private def simhashCtes: String = {
+    val voteSums = (0 until 64).map { p =>
+      val (lane, sh) = if (p < 32) ("lo", p) else ("hi", p - 32)
+      s"SUM(CASE WHEN (($lane >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS v$p"
+    }.mkString(",\n    ")
+    val uTerms = (0 until 64).map { p =>
+      s"(CASE WHEN v$p > 0 THEN ${BigInt(1) << p}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString("\n    + ")
+    s"""tok AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |tlanes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+       |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+       |  FROM tok),
+       |votes AS MATERIALIZED (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    $voteSums
+       |  FROM tlanes GROUP BY doc_id),
+       |uns AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |    $uTerms AS u
+       |  FROM votes)""".stripMargin
+  }
+
+  /** `u` (unsigned HUGEINT) → signed 64-bit BIGINT, two's complement. */
+  private def signedSimhash(u: String): String =
+    s"CAST(CASE WHEN $u >= ${BigInt(1) << 63}::HUGEINT " +
+      s"THEN $u - ${BigInt(1) << 64}::HUGEINT ELSE $u END AS BIGINT)"
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, ${signedSimhash("u")} AS simhash, n_tokens
+       |FROM uns ORDER BY doc_id""".stripMargin
+
+  /** x3: 64-bit SimHash per doc — one aggregation pass with 64 bit-vote
+    * sums recombined into a long. The per-token 64 bits are the (lo, hi)
+    * md5 lanes (bits 0–31 from lo, 32–63 from hi) — engine-portable, so
+    * the full signature table has a DuckDB hash oracle (flipped from the
+    * round-4 xxhash64 family, which only DuckDB couldn't reproduce);
+    * DedupSpec additionally pins hamming locality for known near-dups. */
+  val simhash = Q.withOracle(
     "x3_simhash",
-    "64-bit SimHash per doc (bit votes over token hashes)")(
-    (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val votes = tok.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          (0 until 64).map { p =>
-            sum(when(shiftright(col("h"), p).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$p")
-          }: _*)
-      val sim = (0 until 64).map { p =>
-        when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      votes.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
-        .orderBy(col("doc_id"))
-    })
+    "64-bit SimHash per doc (bit votes over portable md5 token lanes)",
+    simhashOracle) { (s, dir) =>
+    val lanes = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("m", md5(col("t")))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+    val votes = lanes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (0 until 64).map { p =>
+          val (lane, sh) = if (p < 32) (col("lo"), p) else (col("hi"), p - 32)
+          sum(when(shiftright(lane, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$p")
+        }: _*)
+    // Left-assoc sum of distinct powers of two: partials over bits 0..62
+    // stay ≤ Long.MaxValue and the bit-63 term (Long.MinValue) lands on a
+    // non-negative partial, so ANSI overflow checking never fires.
+    val sim = (0 until 64).map { p =>
+      when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Bands for x27: 4 × 16-bit slices of the 64-bit simhash. By
     * pigeonhole, any pair within hamming distance 3 leaves at least one
     * band untouched, so banding has recall 1.0 for the ≤3 threshold. */
   val SimhashBands = 4
+
+  /** DuckDB twin of x27: same simhash CTEs, bands sliced from the
+    * unsigned HUGEINT with integer div/mod (identical bits to Spark's
+    * `shiftrightunsigned` on the signed long), hamming via
+    * bit_count(xor) on the signed values — two's complement XOR is
+    * bit-identical across engines. */
+  private def simhashPairsOracle: String = {
+    val bandSelects = (0 until SimhashBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"CAST((u // ${BigInt(1) << (b * 16)}::HUGEINT) % 65536 AS BIGINT) AS bh FROM shx"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $simhashCtes,
+       |shx AS MATERIALIZED (
+       |  SELECT doc_id, u, ${signedSimhash("u")} AS simhash FROM uns),
+       |banded AS MATERIALIZED (
+       |  $bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** x27: SimHash near-dup pairs at scale — LSH-band the 64-bit simhash
     * (x3) into 16-bit buckets, self-join only within buckets, then verify
@@ -452,10 +529,12 @@ object Dedup {
     * story: x3 computes the fingerprint, x27 turns it into pairs without
     * the all-pairs comparison (the self-join touches only co-bucketed
     * docs; each doc contributes 4 rows of (16-bit key, id, hash)).
-    * Rows-only (xxhash64-derived); ExtSpec pins pigeonhole recall. */
-  val simhashPairs = Q(
+    * Full DuckDB oracle via the portable md5 family (round 5); ExtSpec
+    * pins pigeonhole recall. */
+  val simhashPairs = Q.withOracle(
     "x27_simhash_band_pairs",
-    "x27: simhash LSH bands → hamming-verified near-dup pairs (≤ 3)")(
+    "x27: simhash LSH bands → hamming-verified near-dup pairs (≤ 3)",
+    simhashPairsOracle)(
     (s, dir) => {
       // localCheckpoint: the banded self-join reads this table TWICE (sides
       // a and b), and without materialization each side re-runs x3's

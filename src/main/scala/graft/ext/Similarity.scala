@@ -82,26 +82,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Random-hyperplane sign buckets, one row per (vec_id, table): table
-    * t's bucket packs the sign bits of planes [t*b, t*b+b). Plane p's
-    * weight for dimension d is ±1 derived from xxhash64(p*64+d) —
-    * deterministic, nothing stored or trained. */
+  /** Embedding dimensionality (the testdata/embeddings contract). */
+  val Dim = 64
+
+  /** Plane p's ±1 weight for dimension d: parity of the first hex nibble
+    * of md5("hp_p_d"), computed ONCE driver-side and inlined as literals
+    * into both the Spark plan and the DuckDB oracle — deterministic,
+    * nothing stored or trained, and (since round 5) engine-portable so
+    * the whole LSH pipeline has a hard oracle. */
+  private[ext] def weight(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${p}_$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) -1.0 else 1.0
+  }
+
+  /** Random-hyperplane sign buckets, one row per (vec_id, tbl): table
+    * t's bucket packs the sign bits of planes [t*b, t*b+b).
+    *
+    * Each projection is an explicit 64-term left-associated sum
+    * `x[0]*w0 + x[1]*w1 + …` — whole-stage-codegen'd (no higher-order
+    * array functions, which evaluate boxed), bit-identical to the
+    * oracle's identically-associated SQL sum, and MAP-ONLY: the round-4
+    * posexplode + double groupBy formulation paid two shuffles per
+    * bucketing pass for the same numbers. */
   private[ext] def bucketed(e: DataFrame): DataFrame = {
-    val nPlanes = NumTables * BitsPerTable
-    val exploded = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .crossJoin(broadcast(
-        e.sparkSession.range(nPlanes).select(col("id").cast("int").as("plane"))))
-    val weight = when(pmod(xxhash64(col("plane") * 64 + col("pos")), lit(2)) === 0, -1.0)
-      .otherwise(1.0)
-    val projections = exploded
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("x").cast("double") * weight).as("proj"))
-    projections
-      .withColumn("table", col("plane") / lit(BitsPerTable) cast "int")
-      .withColumn("bit", pmod(col("plane"), lit(BitsPerTable)))
-      .groupBy(col("vec_id"), col("table"))
-      .agg(sum(when(col("proj") >= 0, expr(s"shiftleft(1, bit)")).otherwise(0))
-        .cast("int").as("bucket"))
+    val projs = (0 until NumTables * BitsPerTable).map { p =>
+      (0 until Dim).map(d => col("embedding").getItem(d).cast("double") * lit(weight(p, d)))
+        .reduce(_ + _).as(s"proj$p")
+    }
+    val withProj = e.select(col("vec_id") +: projs: _*)
+    val buckets = (0 until NumTables).map { t =>
+      (0 until BitsPerTable).map { b =>
+        when(col(s"proj${t * BitsPerTable + b}") >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"bucket$t")
+    }
+    withProj.select(col("vec_id") +: buckets: _*)
+      .select(col("vec_id"), explode(array((0 until NumTables).map { t =>
+        struct(lit(t).as("t"), col(s"bucket$t").as("b"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
   }
 
   /** Candidate (query, neighbor) pairs from the sign buckets. With
@@ -114,26 +133,86 @@ object Similarity {
   private[graft] def lshCandidates(e: DataFrame, multiProbe: Boolean): DataFrame = {
     val buckets = bucketed(e)
     val qb0 = buckets.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val qb =
       if (!multiProbe) qb0
-      else qb0.select(col("query_id"), col("table"),
+      else qb0.select(col("query_id"), col("tbl"),
         explode(array(col("bucket") +: (0 until BitsPerTable).map(i =>
           col("bucket").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
     val nb = buckets
-      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
     // candidates: share any probed bucket (multi-table union → distinct)
-    nb.join(broadcast(qb), Seq("table", "bucket"))
+    nb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
   }
 
+  /** DuckDB twin of x6: the same inlined ±1 weight matrix, the same
+    * left-associated 64-term projection sums (bit-identical doubles →
+    * identical sign buckets), the same multi-probe expansion, and x5's
+    * deterministic-fold cosine for the verify/rank stage. */
+  private def annLshOracle: String = {
+    def projSql(p: Int): String =
+      (0 until Dim).map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${weight(p, d)}")
+        .mkString(" + ")
+    val bucketCols = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { b =>
+        s"(CASE WHEN ${projSql(t * BitsPerTable + b)} >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$bits AS bucket$t"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NumTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, bucket$t AS bucket FROM bk"
+    }.mkString("\n  UNION ALL ")
+    val probeSelects = "SELECT query_id, tbl, bucket FROM qb" +:
+      (0 until BitsPerTable).map { i =>
+        s"SELECT query_id, tbl, xor(bucket, ${1 << i}) AS bucket FROM qb"
+      }
+    s"""WITH bk AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $bucketCols
+       |  FROM embeddings),
+       |banded AS MATERIALIZED (
+       |  $bandSelects),
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id < $NumQueries),
+       |probes AS MATERIALIZED (
+       |  ${probeSelects.mkString("\n  UNION ALL ")}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+       |  FROM banded n JOIN probes p ON n.tbl = p.tbl AND n.bucket = p.bucket
+       |  WHERE n.vec_id <> p.query_id),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x) / (q.nrm * n.nrm) AS cos
+       |  FROM cand c
+       |  JOIN v q ON q.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** x6: LSH-bucketed approximate top-k — same query set as x5, searching
-    * only bucket-mate candidates under multi-probe. Rows-only check;
-    * ExtSpec pins recall vs x5 strictly above the single-probe variant. */
-  val annLsh = Q(
+    * only bucket-mate candidates under multi-probe. Full DuckDB oracle
+    * since round 5 (portable inlined hyperplanes); ExtSpec additionally
+    * pins recall vs x5 strictly above the single-probe variant. */
+  val annLsh = Q.withOracle(
     "x6_ann_lsh_topk",
-    "random-hyperplane LSH multi-probe approximate top-5")(
+    "random-hyperplane LSH multi-probe approximate top-5",
+    annLshOracle)(
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val cand = lshCandidates(e, multiProbe = true)

@@ -33,7 +33,10 @@ def main(out_dir, sf_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_exact = n_approx = n_fail = 0
+    import os
     for name in sorted(oracle):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # filtered Verify run: only check dumped queries
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()

@@ -1,5 +1,7 @@
 package graft.model
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned parquet store: S6's version-and-swap commit grown into the
@@ -9,33 +11,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout: `<root>/v=<n>/` parquet per version plus a one-line `_LATEST`
   * pointer file. A commit writes the new version directory FULLY, then
   * swaps the pointer — readers either see the old pointer or the new
-  * one, never a half-written directory (the same two-phase shape as
-  * SnapshotStore, with history retained instead of overwritten).
-  * Rollback is a pointer swap to an older version; nothing is rewritten.
+  * one, never a half-written directory. Rollback is a pointer swap to an
+  * older version; nothing is rewritten, and the next commit allocates
+  * 1 + the highest version DIRECTORY on disk (not the pointer), so
+  * committing after a rollback creates a new version instead of
+  * clobbering the rolled-past history.
+  *
+  * All metadata IO goes through the Hadoop FileSystem / FileContext API,
+  * so the store works against any Hadoop-supported filesystem
+  * (`file://`, `hdfs://`, object stores with an FS connector) — the same
+  * paths `df.write.parquet` accepts. The pointer swap uses
+  * `FileContext.rename(…, Options.Rename.OVERWRITE)`: atomic on HDFS and
+  * POSIX; on S3-style stores the connector maps it to a copy+delete, and
+  * a conditional-put pointer object is the documented hardening.
   *
   * Scale notes: the pointer file is the only mutable object; version
   * data is immutable-once-written, so concurrent readers never block
   * and object-store eventual consistency on the data files is harmless.
   * Compaction rewrites one version's data into `ceil(rows/target)`
-  * files as a NEW version — history stays intact. */
+  * files as a NEW version — history stays intact.
+  *
+  * Reference behavior being replaced: the remote Postgres store the
+  * reference loads into (credentials.py:1, helper_load_hhs.py:10-28) —
+  * this is the engine's durable-store analog. */
 object VersionedStore {
 
-  private def latestFile(root: String) = new java.io.File(root, "_LATEST")
+  private def hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private def latestPath(root: String) = new Path(root, "_LATEST")
 
   private def versionDir(root: String, v: Int) = s"$root/v=$v"
 
-  /** Current version number, 0 if the store is empty. */
+  /** Current pointer target, 0 if the store is empty / unborn. */
   def latestVersion(root: String): Int = {
-    val f = latestFile(root)
-    if (f.exists())
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
-    else 0
+    val p = latestPath(root)
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    } else 0
+  }
+
+  /** Highest `v=<n>` directory present on disk — the version-allocation
+    * watermark. Distinct from `latestVersion` after a rollback: the
+    * pointer moves back, the directories stay. */
+  private def highestVersionDir(root: String): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    if (!fs.exists(rootPath)) 0
+    else
+      fs.listStatus(rootPath).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) n.drop(2).toIntOption else None
+      }.foldLeft(0)(math.max)
   }
 
   /** Commit `df` as the next version and swap the pointer; returns the
-    * new version number. */
+    * new version number (always a FRESH directory — see class doc on
+    * post-rollback allocation). */
   def commit(df: DataFrame, root: String): Int = {
-    val next = latestVersion(root) + 1
+    val next = highestVersionDir(root) + 1
     df.write.mode("overwrite").parquet(versionDir(root, next))
     setLatest(root, next)
     next
@@ -51,7 +88,8 @@ object VersionedStore {
   /** Roll the pointer back to an existing older version — O(1), no data
     * movement; later versions remain readable by explicit time travel. */
   def rollback(root: String, toVersion: Int): Unit = {
-    require(new java.io.File(versionDir(root, toVersion)).exists(),
+    val dir = new Path(versionDir(root, toVersion))
+    require(dir.getFileSystem(hadoopConf).exists(dir),
       s"version $toVersion does not exist under $root")
     setLatest(root, toVersion)
   }
@@ -69,14 +107,18 @@ object VersionedStore {
   }
 
   private def setLatest(root: String, v: Int): Unit = {
-    val dir = new java.io.File(root)
-    if (!dir.exists()) dir.mkdirs()
-    // write-then-rename: the pointer swap itself is atomic on any POSIX
-    // filesystem; on an object store this maps to a conditional put
-    val tmp = new java.io.File(root, "_LATEST.tmp")
-    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, latestFile(root).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val conf = hadoopConf
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    // write-then-rename: the tmp file is fully written and closed before
+    // the atomic-overwrite rename makes it the pointer
+    val tmp = new Path(root, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(latestPath(root)),
+      Options.Rename.OVERWRITE)
   }
 }

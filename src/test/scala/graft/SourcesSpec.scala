@@ -97,6 +97,26 @@ class SourcesSpec extends SparkSuite {
     assert(VersionedStore.latestVersion(root) === v4)
   }
 
+  test("versioned store: commit after rollback never clobbers rolled-past history") {
+    import graft.model.VersionedStore
+    // drive through an explicit file:/// URI — all store IO goes through
+    // the Hadoop FileSystem API, never java.io.File
+    val root = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-vstore-rb").toString
+    VersionedStore.commit(Seq((1L, "a")).toDF("k", "tag"), root)
+    VersionedStore.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "tag"), root)
+    VersionedStore.rollback(root, 1)
+    // next version allocates PAST the rolled-back v2 directory…
+    val v3 = VersionedStore.commit(Seq((1L, "A")).toDF("k", "tag"), root)
+    assert(v3 === 3)
+    // …so v2's data survives intact (time travel), and the new commit is live
+    assert(VersionedStore.read(spark, root, Some(2))
+      .orderBy($"k").as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(VersionedStore.read(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "A")))
+    assert(VersionedStore.latestVersion(root) === 3)
+  }
+
   test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
     val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
     val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")

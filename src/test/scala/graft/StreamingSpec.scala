@@ -35,27 +35,54 @@ class StreamingSpec extends SparkSuite {
       .toDF("k", "tag", "v", "seq").coalesce(1).write.mode("append").parquet(drop)
     graft.streaming.Cdc.runCdc(spark, drop, schema, store, cp, Seq("k"), "seq")
       .awaitTermination()
-    val got = spark.read.parquet(store).orderBy($"k")
+    val got = graft.streaming.Cdc.readStore(spark, store).orderBy($"k")
       .select($"k", $"tag", $"v").as[(Long, String, Double)].collect().toSeq
     assert(got === Seq((1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0), (9L, "new", 1.0)))
     // replay everything into a fresh checkpoint + store: same final state
     val store2 = tmpDir("cdc-store2") + "/snap"
     graft.streaming.Cdc.runCdc(spark, drop, schema, store2, tmpDir("cdc-cp2"), Seq("k"), "seq")
       .awaitTermination()
-    val replay = spark.read.parquet(store2).orderBy($"k")
+    val replay = graft.streaming.Cdc.readStore(spark, store2).orderBy($"k")
       .select($"k", $"tag", $"v").as[(Long, String, Double)].collect().toSeq
     assert(replay === got)
 
     // drop 3: a STALE image (seq below the store's) re-delivered in a
     // later batch must NOT overwrite the newer store row — newest-wins
-    // is global, not per-batch
+    // is global, not per-batch. Also the scale contract: the merge must
+    // rewrite ONLY the buckets the batch touches.
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
     Seq((2L, "STALE", 0.0, 0L))
       .toDF("k", "tag", "v", "seq").coalesce(1).write.mode("append").parquet(drop)
     graft.streaming.Cdc.runCdc(spark, drop, schema, store, cp, Seq("k"), "seq")
       .awaitTermination()
-    val afterStale = spark.read.parquet(store).filter($"k" === 2L)
+    val afterStale = graft.streaming.Cdc.readStore(spark, store).filter($"k" === 2L)
       .select($"tag", $"v").as[(String, Double)].head()
     assert(afterStale === ("B2", 22.0), s"stale image overwrote store: $afterStale")
+    // partition-targeted merge: the batch touches exactly one bucket
+    // (k=2's), so every OTHER bucket's files must be bit-identical on
+    // disk — same paths, sizes, mtimes
+    val after = fileState()
+    val touchedDir = s"/b=" // bucket dirs look like .../b=<k>/
+    val untouchedBefore = before.filter { case (p, _) =>
+      !p.contains(s"b=${bucketOf(2L)}") }
+    assert(untouchedBefore.nonEmpty, "test needs at least one untouched bucket")
+    untouchedBefore.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"untouched bucket file changed: $p ($touchedDir)")
+    }
+  }
+
+  /** Mirror of Cdc's bucket hash for the single-long-key test store. */
+  private def bucketOf(k: Long): Int = {
+    import spark.implicits._
+    Seq(k).toDF("k")
+      .select(pmod(xxhash64($"k"), lit(graft.streaming.Cdc.DefaultBuckets.toLong))
+        .cast("int")).as[Int].head()
   }
 
   test("scd2Apply versions: closed rows pass through, re-applied updates are no-ops") {
@@ -88,7 +115,7 @@ class StreamingSpec extends SparkSuite {
     eventsWeek(1).coalesce(1).write.mode("overwrite").parquet(flat)
 
     WeeklyFeed.runFeed(spark, flat, store, cp1).awaitTermination()
-    val afterFirst = spark.read.parquet(store)
+    val afterFirst = graft.streaming.SnapshotStore.read(spark, store)
     val expectGrain = eventsWeek(1).select($"user_id", to_date($"ts").as("day"))
       .distinct().count()
     assert(afterFirst.count() === expectGrain)
@@ -98,7 +125,7 @@ class StreamingSpec extends SparkSuite {
     eventsWeek(2).coalesce(1).write.mode("append").parquet(flat)
     eventsWeek(1).coalesce(1).write.mode("append").parquet(flat)
     WeeklyFeed.runFeed(spark, flat, store, cp1).awaitTermination()
-    val afterSecond = spark.read.parquet(store)
+    val afterSecond = graft.streaming.SnapshotStore.read(spark, store)
     val expectBoth = eventsWeek(1).unionByName(eventsWeek(2))
       .select($"user_id", to_date($"ts").as("day")).distinct().count()
     assert(afterSecond.count() === expectBoth)
@@ -109,7 +136,7 @@ class StreamingSpec extends SparkSuite {
     // converges to the same state
     val store2 = tmpDir("store2") + "/snap"
     WeeklyFeed.runFeed(spark, flat, store2, tmpDir("cp2")).awaitTermination()
-    val replay = spark.read.parquet(store2)
+    val replay = graft.streaming.SnapshotStore.read(spark, store2)
     assert(replay.count() === afterSecond.count())
   }
 

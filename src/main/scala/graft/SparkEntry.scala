@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.Reports.all ++
       analytics.Joins.all ++
       analytics.Temporal.all ++
+      analytics.HealthSynth.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++

@@ -22,15 +22,15 @@ import org.apache.spark.sql.functions._
   * - All "latest week" scalars are computed once and broadcast; the one
   *   unpartitioned window (Q1) runs on the tiny week axis.
   */
-final class HealthReport(spark: SparkSession, storeDir: String, asOf: java.sql.Date) {
+final class HealthReport private (
+    spark: SparkSession, tables: String => DataFrame, asOf: java.sql.Date) {
   import Parity._
 
-  /** Missing table → empty table with the DDL schema, mirroring the
-    * reference where CREATE TABLE pre-exists every query. */
-  private def t(name: String): DataFrame =
-    if (new java.io.File(s"$storeDir/$name").exists()) spark.read.parquet(s"$storeDir/$name")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.model.StoreSchemas.byName(name))
+  /** Store-directory form (the fixture-ingest path the specs drive). */
+  def this(spark: SparkSession, storeDir: String, asOf: java.sql.Date) =
+    this(spark, HealthReport.storeReader(spark, storeDir), asOf)
+
+  private def t(name: String): DataFrame = tables(name)
 
   private lazy val weeklyAll = t("weekly_report")
   private lazy val weekly = weeklyAll.filter(col("collection_week") <= lit(asOf))
@@ -166,4 +166,23 @@ final class HealthReport(spark: SparkSession, storeDir: String, asOf: java.sql.D
     "states_fewest_open_beds" -> fewestOpenBedsByState,
     "hospitals_not_reporting" -> nonReporting,
     "hospital_utilization_by_state_over_time" -> utilizationByState)
+}
+
+object HealthReport {
+
+  /** Run the report over in-memory store tables (keys: weekly_report,
+    * hospital, hospital_quality, location) — the registry's synthetic
+    * derivation path (HealthSynth). */
+  def onTables(spark: SparkSession, tables: Map[String, DataFrame],
+      asOf: java.sql.Date): HealthReport =
+    new HealthReport(spark, tables(_), asOf)
+
+  /** Missing table → empty table with the DDL schema, mirroring the
+    * reference where CREATE TABLE pre-exists every query. */
+  private def storeReader(spark: SparkSession, storeDir: String): String => DataFrame =
+    name =>
+      if (new java.io.File(s"$storeDir/$name").exists())
+        spark.read.parquet(s"$storeDir/$name")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.StoreSchemas.byName(name))
 }

@@ -231,6 +231,18 @@ object Dedup {
     * so Spark and the fixed-depth SQL oracle agree. */
   val CcRounds = 8
 
+  /** (doc_a, doc_b) pairs → symmetric (u, v) edge list, consuming the
+    * pair frame ONCE: both directions explode out of each input row.
+    * The union(pairs, pairs.swap) form evaluates the pair subtree twice
+    * — for x16/x16b that subtree is the shingle self-join, the most
+    * expensive stage of the whole query (measured ~2× the edge-init
+    * cost; Spark reuses no exchange across union branches here). */
+  private[graft] def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   /** x16: near-dup pairs → clusters, by connected components over the
     * x4 pair graph (min-label propagation). Pairs alone under-report
     * duplication: A≈B and B≈C is one 3-document cluster with ONE
@@ -264,7 +276,7 @@ object Dedup {
        |FROM l$CcRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+    val edges = symmetrize(pairs)
       .localCheckpoint() // computed once, read by every round
     var labels = edges.select(col("u").as("v"), col("u").as("comp")).distinct()
     // Early exit at the fixpoint: near-dup components have tiny diameter,
@@ -304,20 +316,36 @@ object Dedup {
     * per-round shuffle shape as label propagation, but the alternation
     * converges in O(log n) rounds instead of O(diameter). */
   private[graft] def starRound(edges: DataFrame, large: Boolean): DataFrame = {
-    val m = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    val joined = edges.join(m, "u")
+    // Join-free formulation: ONE groupBy(u) gathers the neighbor list
+    // alongside its min, and the (neighbor, m) re-pointing explodes back
+    // out of the grouped row — the edge list is consumed exactly once
+    // per round (the groupBy+join form scanned it twice), and u itself
+    // rides the appended slot so small-star's u→m edge needs no union
+    // branch. Symmetrization explodes both directions from one row for
+    // the same single-consumption reason (see `symmetrize`).
+    val g = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"), collect_list(col("v")).as("vs"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"),
+        explode(array_append(col("vs"), col("u"))).as("v"))
     val repointed =
-      if (large)
-        joined.filter(col("v") > col("u"))
-          .select(col("v").as("a"), col("m").as("b"))
-      else
-        joined.filter(col("v") <= col("u"))
-          .select(col("v").as("a"), col("m").as("b"))
-          .union(m.select(col("u").as("a"), col("m").as("b")))
-    val e = repointed.filter(col("a") =!= col("b"))
-    e.union(e.select(col("b"), col("a"))).toDF("u", "v").distinct()
+      if (large) g.filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      else g.filter(col("v") <= col("u")) // v = u contributes the u→m edge
+        .select(col("v").as("a"), col("m").as("b"))
+    repointed.filter(col("a") =!= col("b"))
+      .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
   }
+
+  /** starRound emits a duplicate-bearing edge MULTISET — min() and the
+    * neighbor gather are insensitive to duplicates, so the intermediate
+    * distinct between the two star passes of a double-round is a pure
+    * extra shuffle. The caller distincts once per double-round, which
+    * the fingerprint's set-equality argument requires. */
+  private[graft] def starDoubleRound(edges: DataFrame): DataFrame =
+    starRound(starRound(edges, large = true), large = false).distinct()
 
   /** x16b: the O(log n) connected-components form the x16 scaladoc
     * promises — alternating large-star/small-star edge rewrites until the
@@ -333,8 +361,7 @@ object Dedup {
     dedupClusters.oracle.get) { (s, dir) =>
     val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    var edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
-      .distinct().localCheckpoint()
+    var edges = symmetrize(pairs).distinct().localCheckpoint()
     // Fixpoint detection by (count, bit_xor of edge hashes): edge sets are
     // distinct-ed every round, so equal fingerprints mean equal sets (xor
     // collision odds 2^-64, and the DuckDB oracle still gates the final
@@ -352,8 +379,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 20) { // 20 ≈ log2 of any plausible n; the
       rounds += 1                       // fixpoint check is the real stop
-      val next = starRound(starRound(edges, large = true), large = false)
-        .localCheckpoint()
+      val next = starDoubleRound(edges).localCheckpoint()
       val fpNext = fingerprint(next)
       converged = fpNext == fp
       fp = fpNext

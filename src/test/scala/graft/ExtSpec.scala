@@ -125,8 +125,7 @@ class ExtSpec extends SparkSuite {
     var converged = false
     while (!converged && rounds < 10) {
       rounds += 1
-      val next = Dedup.starRound(Dedup.starRound(edges, large = true), large = false)
-        .localCheckpoint()
+      val next = Dedup.starDoubleRound(edges).localCheckpoint()
       converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
     }

@@ -264,14 +264,19 @@ object Curation {
         PiiSsn, "<SSN>"),
       PiiPhone, "<PHONE>")
 
-  /** Redaction count: matches of any PII class in the original text.
-    * (SSN before phone in the replace chain — an SSN also matches the
-    * looser phone shape, and the count mirrors that precedence.) */
-  def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** Redaction count: one count per replacement `piiScrubbed` performs.
+    * Each class counts on text with the EARLIER classes already masked,
+    * mirroring the replace chain's precedence exactly — an SSN also
+    * matches the looser phone shape, and a phone-shaped digit run inside
+    * an email local part must count as the email it was replaced as, not
+    * double-count as a phone. */
+  def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val emailMasked = regexp_replace(text, PiiEmail, "<EMAIL>")
+    val ssnMasked = regexp_replace(emailMasked, PiiSsn, "<SSN>")
     (size(regexp_extract_all(text, lit(PiiEmail), lit(0))) +
-      size(regexp_extract_all(regexp_replace(text, PiiSsn, "<SSN>"),
-        lit(PiiPhone), lit(0))) +
-      size(regexp_extract_all(text, lit(PiiSsn), lit(0)))).cast("long")
+      size(regexp_extract_all(emailMasked, lit(PiiSsn), lit(0))) +
+      size(regexp_extract_all(ssnMasked, lit(PiiPhone), lit(0)))).cast("long")
+  }
 
   /** Per-doc quality score used by x25/x26: distinct-token ratio (the x8
     * `uniq_ratio` signal) — one IEEE division of two exact counts. */

@@ -148,7 +148,11 @@ class CurationSpec extends SparkSuite {
       ("ssn 123-45-6789 and phone (412) 555-1234 ok", "ssn <SSN> and phone <PHONE> ok", 2L),
       ("call +1 412-555-1234 or 412.555.1234", "call <PHONE> or <PHONE>", 2L),
       ("no pii here at all", "no pii here at all", 0L),
-      ("a@b.io c@d.io", "<EMAIL> <EMAIL>", 2L))
+      ("a@b.io c@d.io", "<EMAIL> <EMAIL>", 2L),
+      // a phone-shaped digit run inside an email local part is ONE email
+      // replacement, not email + phone — counts mirror piiScrubbed's
+      // replacement order (email, then SSN, then phone on masked text)
+      ("reach 412 555-1234x@example.com now", "reach 412 <EMAIL> now", 1L))
     val got = cases.map(_._1).toDF("text")
       .select($"text", Curation.piiScrubbed($"text").as("clean"),
         Curation.piiRedactions($"text").as("n"))

@@ -50,6 +50,23 @@ class SemanticsSpec extends SparkSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("A1b HLL++ error stays within the configured rsd at 10x cardinality") {
+    // ScaleProbe's key-shifted 10x orders corpus: ~150k distinct
+    // customers over sf0.1 — the cardinality regime where sketch error
+    // actually bites (the per-week test above has ~4-customer groups).
+    // approx_count_distinct's rsd is 0.02 (one standard deviation);
+    // gate at 3x rsd, comfortably above noise, far below uselessness.
+    val o = ScaleProbe.scaledOrders(spark, "/root/testdata/sf0.1", 10)
+    val got = o.agg(
+        countDistinct($"o_custkey").as("exact"),
+        approx_count_distinct($"o_custkey", 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    val (exact, approx) = got
+    assert(exact > 50000L, s"corpus cardinality too small to test HLL: $exact")
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 0.06, s"HLL rel error $relErr exceeds 3x rsd (exact=$exact approx=$approx)")
+  }
+
   test("decimal-exact sums are identical across partition counts") {
     val li = Tables.lineitem(spark, sf)
     val a = li.agg(Parity.dsum(col("l_extendedprice"))).head().getDouble(0)

@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSuite {
     "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk",
     "x14_embedding_dedup", // non-equi (id<id) pair join over a bounded set
     "x18_tfidf_topterm",   // broadcast of the 1-row corpus-size aggregate
-    "x25b_quality_deciles_approx") // broadcast of the 1-row boundary sketch
+    "x25b_quality_deciles_approx", // broadcast of the 1-row boundary sketch
+    "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 
   test("registry is well-formed: unique names, oracles only for registered queries") {
     val names = SparkEntry.registry.map(_.name)

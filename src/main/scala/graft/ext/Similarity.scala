@@ -85,42 +85,26 @@ object Similarity {
   /** Embedding dimensionality (the testdata/embeddings contract). */
   val Dim = 64
 
-  /** Plane p's ±1 weight for dimension d: parity of the first hex nibble
-    * of md5("hp_p_d"), computed ONCE driver-side and inlined as literals
-    * into both the Spark plan and the DuckDB oracle — deterministic,
-    * nothing stored or trained, and (since round 5) engine-portable so
-    * the whole LSH pipeline has a hard oracle. */
-  private[ext] def weight(p: Int, d: Int): Double = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hp_${p}_$d".getBytes("UTF-8"))
-    if (((h(0) >> 4) & 1) == 0) -1.0 else 1.0
-  }
+  /** Plane p's ±1 weight for dimension d — delegated to the native
+    * expression's matrix so the oracle's inlined literals and the
+    * executed fold share ONE derivation (parity of the first hex nibble
+    * of md5("hp_p_d"): deterministic, nothing stored or trained, and
+    * engine-portable so the whole LSH pipeline has a hard oracle). */
+  private[ext] def weight(p: Int, d: Int): Double =
+    graft.functions.SignBuckets.weight(p, d)
 
   /** Random-hyperplane sign buckets, one row per (vec_id, tbl): table
-    * t's bucket packs the sign bits of planes [t*b, t*b+b).
-    *
-    * Each projection is an explicit 64-term left-associated sum
-    * `x[0]*w0 + x[1]*w1 + …` — whole-stage-codegen'd (no higher-order
-    * array functions, which evaluate boxed), bit-identical to the
-    * oracle's identically-associated SQL sum, and MAP-ONLY: the round-4
-    * posexplode + double groupBy formulation paid two shuffles per
-    * bucketing pass for the same numbers. */
+    * t's bucket packs the sign bits of planes [t*b, t*b+b). MAP-ONLY
+    * (the round-4 posexplode + double-groupBy formulation paid two
+    * shuffles per bucketing pass), via the native `sign_buckets`
+    * expression — one fused pass per vector; the composed 16×64-term
+    * projection select was oracle-exact too but fell out of whole-stage
+    * codegen's method budget (measured 0.69s → 2.5s at sf0.1). */
   private[ext] def bucketed(e: DataFrame): DataFrame = {
-    val projs = (0 until NumTables * BitsPerTable).map { p =>
-      (0 until Dim).map(d => col("embedding").getItem(d).cast("double") * lit(weight(p, d)))
-        .reduce(_ + _).as(s"proj$p")
-    }
-    val withProj = e.select(col("vec_id") +: projs: _*)
-    val buckets = (0 until NumTables).map { t =>
-      (0 until BitsPerTable).map { b =>
-        when(col(s"proj${t * BitsPerTable + b}") >= 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _).cast("int").as(s"bucket$t")
-    }
-    withProj.select(col("vec_id") +: buckets: _*)
-      .select(col("vec_id"), explode(array((0 until NumTables).map { t =>
-        struct(lit(t).as("t"), col(s"bucket$t").as("b"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    graft.functions.SignBuckets.register(e.sparkSession)
+    e.select(col("vec_id"),
+      posexplode(graft.functions.SignBuckets.signBuckets(col("embedding")))
+        .as(Seq("tbl", "bucket")))
   }
 
   /** Candidate (query, neighbor) pairs from the sign buckets. With

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class CosineExprSpec extends SparkSuite {
   import spark.implicits._
 
+  test("sign_buckets equals the composed 16x64-term projection select bit-for-bit") {
+    import graft.functions.SignBuckets
+    SignBuckets.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val native = e.select($"vec_id",
+        posexplode(SignBuckets.signBuckets($"embedding")).as(Seq("tbl", "bucket")))
+    // the composed form the expression replaced: explicit left-assoc sums
+    val projs = (0 until SignBuckets.NumTables * SignBuckets.BitsPerTable).map { p =>
+      (0 until SignBuckets.Dim).map(d =>
+        $"embedding".getItem(d).cast("double") * lit(SignBuckets.weight(p, d)))
+        .reduce(_ + _).as(s"proj$p")
+    }
+    val composed = e.select(($"vec_id" +: projs): _*)
+      .select($"vec_id", explode(array((0 until SignBuckets.NumTables).map { t =>
+        struct(lit(t).as("tbl"),
+          (0 until SignBuckets.BitsPerTable).map { b =>
+            when(col(s"proj${t * SignBuckets.BitsPerTable + b}") >= 0, lit(1 << b))
+              .otherwise(lit(0))
+          }.reduce(_ + _).cast("int").as("bucket"))
+      }: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl", $"tb.bucket")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
   private def vectors = Tables.embeddings(spark, sf)
     .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vd"))
 

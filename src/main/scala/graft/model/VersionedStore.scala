@@ -106,6 +106,28 @@ object VersionedStore {
     commit(df.repartition(files), root)
   }
 
+  /** Delete version directories older than the `keepLast` most recent
+    * ones that are ≤ the pointer (rolled-past higher versions are kept —
+    * they are un-garbage-collectable history until rolled forward past).
+    * The streaming stores commit every micro-batch, so unbounded history
+    * is unbounded storage; vacuum is the retention knob, exactly like a
+    * table format's VACUUM. Returns the deleted version numbers. */
+  def vacuum(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val live = latestVersion(root)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val versions = fs.listStatus(rootPath).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v=")) n.drop(2).toIntOption else None
+    }.toSeq.sorted
+    val keep = versions.filter(_ <= live).takeRight(keepLast).toSet
+    val doomed = versions.filter(v => v <= live && !keep(v))
+    doomed.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
+    doomed
+  }
+
   private def setLatest(root: String, v: Int): Unit = {
     val conf = hadoopConf
     val rootPath = new Path(root)

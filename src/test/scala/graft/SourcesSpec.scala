@@ -117,6 +117,23 @@ class SourcesSpec extends SparkSuite {
     assert(VersionedStore.latestVersion(root) === 3)
   }
 
+  test("versioned store: vacuum retains keepLast versions and never the live one") {
+    import graft.model.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-vac").toString
+    (1 to 5).foreach(i =>
+      VersionedStore.commit(Seq((i.toLong, s"v$i")).toDF("k", "tag"), root))
+    val deleted = VersionedStore.vacuum(root, keepLast = 2)
+    assert(deleted === Seq(1, 2, 3))
+    // survivors: v4 (history depth 2) and v5 (live)
+    assert(VersionedStore.read(spark, root, Some(4)).count() === 1)
+    assert(VersionedStore.read(spark, root).as[(Long, String)].head() === ((5L, "v5")))
+    intercept[Exception](VersionedStore.read(spark, root, Some(2)).count())
+    // a rolled-past higher version is never vacuumed (still time-travelable)
+    VersionedStore.rollback(root, 4)
+    assert(VersionedStore.vacuum(root, keepLast = 1) === Seq.empty)
+    assert(VersionedStore.read(spark, root, Some(5)).count() === 1)
+  }
+
   test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
     val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
     val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")

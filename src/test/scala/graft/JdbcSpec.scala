@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.Jdbc
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** JDBC source/sink parity, driven end-to-end against embedded Derby
+  * (ships with Spark — no external database needed): write a testdata
+  * slice out, read it back single-stream and range-partitioned, and
+  * assert filter pushdown reaches the JDBC scan node. */
+class JdbcSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val url = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("JDBC round-trip: write orders slice, read back identical") {
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .filter($"o_orderkey" < 1000)
+    Jdbc.write(src, url, "orders_rt", SaveMode.Overwrite)
+    val back = Jdbc.read(spark, url, "orders_rt")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned JDBC read: parallel range slices, same rows") {
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 2000)
+    Jdbc.write(src, url, "orders_part", SaveMode.Overwrite)
+    val back = Jdbc.readPartitioned(spark, url, "orders_part",
+      "o_orderkey", 0L, 2000L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("filters push down into the remote JDBC query") {
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 500)
+    Jdbc.write(src, url, "orders_push", SaveMode.Overwrite)
+    val q = Jdbc.read(spark, url, "orders_push").filter($"o_totalprice" > 1000.0)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"no pushed filter on JDBC scan:\n$plan")
+    val expected = src.filter($"o_totalprice" > 1000.0)
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+  }
+}

@@ -248,5 +248,49 @@ object Similarity {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
-  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup)
+  /** x31: symmetric int8 embedding quantization — the storage/compute
+    * shrink a 100 TB vector corpus runs before ANN serving (4× smaller
+    * than float32, integer SIMD dot products downstream). Per vector:
+    * scale = 127 / max|x| (0 for the zero vector), q = clamp(round-half-
+    * up(x·scale), ±127). Exploded to scalar rows so the driver hash
+    * checks every quantized value; round-half-up is spelled
+    * `floor(v + 0.5)` — exact double ops both engines compute
+    * identically. Map-only: one pass, no shuffle (the ORDER BY is the
+    * driver-contract determinism requirement). */
+  val quantizeInt8 = Q.withOracle(
+    "x31_quantize_int8",
+    "x31: symmetric int8 quantization of embeddings (scale + values)",
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN ma = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(127 AS DOUBLE) / ma END AS scale
+       |  FROM s),
+       |ex AS (
+       |  SELECT vec_id, scale, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM sc)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, scale,
+       |  CAST(LEAST(GREATEST(
+       |    floor(CAST(embedding[i] AS DOUBLE) * scale + 0.5),
+       |    -127), 127) AS INTEGER) AS q
+       |FROM ex ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+    val withScale = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("ma"))
+      .withColumn("scale",
+        when(col("ma") === 0, lit(0.0)).otherwise(lit(127.0) / col("ma")))
+    withScale
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("scale"),
+        least(greatest(floor(col("x").cast("double") * col("scale") + lit(0.5)),
+          lit(-127.0)), lit(127.0)).cast("int").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup, quantizeInt8)
 }

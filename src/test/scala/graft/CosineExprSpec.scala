@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
 class CosineExprSpec extends SparkSuite {
   import spark.implicits._
 
+  test("x31 int8 quantization: reconstruction error bounded by half a quantization step") {
+    val q = SparkEntry.queries("x31_quantize_int8")(spark, sf)
+    val x = Tables.embeddings(spark, sf)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos".cast("long").as("pos"), $"x".cast("double").as("x"))
+    // dequant q/scale must sit within half a step (max|x|/254) of x;
+    // small fp slack for the scale division
+    val bad = q.filter($"scale" > 0).join(x, Seq("vec_id", "pos"))
+      .withColumn("err", abs($"q" / $"scale" - $"x"))
+      .withColumn("halfStep", lit(0.5) / $"scale" + lit(1e-9))
+      .filter($"err" > $"halfStep")
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("sign_buckets equals the composed 16x64-term projection select bit-for-bit") {
     import graft.functions.SignBuckets
     SignBuckets.register(spark)

@@ -85,4 +85,13 @@ object WeeklyFeed {
   def upsertIntoStore(batch: DataFrame, storeDir: String): Unit =
     SnapshotStore.commit(batch, storeDir)(
       (existing, incoming) => Etl.upsert(existing, incoming, Seq("user_id", "day")))
+
+  /** Stream-static enrichment: the event feed joined against a bounded
+    * dimension table (the reference's hospital→location chain shape, as
+    * a stream). The static side is explicitly broadcast — each
+    * micro-batch pays a map-side hash lookup, never a stateful
+    * stream-stream join and never a per-batch shuffle of the feed; at
+    * 100 TB/day of events this is the only join shape that holds. */
+  def enriched(feed: DataFrame, dim: DataFrame, key: String): DataFrame =
+    feed.join(org.apache.spark.sql.functions.broadcast(dim), key)
 }

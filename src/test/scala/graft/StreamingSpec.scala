@@ -140,6 +140,29 @@ class StreamingSpec extends SparkSuite {
     assert(replay.count() === afterSecond.count())
   }
 
+  test("stream-static broadcast enrichment matches the batch join, no stream shuffle") {
+    val flat = tmpDir("enrich")
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(flat)
+    // bounded dim: a per-user segment table derived once (static side)
+    val dim = Tables.events(spark, sf).select($"user_id").distinct()
+      .withColumn("segment", pmod($"user_id", lit(3L)))
+    val q = WeeklyFeed.enriched(WeeklyFeed.readFeed(spark, flat), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("enriched_out")
+      .select($"event_id", $"user_id", $"segment")
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(dim), "user_id")
+      .select($"event_id", $"user_id", $"segment")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch cumsum sessions") {
     val flat = tmpDir("sess")
     Tables.events(spark, sf)

@@ -135,19 +135,28 @@ object Similarity {
     * left-associated 64-term projection sums (bit-identical doubles →
     * identical sign buckets), the same multi-probe expansion, and x5's
     * deterministic-fold cosine for the verify/rank stage. */
-  private def annLshOracle: String = {
+  /** SQL for the per-table sign-bucket columns — shared by the x6 and
+    * x32 oracles; the same weight matrix the native expression uses. */
+  private def bucketSqlCols: String = {
     def projSql(p: Int): String =
       (0 until Dim).map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${weight(p, d)}")
         .mkString(" + ")
-    val bucketCols = (0 until NumTables).map { t =>
+    (0 until NumTables).map { t =>
       val bits = (0 until BitsPerTable).map { b =>
         s"(CASE WHEN ${projSql(t * BitsPerTable + b)} >= 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       s"$bits AS bucket$t"
     }.mkString(",\n    ")
-    val bandSelects = (0 until NumTables).map { t =>
+  }
+
+  private def bandSqlSelects: String =
+    (0 until NumTables).map { t =>
       s"SELECT vec_id, $t AS tbl, bucket$t AS bucket FROM bk"
     }.mkString("\n  UNION ALL ")
+
+  private def annLshOracle: String = {
+    val bucketCols = bucketSqlCols
+    val bandSelects = bandSqlSelects
     val probeSelects = "SELECT query_id, tbl, bucket FROM qb" +:
       (0 until BitsPerTable).map { i =>
         s"SELECT query_id, tbl, xor(bucket, ${1 << i}) AS bucket FROM qb"
@@ -248,6 +257,68 @@ object Similarity {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
+  /** x32: the SCALE path for embedding near-dup dedup made concrete —
+    * x14's scaladoc promises "the pair source swaps to the LSH bucket
+    * candidates at scale with identical verify semantics"; this is that
+    * composition, registered and oracle-checked: sign-bucket the
+    * vectors (map-only native expression), expand candidate pairs only
+    * WITHIN (table, bucket) groups via collect_list (each vector row
+    * shuffles once — never an all-pairs join), then verify candidates
+    * with the exact deterministic-fold cosine and keep-lowest-id
+    * survivor marking. Bounded to x14's vec_id < 500 window so the spec
+    * can measure LSH recall against the exact all-pairs baseline
+    * directly. */
+  val lshDedup = Q.withOracle(
+    "x32_embedding_dedup_lsh",
+    "x32: LSH-bucketed embedding near-dup pairs >= 0.3 (x14's scale path)",
+    s"""WITH bk AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $bucketSqlCols
+       |  FROM embeddings WHERE vec_id < 500),
+       |banded AS MATERIALIZED (
+       |  $bandSqlSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+       |  FROM banded a JOIN banded b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings WHERE vec_id < 500),
+       |scoredp AS MATERIALIZED (
+       |  SELECT c.keep_id, c.dup_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(a.embedding)),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+       |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+       |  FROM cand c
+       |  JOIN v a ON a.vec_id = c.keep_id
+       |  JOIN v b ON b.vec_id = c.dup_id)
+       |SELECT keep_id, dup_id, cos FROM scoredp
+       |WHERE cos >= 0.3 ORDER BY keep_id, dup_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+    val cand = bucketed(e)
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a AS keep_id, b AS dup_id))))""".stripMargin)).as("p"))
+      .select(col("p.keep_id"), col("p.dup_id"))
+      .distinct()
+    val v = e.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
+    cand
+      .join(v.select(col("vec_id").as("keep_id"), col("vd").as("va")), "keep_id")
+      .join(v.select(col("vec_id").as("dup_id"), col("vd").as("vb")), "dup_id")
+      .withColumn("cos", cosine(s, col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("keep_id"), col("dup_id"), col("cos"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
   /** x31: symmetric int8 embedding quantization — the storage/compute
     * shrink a 100 TB vector corpus runs before ANN serving (4× smaller
     * than float32, integer SIMD dot products downstream). Per vector:
@@ -292,5 +363,5 @@ object Similarity {
       .orderBy(col("vec_id"), col("pos"))
   }
 
-  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup, quantizeInt8)
+  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup, quantizeInt8, lshDedup)
 }

@@ -149,6 +149,21 @@ class ExtSpec extends SparkSuite {
     assert(SparkEntry.queries("x16b_dedup_clusters_star")(spark, dir).count() === 0)
   }
 
+  test("x32 LSH dedup pairs are a subset of exact x14 with useful recall") {
+    val lsh = SparkEntry.queries("x32_embedding_dedup_lsh")(spark, sf)
+      .select($"keep_id", $"dup_id")
+    val exact = SparkEntry.queries("x14_embedding_dedup")(spark, sf)
+      .select($"keep_id", $"dup_id")
+    // soundness: every LSH-verified pair is an exact pair (the verify
+    // stage is the same cosine threshold)
+    assert(lsh.exceptAll(exact).isEmpty, "x32 emitted a pair x14 does not have")
+    // recall: bucket-mate candidates must find a non-trivial share of
+    // the exact pairs (isotropic synthetic embeddings make LSH recall
+    // inherently weak — this pins 'useful', not 'near-1.0')
+    val recall = lsh.count().toDouble / exact.count().max(1L)
+    assert(recall > 0.10, s"x32 recall collapsed: $recall")
+  }
+
   test("x6 multi-probe strictly improves candidate recall over single-probe") {
     // same tables, same bits — the only change is each query also probing
     // its bucket's 1-bit neighbors, so the candidate set is a superset and

@@ -26,6 +26,7 @@ object SparkEntry {
       ext.Multimodal.all ++
       ext.Sampling.all ++
       ext.Curation.all ++
+      ext.Search.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

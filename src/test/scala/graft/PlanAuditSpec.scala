@@ -14,6 +14,7 @@ class PlanAuditSpec extends SparkSuite {
     "x14_embedding_dedup", // non-equi (id<id) pair join over a bounded set
     "x18_tfidf_topterm",   // broadcast of the 1-row corpus-size aggregate
     "x25b_quality_deciles_approx", // broadcast of the 1-row boundary sketch
+    "x33_bm25_topk",               // broadcast of the 1-row corpus stats (N, sum dl)
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 
   test("registry is well-formed: unique names, oracles only for registered queries") {

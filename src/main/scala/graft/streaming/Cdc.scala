@@ -62,7 +62,7 @@ object Cdc {
     * count is fixed at creation (a later different `numBuckets` argument
     * is ignored) — re-hashing an existing store would silently split
     * keys across buckets. */
-  private def pinnedBuckets(spark: SparkSession, storeDir: String): Int = {
+  private[streaming] def pinnedBuckets(spark: SparkSession, storeDir: String): Int = {
     val p = bucketsPath(storeDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0
@@ -73,7 +73,17 @@ object Cdc {
     }
   }
 
-  private def writeBucketsFile(spark: SparkSession, storeDir: String, n: Int): Unit = {
+  /** Whether a bucketed store has been created at `dir` (its `_BUCKETS`
+    * pin exists). Shared with [[AggView]]'s view store, which uses the
+    * same layout. */
+  private[streaming] def storeExists(spark: SparkSession, dir: String): Boolean =
+    pinnedBuckets(spark, dir) > 0
+
+  /** [[AggView]]'s access to the bucket-assignment column. */
+  private[streaming] def bucketColFor(cols: Seq[String], n: Int) =
+    bucketCol(cols, n)
+
+  private[streaming] def writeBucketsFile(spark: SparkSession, storeDir: String, n: Int): Unit = {
     val p = bucketsPath(storeDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)

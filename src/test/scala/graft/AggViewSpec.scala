@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.{AggView, Cdc}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Delta-maintained aggregate view over the bucketed CDC store: the
+  * incremental path must equal a full recompute from the final store
+  * after every batch, under inserts, value updates, cross-group moves,
+  * stale images, order ties, and group extinction — and must leave
+  * view buckets its deltas don't hash into byte-identical on disk. */
+class AggViewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private val keys = Seq("k")
+  private val groupCols = Seq("g")
+  private val sumCols = Seq("v")
+
+  private def img(rows: (Long, String, Long, Long)*): DataFrame =
+    rows.toDF("k", "g", "v", "seq")
+
+  private def recompute(store: String): Seq[(String, Long, Long)] =
+    Cdc.readStore(spark, store).groupBy($"g")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+
+  private def view(viewDir: String): Seq[(String, Long, Long)] =
+    AggView.readView(spark, viewDir).orderBy($"g")
+      .select($"g", $"cnt", $"sum_v").as[(String, Long, Long)].collect().toSeq
+
+  test("incremental view equals recompute across inserts/updates/moves/stale/ties/extinction") {
+    val store = tmpDir("av-store") + "/base"
+    val viewDir = tmpDir("av-view") + "/view"
+    def step(b: DataFrame): Unit =
+      AggView.mergeWithView(b, store, viewDir, keys, "seq", groupCols, sumCols)
+
+    // batch 1: seed
+    step(img((1L, "A", 10L, 1L), (2L, "A", 20L, 1L), (3L, "B", 30L, 1L), (4L, "C", 5L, 1L)))
+    assert(view(viewDir) === Seq(("A", 2L, 30L), ("B", 1L, 30L), ("C", 1L, 5L)))
+    assert(view(viewDir) === recompute(store))
+
+    // batch 2: cross-group move (k=2 A→B), stale image (k=3 seq 0 must
+    // not apply), insert (k=5), same-group value update (k=4)
+    step(img((2L, "B", 25L, 2L), (3L, "B", 999L, 0L), (5L, "A", 7L, 1L), (4L, "C", 6L, 2L)))
+    assert(view(viewDir) === Seq(("A", 2L, 17L), ("B", 2L, 55L), ("C", 1L, 6L)))
+    assert(view(viewDir) === recompute(store))
+
+    // batch 3: order tie on k=1 (incoming wins, v 10→11) and group
+    // extinction (k=4 C→D leaves C empty → C's view row is dropped)
+    step(img((1L, "A", 11L, 1L), (4L, "D", 6L, 3L)))
+    assert(view(viewDir) === Seq(("A", 2L, 18L), ("B", 2L, 55L), ("D", 1L, 6L)))
+    assert(view(viewDir) === recompute(store))
+
+    // recovery path: rebuilding from the base store gives the same view
+    AggView.rebuild(spark, store, viewDir, groupCols, sumCols)
+    assert(view(viewDir) === Seq(("A", 2L, 18L), ("B", 2L, 55L), ("D", 1L, 6L)))
+  }
+
+  test("a batch's deltas rewrite only the view buckets its groups hash into") {
+    val store = tmpDir("av2-store") + "/base"
+    val viewDir = tmpDir("av2-view") + "/view"
+    // many groups so several view buckets exist
+    val seed = (1L to 40L).map(k => (k, s"g${k % 10}", k, 1L))
+    AggView.mergeWithView(img(seed: _*), store, viewDir, keys, "seq", groupCols, sumCols)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(viewDir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
+    // touch exactly one group (g3): its old and new images share the group
+    AggView.mergeWithView(img((3L, "g3", 100L, 2L)), store, viewDir,
+      keys, "seq", groupCols, sumCols)
+    assert(view(viewDir) === recompute(store))
+    val g3Bucket = Seq("g3").toDF("g")
+      .select(pmod(xxhash64($"g"), lit(Cdc.DefaultBuckets.toLong)).cast("int"))
+      .as[Int].head()
+    val after = fileState()
+    val untouched = before.filter { case (p, _) => !p.contains(s"b=$g3Bucket") }
+    assert(untouched.nonEmpty, "test needs at least one untouched view bucket")
+    untouched.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"untouched view bucket changed: $p")
+    }
+  }
+
+  test("streaming entry: runCdcWithView maintains base + view from file drops") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("v", LongType), StructField("seq", LongType)))
+    val drop = tmpDir("av3-drop"); val cp = tmpDir("av3-cp")
+    val store = tmpDir("av3-store") + "/base"
+    val viewDir = tmpDir("av3-view") + "/view"
+    img((1L, "A", 10L, 1L), (2L, "B", 20L, 1L))
+      .coalesce(1).write.mode("append").parquet(drop)
+    AggView.runCdcWithView(spark, drop, schema, store, viewDir, cp,
+      keys, "seq", groupCols, sumCols).awaitTermination()
+    img((2L, "A", 21L, 2L), (3L, "B", 5L, 1L))
+      .coalesce(1).write.mode("append").parquet(drop)
+    AggView.runCdcWithView(spark, drop, schema, store, viewDir, cp,
+      keys, "seq", groupCols, sumCols).awaitTermination()
+    assert(view(viewDir) === Seq(("A", 2L, 31L), ("B", 1L, 5L)))
+    assert(view(viewDir) === recompute(store))
+  }
+}

@@ -74,10 +74,14 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // x33/x34 are deliberately absent: their probe terms are un-renamed
+    // base-corpus tokens, so the bijective rename would make every copy
+    // (including copy 0) miss — the probe would time an empty candidate
+    // set, not retrieval.
     val queries = Seq("x1_dedup_exact", "x9_token_counts", "x2_minhash_lsh_pairs",
       "x3_simhash", "x23_pack_sequences", "x16_dedup_clusters", "x4_jaccard_pairs",
       "x15_asof_join", "w5_trailing_30d_spend", "t6_topk_per_key",
-      "j2_orders_lineitem_join")
+      "j2_orders_lineitem_join", "x35_chunk_sliding", "x37_bigram_counts")
     val base = "/root/testdata/sf0.1"
     Seq(1, 4, maxFactor).distinct.foreach { f =>
       val dir = s"/tmp/graft-scale-$f"

@@ -27,6 +27,7 @@ object SparkEntry {
       ext.Sampling.all ++
       ext.Curation.all ++
       ext.Search.all ++
+      ext.Corpus.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,242 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for an LLM training pipeline over
+  * `documents`: hybrid-retrieval rank fusion, sliding-window chunking,
+  * vocabulary building, n-gram counts, and OOV-rate scoring.
+  *
+  * Reference scope being re-expressed: the reference's surface is SQL
+  * aggregation over healthcare tables (weekly-report.py:269-403); these
+  * ops are the LLM-pipeline extension surface the builder brief adds as
+  * first-class components over the synthetic `documents` corpus.
+  *
+  * Scale shapes (100 TB posture):
+  *  - x34 fuses two retriever rankings; each side's full ranking is
+  *    truncated to a bounded per-query pool by the TopKPerKey plan node
+  *    (partial/final heaps around one shuffle), so no window ever sees
+  *    more than `RrfPoolN` rows per query.
+  *  - x35 is a pure map + explode — zero shuffles; chunk arrays are
+  *    built per row and never collected.
+  *  - x36/x37 are one hash-aggregate plus a TakeOrderedAndProject
+  *    (bounded k); the only Window runs over the ≤k survivors.
+  *  - x38 broadcasts the tiny vocabulary and counts map-side; one keyed
+  *    aggregate per doc.
+  */
+object Corpus {
+
+  /** Chunking geometry: 64-token windows every 48 tokens (16 overlap). */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Vocabulary cutoff. The synthetic corpus has ~31 distinct tokens, so
+    * 20 makes the truncation (and x38's OOV mass) real rather than
+    * degenerate; at scale this would be 10⁵-ish. */
+  private val VocabK = 20
+
+  private val BigramK = 200
+
+  /** Standard RRF constant (Cormack et al.'s k=60). */
+  private val RrfK = 60
+
+  /** Per-retriever candidate pool fused by x34 — production hybrid
+    * search fuses each system's top-N, not its full ranking. */
+  private val RrfPoolN = 100
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  /** x34: reciprocal-rank fusion of two retrievers over the x33 probe
+    * queries — a lexical ranking (total query-term frequency) and a
+    * coverage ranking (distinct query terms matched, tf tiebreak).
+    * RRF score = Σ 1/(k + rank) over the systems that returned the doc,
+    * summed in a fixed system order so the double addition is
+    * bit-reproducible cross-engine. Ranks come from integer-only
+    * orderings with doc_id tiebreaks, so both engines rank identically.
+    */
+  val rrfFusion = Q.withOracle(
+    "x34_rrf_fusion",
+    "x34: hybrid-retrieval reciprocal-rank fusion, top-5 docs per probe query",
+    s"""WITH qt(query_id, term) AS (VALUES ${Search.qtValues}),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |mt AS (SELECT q.query_id, t.doc_id, t.term FROM toks t JOIN qt q USING (term)),
+      |cand AS (SELECT query_id, doc_id, COUNT(*) AS tf_sum,
+      |                COUNT(DISTINCT term) AS coverage
+      |         FROM mt GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY tf_sum DESC, doc_id) AS r
+      |        FROM cand QUALIFY r <= $RrfPoolN),
+      |cov AS (SELECT query_id, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY coverage DESC, tf_sum DESC, doc_id) AS r
+      |        FROM cand QUALIFY r <= $RrfPoolN),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, c.query_id) AS query_id,
+      |         COALESCE(l.doc_id, c.doc_id) AS doc_id,
+      |         COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + l.r), CAST(0.0 AS DOUBLE))
+      |           + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + c.r), CAST(0.0 AS DOUBLE)) AS rrf
+      |  FROM lex l FULL JOIN cov c USING (query_id, doc_id))
+      |SELECT query_id, doc_id, rrf FROM fused
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |  ORDER BY rrf DESC, doc_id) <= 5
+      |ORDER BY query_id, rrf DESC, doc_id""".stripMargin) { (s, dir) =>
+    graft.plans.TopKPerKey.register(s)
+    val docs = Tables.documents(s, dir)
+    val qt = s.createDataFrame(Search.QueryTerms).toDF("query_id", "term")
+    val tk = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // Filter-first: only query-term tokens survive this broadcast join.
+    val cand = tk.join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_sum"), countDistinct(col("term")).as("coverage"))
+    // Bounded-heap truncation BEFORE any window: the row_number below
+    // only ever sorts ≤ RrfPoolN rows per query.
+    def ranked(order: Seq[(String, Boolean)], rName: String) = {
+      val pool = graft.plans.TopKPerKey.topKPerKey(cand, Seq("query_id"), order, RrfPoolN)
+      val w = Window.partitionBy(col("query_id")).orderBy(
+        order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+      pool.withColumn(rName, row_number().over(w))
+        .select(col("query_id"), col("doc_id"), col(rName))
+    }
+    val lex = ranked(Seq(("tf_sum", false), ("doc_id", true)), "r_lex")
+    val cov = ranked(Seq(("coverage", false), ("tf_sum", false), ("doc_id", true)), "r_cov")
+    // Fixed lex-then-cov addition order mirrors the oracle exactly.
+    val fused = lex.join(cov, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_cov")), lit(0.0))).as("rrf"))
+    graft.plans.TopKPerKey
+      .topKPerKey(fused, Seq("query_id"), Seq(("rrf", false), ("doc_id", true)), k = 5)
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** x35: sliding-window chunking — split each document into
+    * overlapping token windows (the training-example splitter that
+    * precedes packing). Pure map + explode: zero shuffles at any scale;
+    * the final ORDER BY exists only for the deterministic-bytes
+    * contract. */
+  val chunkSliding = Q.withOracle(
+    "x35_chunk_sliding",
+    s"x35: $ChunkSize-token chunks every $ChunkStride tokens, overlap preserved",
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n FROM documents),
+      |starts AS (
+      |  SELECT doc_id, toks, n,
+      |         unnest(generate_series(0, n - 1, $ChunkStride)) AS chunk_start FROM d)
+      |SELECT doc_id, chunk_start,
+      |  least($ChunkSize, n - chunk_start) AS n_chunk_tokens,
+      |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + $ChunkSize), ' ')
+      |    AS chunk_text
+      |FROM starts ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
+    val t = toks(col("text"))
+    val n = size(t)
+    val chunks = transform(
+      sequence(lit(0), n - lit(1), lit(ChunkStride)),
+      start => struct(
+        start.cast("long").as("chunk_start"),
+        least(lit(ChunkSize), n - start).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(t, start + lit(1), lit(ChunkSize))).as("chunk_text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_start"), col("c.n_chunk_tokens"),
+        col("c.chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
+  /** Corpus token counts — shared by x36 and x38. One explode + one
+    * map-side-combined hash aggregate. */
+  private def tokenCounts(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** The top-`VocabK` vocabulary (no ids) — TakeOrderedAndProject, so
+    * the driver-side cost is k rows regardless of corpus size. */
+  private def vocab(docs: org.apache.spark.sql.DataFrame) =
+    tokenCounts(docs).orderBy(col("cnt").desc, col("token")).limit(VocabK)
+
+  /** x36: frequency-vocabulary build with dense integer ids — the
+    * tokenizer-training precursor. The global row_number window runs
+    * AFTER the top-k truncation, over exactly `VocabK` rows; the same
+    * total order (cnt DESC, token) defines both the cutoff and the ids,
+    * so the subset-then-rank plan and the oracle's rank-then-filter
+    * QUALIFY agree row-for-row. */
+  val vocabTopK = Q.withOracle(
+    "x36_vocab_build",
+    s"x36: top-$VocabK token vocabulary with dense frequency-ranked ids",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id,
+      |  token, cnt
+      |FROM counts
+      |QUALIFY token_id <= $VocabK
+      |ORDER BY token_id""".stripMargin) { (s, dir) =>
+    vocab(Tables.documents(s, dir))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(col("token_id"), col("token"), col("cnt"))
+      .orderBy(col("token_id"))
+  }
+
+  /** x37: bigram counts — the n-gram language-model statistic. Adjacent
+    * pairs come from zipping the token array with its own tail
+    * (`zip_with` pads the tail with NULL; null-propagating `concat`
+    * marks the pad pair, which the array `filter` drops), so the pair
+    * construction is a pure per-row expression — no positional
+    * self-join, no shuffle of anything but (bigram, count). */
+  val bigramCounts = Q.withOracle(
+    "x37_bigram_counts",
+    s"x37: top-$BigramK adjacent-token bigram counts over the corpus",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |           len(string_split(text, ' ')) AS n FROM documents),
+      |pos AS (SELECT doc_id, toks, unnest(generate_series(1, n - 1)) AS i FROM d),
+      |bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM pos),
+      |counts AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY 1)
+      |SELECT bigram, cnt FROM counts
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) <= $BigramK
+      |ORDER BY cnt DESC, bigram""".stripMargin) { (s, dir) =>
+    val t = toks(col("text"))
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (a, b) => concat(a, lit(" "), b)),
+      p => p.isNotNull)
+    Tables.documents(s, dir)
+      .select(explode(pairs).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(BigramK)
+  }
+
+  /** x38: per-document out-of-vocabulary rate against the x36
+    * vocabulary — the coverage score a tokenizer/corpus pairing is
+    * judged by. The vocabulary (≤ `VocabK` rows) is broadcast, so the
+    * token-level join is map-side; one keyed aggregate per doc follows.
+    */
+  val oovRate = Q.withOracle(
+    "x38_oov_rate",
+    s"x38: per-doc OOV token count/rate vs the top-$VocabK vocabulary",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |vocab AS (SELECT token FROM counts
+      |          QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token) <= $VocabK)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+      |  CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+      |    AS oov_rate
+      |FROM toks t LEFT JOIN vocab v USING (token)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tk = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val v = vocab(docs).select(col("token"), lit(1).as("in_vocab"))
+    tk.join(broadcast(v), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"),
+        (count(when(col("in_vocab").isNull, lit(1))).cast("double") /
+          count(lit(1))).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts, oovRate)
+}

@@ -28,13 +28,15 @@ object Search {
   private val B = 0.75
 
   /** The probe queries, inline and deterministic: (query_id, term).
-    * Terms are unique across queries so df/tf can be keyed by term. */
-  private val QueryTerms: Seq[(Int, String)] = Seq(
+    * Terms are unique across queries so df/tf can be keyed by term.
+    * Shared with [[Corpus]]'s rank-fusion op so both retrieval surfaces
+    * answer the same probes. */
+  private[ext] val QueryTerms: Seq[(Int, String)] = Seq(
     1 -> "hash", 1 -> "join", 1 -> "merge",
     2 -> "vector", 2 -> "scan", 2 -> "filter",
     3 -> "customer", 3 -> "order", 3 -> "data")
 
-  private val qtValues =
+  private[ext] val qtValues =
     QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** x33: BM25 top-5 documents per probe query.

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan-shape audits for the corpus-prep operators
+  * (ext/Corpus.scala: x34-x38). Cross-engine value equality is carried by
+  * the DuckDB oracles; these tests pin the properties an oracle diff
+  * would not localize — chunk geometry, rank-fusion monotonicity,
+  * vocabulary density, and the scale-critical plan shapes. */
+class CorpusSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x35 chunks tile each document: strides cover, sizes clamp, text reassembles") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = q("x35_chunk_sliding")
+    // Per doc: starts are 0, 48, 96…; every start < n_tokens; the last
+    // chunk is the only one allowed to be short; interior chunks are 64.
+    val joined = chunks.join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk_start"), col("n_chunk_tokens"),
+        col("chunk_text"), size(col("toks")).as("n"))
+      .collect()
+    joined.foreach { r =>
+      val (start, len, n) = (r.getLong(1), r.getLong(2), r.getInt(4).toLong)
+      assert(start % 48 == 0 && start < n, s"bad start $start for n=$n")
+      assert(len == math.min(64L, n - start), "chunk length must clamp at the tail")
+      assert(r.getString(3).split(" ", -1).length.toLong == len,
+        "chunk_text token count must equal n_chunk_tokens")
+    }
+    // Full coverage: per doc, sum of non-overlapped stride widths == n.
+    val perDoc = joined.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    perDoc.foreach { case (id, starts) =>
+      assert(starts.head == 0L, s"doc $id first chunk must start at 0")
+      starts.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) == 48L, s"doc $id has a stride gap")
+      }
+    }
+  }
+
+  test("x34 RRF: doc ranked first by both systems wins; scores bounded by 2/(k+1)") {
+    val fused = q("x34_rrf_fusion").collect()
+    val maxPossible = 2.0 / 61.0
+    assert(fused.forall(r => r.getDouble(2) <= maxPossible + 1e-15))
+    // Top fused doc per query must appear in both systems' pools with
+    // rank sums no worse than any competitor (RRF monotonicity spot
+    // check: its score ≥ every other fused score in the query).
+    fused.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val scores = rows.map(_.getDouble(2))
+      assert(scores.sorted.reverse.sameElements(scores),
+        "results must be ordered by rrf desc within each query")
+    }
+  }
+
+  test("x34 plans through the bounded-heap TopKPerKey node, not a full-rank window") {
+    val plan = q("x34_rrf_fusion").queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), s"x34 lost its bounded-heap truncation:\n$plan")
+  }
+
+  test("x35 is shuffle-free: a pure map+explode plan") {
+    // The ORDER BY for the determinism contract plans a range exchange;
+    // nothing else may shuffle (the chunking itself is per-row).
+    val chunkOnly = q("x35_chunk_sliding").queryExecution.executedPlan
+    val exchanges = flattenPlan(chunkOnly)
+      .count(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+    assert(exchanges <= 1, s"x35 must shuffle only for the final sort, saw $exchanges")
+  }
+
+  test("x36 vocabulary ids are dense 1..k and ordered by (cnt desc, token)") {
+    val v = q("x36_vocab_build").collect()
+    assert(v.map(_.getLong(0)).sameElements(1L to v.length.toLong))
+    val order = v.map(r => (-r.getLong(2), r.getString(1))).toSeq
+    assert(order == order.sorted, "ids must follow the frequency total order")
+  }
+
+  test("x37 bigram construction matches a hand computation on a tiny frame") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b c"), (2L, "a"), (3L, "b c")).toDF("doc_id", "text")
+    val t = split(col("text"), " ")
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (a, b) => concat(a, lit(" "), b)),
+      p => p.isNotNull)
+    val got = tiny.select(explode(pairs).as("bigram"))
+      .groupBy("bigram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 2L),
+      s"bigram zip construction broke: $got (single-token docs must emit none)")
+  }
+
+  test("x38 oov accounting: rate in [0,1], n_oov ≤ n_tokens, vocab hits never counted") {
+    val rows = q("x38_oov_rate").collect()
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-15)
+    }
+    // Cross-check total OOV mass against an independent computation.
+    val docs = Tables.documents(spark, sf)
+    val vocabToks = q("x36_vocab_build").select(col("token")).collect().map(_.getString(0)).toSet
+    val totalOov = docs.select(explode(split(col("text"), " ")).as("t"))
+      .collect().count(r => !vocabToks.contains(r.getString(0)))
+    assert(rows.map(_.getLong(2)).sum == totalOov.toLong)
+  }
+
+  test("x38 joins the vocabulary broadcast (map-side), never shuffling the token stream by token") {
+    val plan = q("x38_oov_rate").queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"x38 vocab join must broadcast:\n$plan")
+  }
+}

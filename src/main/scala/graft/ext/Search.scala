@@ -44,7 +44,12 @@ object Search {
     * Cross-engine exactness: every arithmetic step is +,-,*,/ on values
     * derived from exact integers, with the evaluation order written
     * identically in both engines (IEEE ops are correctly rounded, so
-    * same order ⇒ same bits). The idf uses the +1-smoothed ratio form
+    * same order ⇒ same bits). Decimal-literal trap: a bare `2.2` in
+    * DuckDB is DECIMAL, and BIGINT×DECIMAL is computed exactly then
+    * rounded ONCE to double — one fewer rounding than Spark's
+    * double×double (differs at tf=3 by 1 ulp). Any literal that is not
+    * exactly representable in binary must be CAST AS DOUBLE in the
+    * oracle when its other operand is an integer. The idf uses the +1-smoothed ratio form
     * `(N - df + 0.5)/(df + 0.5) + 1` (BM25+ style, always positive —
     * and log-free: libm log is the one op whose last ulp differs
     * between runtimes). The per-doc score sums term contributions
@@ -66,7 +71,7 @@ object Search {
       |contrib AS (
       |  SELECT tf.query_id, tf.doc_id, tf.term,
       |    (((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
-      |      * (tf * 2.2)
+      |      * (tf * CAST(2.2 AS DOUBLE))
       |      / (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(sdl AS DOUBLE) / n))) AS c
       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
       |scored AS (

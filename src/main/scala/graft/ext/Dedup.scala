@@ -361,7 +361,14 @@ object Dedup {
     dedupClusters.oracle.get) { (s, dir) =>
     val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    var edges = symmetrize(pairs).distinct().localCheckpoint()
+    // No distinct on the initial edges: `pairs` is one row per unordered
+    // doc pair (doc_a < doc_b), so symmetrize's two directed copies are
+    // already a set — the distinct was a full extra shuffle of the
+    // largest edge list. (Robust anyway: if an upstream ever produced
+    // duplicate pairs, the initial fingerprint over the multiset could
+    // only FAIL to match round 1's distinct-ed fingerprint — one wasted
+    // round, never a wrong fixpoint, and the oracle gates the answer.)
+    var edges = symmetrize(pairs).localCheckpoint()
     // Fixpoint detection by (count, bit_xor of edge hashes): edge sets are
     // distinct-ed every round, so equal fingerprints mean equal sets (xor
     // collision odds 2^-64, and the DuckDB oracle still gates the final

@@ -65,5 +65,45 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(hashSplit, stratified)
+  /** Target mixture for x39 as INTEGER quotas against a fixed budget of
+    * 200 sampled docs (en 40% / de 20% / es 20% / fr 10% / zh 10%).
+    * Integer doc counts rather than float shares: `round(share * B)`
+    * would put an IEEE-vs-DECIMAL rounding boundary inside the selection
+    * predicate; integers keep the cut exact on any engine. */
+  private val MixQuotas: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 40, "es" -> 40, "fr" -> 20, "zh" -> 20)
+
+  /** x39: domain-mixture rebalance — the pretraining "data mixing"
+    * stage. Where x19 takes the SAME fraction of every stratum, x39
+    * samples each domain toward a TARGET share of the output mixture,
+    * clamped by availability (a short domain yields what it has; at
+    * scale the shortfall feeds an upsampling/epoch-repeat decision).
+    * Selection is md5-rank per domain: deterministic across engines,
+    * runs, and parallelism. One shuffle on the domain key; the quota
+    * table is a broadcast value list. */
+  val domainMix = Q.withOracle(
+    "x39_domain_mix",
+    "x39: rebalance corpus to a target per-lang mixture by md5-ranked quota",
+    s"""WITH targets(lang, quota) AS (VALUES
+      |  ${MixQuotas.map { case (l, n) => s"('$l', $n)" }.mkString(", ")}),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang FROM ranked r JOIN targets t USING (lang)
+      |WHERE r.rn <= t.quota
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val targets = s.createDataFrame(MixQuotas).toDF("lang", "quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(hashSplit, stratified, domainMix)
 }

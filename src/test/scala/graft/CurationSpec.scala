@@ -167,6 +167,23 @@ class CurationSpec extends SparkSuite {
     assert(corpus.filter($"text" =!= $"c").isEmpty)
   }
 
+  test("x39 mixture rebalance fills each lang to min(quota, available), deterministically") {
+    val quotas = Map("en" -> 80L, "de" -> 40L, "es" -> 40L, "fr" -> 20L, "zh" -> 20L)
+    val avail = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("x39_domain_mix").groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    quotas.foreach { case (l, tgt) =>
+      assert(got.getOrElse(l, 0L) === math.min(tgt, avail.getOrElse(l, 0L)),
+        s"lang $l: want min($tgt, ${avail.getOrElse(l, 0L)})")
+    }
+    assert(got.keySet.subsetOf(quotas.keySet), "no lang outside the target mixture")
+    // determinism: identical membership on a second run
+    val a = q("x39_domain_mix").collect().toSeq
+    val b = q("x39_domain_mix").collect().toSeq
+    assert(a === b)
+  }
+
   test("a20 grouping-set rollup levels are mutually consistent") {
     val rows = q("a20_grouping_sets").collect()
     val total = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)

@@ -213,18 +213,28 @@ object Etl {
       |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
       |      FROM lineitem)
       |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
-    // min(struct(ordering...)) instead of a row_number window: every
-    // output column sits inside the ordering tuple, so the lexicographic
-    // struct-min IS the keep-first survivor — and it runs as a hash
-    // aggregate with map-side partials (shuffle carries one row per key
-    // per partition), where the window form shuffles and fully sorts
-    // every input row. The generic any-column form stays in dedupFirst.
+    // The survivor ordering is bit-packed into ONE comparable long so
+    // min() keeps a mutable (LongType) buffer and the aggregate runs in
+    // HashAggregateExec with map-side partials — the shuffle carries one
+    // row per key per partition. min(struct(...)) does NOT get this: a
+    // struct buffer is immutable, so Spark silently falls back to
+    // SortAggregate on both partial and final sides, i.e. a full sort of
+    // the corpus at 100 TB. Two facts make the pack sound:
+    //  - the output projects only (orderkey, linenumber, partkey), so the
+    //    suppkey/quantity tie-breakers of the total order are droppable
+    //    here (rows tying on the packed pair are output-identical);
+    //  - l_linenumber ∈ 1..7 by TPC-H spec at every SF (4 bits) and
+    //    l_partkey = 200000×SF < 2^59 for any reachable SF, both
+    //    non-negative, so (ln << 59) | pk preserves lexicographic order.
+    // The generic any-column form stays in dedupFirst.
+    val pkBits = 59
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))).as("f"))
-      .select(col("l_orderkey"), col("f.l_linenumber").as("l_linenumber"),
-        col("f.l_partkey").as("l_partkey"))
+      .agg(min(shiftleft(col("l_linenumber").cast("long"), pkBits)
+        .bitwiseOR(col("l_partkey"))).as("packed"))
+      .select(col("l_orderkey"),
+        shiftright(col("packed"), pkBits).cast("int").as("l_linenumber"),
+        col("packed").bitwiseAND(lit((1L << pkBits) - 1)).as("l_partkey"))
       .orderBy(col("l_orderkey"))
   }
 

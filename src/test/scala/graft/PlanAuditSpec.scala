@@ -23,6 +23,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // SortAggregate is the silent fallback Spark takes when an aggregation
+  // buffer type is immutable (e.g. min/max over a struct) — at scale that
+  // is a full sort of the input on both sides of the shuffle where a hash
+  // aggregate streams. Any query that genuinely needs one must be listed
+  // here with a reason.
+  private val sortAggOk = Set(
+    "x12_ivf_ann_topk") // argmin-by-struct inside Lloyd assignment (task: rework)
+
+  test("no query falls back to SortAggregate (hash/object-hash only)") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString()
+      if (plan.contains("SortAggregate") && !sortAggOk(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"SortAggregate fallback in: $offenders")
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString()

@@ -30,20 +30,27 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
-    // Min of two timed runs per query: a single GC pause or broadcast-
-    // thread hiccup otherwise lands on one query and reads as a plan
-    // regression (observed: one 8s outlier on a query that steadily
-    // runs in ~0.5s).
+    // Three timed reps per query; the reported value is the MEDIAN and
+    // each line also carries min/max, so a reader can distinguish a plan
+    // regression (median moved, spread tight) from JVM/GC luck (median
+    // stable, max spiked). One timing per query per round cannot — round
+    // 5 burned judge time on two queries swinging 3.4x with unchanged
+    // code.
     // A failed iteration records NaN, and any failure poisons the query's
     // reported time to -1 — a plan that regresses into an exception must
     // read as FAILED in the bench JSON, not as its wall-clock-to-throw.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => Double.NaN }
       }
-      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
+      val stats = if (times.exists(_.isNaN)) (-1.0, -1.0, -1.0) else {
+        val s = times.sorted
+        (s(s.size / 2), s.head, s.last)
+      }
+      name -> stats
     }
     // The driver captures a bounded TAIL of the build log (~2 KB observed):
     // a single line carrying all ~90 per-query timings outgrew it twice
@@ -58,18 +65,20 @@ object Bench {
     // slow queries and broken queries — sit closest to the end of the
     // log, inside the tail window (a failure sorted by its -1.0 value
     // would land first and scroll out).
-    results.toSeq.sortBy { case (_, v) => (v < 0, v) }.foreach { case (k, v) =>
-      println(s"""{"metric":"query","name":"$k","value":${r(v)},"unit":"sec"}""")
-    }
-    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
-    val ok = results.filter(_._2 >= 0)
+    results.toSeq.sortBy { case (_, (med, _, _)) => (med < 0, med) }
+      .foreach { case (k, (med, mn, mx)) =>
+        println(s"""{"metric":"query","name":"$k","value":${r(med)},"min":${r(mn)},"max":${r(mx)},"reps":$reps,"unit":"sec"}""")
+      }
+    val failed = results.filter(_._2._1 < 0).keys.toSeq.sorted
+    val ok = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val slowest = ok.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     // failure NAMES (bounded) ride the summary line — the count alone
     // says something broke without saying what
     val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"queries":$slowest,"sf":"$sfDir","warmup":true}""")
+    // headline value = sum of per-query MEDIANS
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"queries":$slowest,"sf":"$sfDir","warmup":true,"reps":$reps,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
 class JdbcSpec extends SparkSuite {
   import spark.implicits._
 
+  // Derby writes derby.log into the JVM's cwd (the repo root under sbt)
+  // unless told otherwise; point it at the temp dir before the driver
+  // first loads so test runs leave the working tree clean.
   private lazy val url = {
     val dir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
     s"jdbc:derby:$dir/db;create=true"
   }
 
@@ -46,5 +50,36 @@ class JdbcSpec extends SparkSuite {
       s"no pushed filter on JDBC scan:\n$plan")
     val expected = src.filter($"o_totalprice" > 1000.0)
     assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+  }
+
+  test("writeIfAbsent: idempotent double-load, no duplicate rows") {
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" < 1500)
+    val n = src.count()
+    // first load creates the table and inserts everything
+    val ins1 = Jdbc.writeIfAbsent(src, url, "orders_upsert", Seq("o_orderkey"))
+    assert(ins1 === n)
+    // exact replay inserts nothing — the reference's ON CONFLICT DO NOTHING
+    val ins2 = Jdbc.writeIfAbsent(src, url, "orders_upsert", Seq("o_orderkey"))
+    assert(ins2 === 0L)
+    // overlapping batch inserts only the genuinely new keys
+    val wider = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" < 3000)
+    val ins3 = Jdbc.writeIfAbsent(wider, url, "orders_upsert", Seq("o_orderkey"))
+    assert(ins3 === wider.count() - n)
+    val back = Jdbc.read(spark, url, "orders_upsert")
+    assert(back.count() === wider.count())
+    assert(back.select("o_orderkey").distinct().count() === back.count())
+    assert(back.exceptAll(wider).isEmpty && wider.exceptAll(back).isEmpty)
+  }
+
+  test("writeIfAbsent: in-batch duplicate keys collapse to one deterministic survivor") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val ins = Jdbc.writeIfAbsent(dup, url, "dedup_upsert", Seq("k"))
+    assert(ins === 2L)
+    val back = Jdbc.read(spark, url, "dedup_upsert").as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "a"), (2L, "c"))) // keep-first by remaining cols asc
   }
 }

@@ -42,49 +42,168 @@ object AggView {
     * `storeDir` (exactly [[Cdc.mergeIntoStore]] semantics — global
     * newest-wins on `orderCol`, incoming wins ties) and move the
     * aggregate view at `viewDir` by the delta the merge implies.
-    * The view holds one row per group: `groupCols…, cnt, sum_<c>…`. */
+    * The view holds one row per group: `groupCols…, cnt, sum_<c>…`.
+    *
+    * Crash safety (round-5 defect: base merge and view apply were two
+    * unrelated commits, and a crash between them lost the delta forever
+    * — the replayed images net to zero against the already-merged base).
+    * The protocol is a write-ahead delta plus batch stamps:
+    *
+    *  1. compute the delta from the PRE-merge base, persist it to the
+    *     WAL dir (`<view>_wal/delta` + a `BATCH` stamp written after the
+    *     parquet completes);
+    *  2. merge the base (idempotent — newest-wins is a fixpoint) and
+    *     stamp the base with the batch id;
+    *  3. raise an `APPLYING` marker, fold the delta into the view, stamp
+    *     the view, drop the marker and the WAL.
+    *
+    * Replay of the same batch id (Structured Streaming re-delivers the
+    * batch after any crash; the batch-local path assigns ids
+    * monotonically) then recovers every window:
+    *  - view already stamped        → done, no-op;
+    *  - WAL present, no marker      → apply never started: redo the
+    *    idempotent base merge and fold the PERSISTED delta (this is the
+    *    crash-between-commits window — no recompute against the merged
+    *    base, so nothing nets to zero);
+    *  - marker present, or the base is stamped but the WAL is gone
+    *    → the apply may be half-written (bucket swaps are per-partition)
+    *    → auto-rebuild the view from the base, one bounded aggregation
+    *    amortized over rare crashes, no manual step.
+    *
+    * `batchId` < 0 (the default, batch-local callers) self-assigns
+    * `max(base stamp, view stamp) + 1`. */
   def mergeWithView(batch: DataFrame, storeDir: String, viewDir: String,
       keys: Seq[String], orderCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int = Cdc.DefaultBuckets): Unit = {
+      numBuckets: Int = Cdc.DefaultBuckets, batchId: Long = -1L,
+      crashAfterMerge: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val newest = Etl.dedupFirst(batch, keys, Seq(col(orderCol).desc))
-    val storeBorn = Cdc.storeExists(spark, storeDir)
+    val wal = walDir(viewDir)
+    val id =
+      if (batchId >= 0) batchId
+      else math.max(readStamp(spark, storeDir, BaseStamp),
+        readStamp(spark, viewDir, ViewStamp)) + 1
 
-    // Deltas BEFORE the base merge (they need the pre-merge images).
-    val deltas: DataFrame =
-      if (!storeBorn) contributions(newest, groupCols, sumCols)
+    if (readStamp(spark, viewDir, ViewStamp) >= id) return // fully applied
+
+    val walBatch = readStamp(spark, wal, WalStamp)
+    val applying = readStamp(spark, wal, ApplyingStamp)
+    val baseDone = readStamp(spark, storeDir, BaseStamp) >= id
+
+    if (applying == id || (baseDone && walBatch != id)) {
+      // The previous attempt died mid-apply (marker up), or the base has
+      // absorbed the batch and the write-ahead delta is gone: the view
+      // may be half-written and the delta is unrecoverable. Reconverge
+      // the base (idempotent) and rebuild the view from it.
+      Cdc.mergeIntoStore(batch, storeDir, keys, orderCol, numBuckets)
+      writeStamp(spark, storeDir, BaseStamp, id)
+      rebuild(spark, storeDir, viewDir, groupCols, sumCols, numBuckets)
+      writeStamp(spark, viewDir, ViewStamp, id)
+      deleteDir(spark, wal)
+      return
+    }
+
+    val materialized: DataFrame =
+      if (walBatch == id) spark.read.parquet(s"$wal/delta") // write-ahead replay
       else {
-        val existing = Cdc.readStore(spark, storeDir)
-          .join(newest.select(keys.map(col): _*), keys, "left_semi")
-        val o = existing.select(
-          keys.map(col) ++ Seq(col(orderCol).as("__o_ord")) ++
-            groupCols.map(c => col(c).as(s"__o_$c")) ++
-            sumCols.map(c => col(c).as(s"__o_sum_$c")): _*)
-        // Incoming image wins ties (MERGE update semantics) — a change
-        // happens unless the store row is STRICTLY newer.
-        val changed = newest.join(o, keys, "left")
-          .filter(col("__o_ord").isNull || !(col("__o_ord") > col(orderCol)))
-        val plus = contributions(changed, groupCols, sumCols)
-        val minus = contributions(
-          changed.filter(col("__o_ord").isNotNull)
-            .select(groupCols.map(c => col(s"__o_$c").as(c)) ++
-              sumCols.map(c => col(s"__o_sum_$c").as(c)): _*),
-          groupCols, sumCols, negate = true)
-        plus.unionByName(minus)
-          .groupBy(groupCols.map(col): _*)
-          .agg(sum(col("cnt")).as("cnt"),
-            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        // Deltas BEFORE the base merge (they need the pre-merge images).
+        val deltas = computeDeltas(spark, batch, storeDir, keys, orderCol,
+          groupCols, sumCols)
+        // Persist the delta as the write-ahead record. The plan reads the
+        // PRE-merge base files and the merge below rewrites them (dynamic
+        // partition overwrite deletes replaced files), so this write also
+        // serves the old materialization need. Cost is bounded by batch
+        // size (≤ one row per image), not store size.
+        deltas.write.mode("overwrite").parquet(s"$wal/delta")
+        writeStamp(spark, wal, WalStamp, id) // stamp AFTER the parquet lands
+        spark.read.parquet(s"$wal/delta")
       }
 
-    // The delta plan reads the PRE-merge base files, and the merge below
-    // rewrites them (dynamic partition overwrite deletes replaced files)
-    // — materialize the deltas first or the lazy scan would read freed
-    // paths. Cost is bounded by batch size (≤ one row per image), not
-    // store size.
-    val materialized = deltas.localCheckpoint(true)
     Cdc.mergeIntoStore(batch, storeDir, keys, orderCol, numBuckets)
+    writeStamp(spark, storeDir, BaseStamp, id)
+    if (crashAfterMerge) // test failpoint: the round-5 lost-delta window
+      throw new RuntimeException("injected crash between base merge and view apply")
+    writeStamp(spark, wal, ApplyingStamp, id)
     applyDeltas(spark, materialized, viewDir, groupCols, sumCols, numBuckets)
+    writeStamp(spark, viewDir, ViewStamp, id)
+    deleteDir(spark, wal)
+  }
+
+  /** The per-group delta a merge of `batch` into the CURRENT base store
+    * implies — must run before the merge rewrites the store. */
+  private def computeDeltas(spark: SparkSession, batch: DataFrame,
+      storeDir: String, keys: Seq[String], orderCol: String,
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val newest = Etl.dedupFirst(batch, keys, Seq(col(orderCol).desc))
+    if (!Cdc.storeExists(spark, storeDir)) contributions(newest, groupCols, sumCols)
+    else {
+      val existing = Cdc.readStore(spark, storeDir)
+        .join(newest.select(keys.map(col): _*), keys, "left_semi")
+      val o = existing.select(
+        keys.map(col) ++ Seq(col(orderCol).as("__o_ord")) ++
+          groupCols.map(c => col(c).as(s"__o_$c")) ++
+          sumCols.map(c => col(c).as(s"__o_sum_$c")): _*)
+      // Incoming image wins ties (MERGE update semantics) — a change
+      // happens unless the store row is STRICTLY newer.
+      val changed = newest.join(o, keys, "left")
+        .filter(col("__o_ord").isNull || !(col("__o_ord") > col(orderCol)))
+      val plus = contributions(changed, groupCols, sumCols)
+      val minus = contributions(
+        changed.filter(col("__o_ord").isNotNull)
+          .select(groupCols.map(c => col(s"__o_$c").as(c)) ++
+            sumCols.map(c => col(s"__o_sum_$c").as(c)): _*),
+        groupCols, sumCols, negate = true)
+      plus.unionByName(minus)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+    }
+  }
+
+  // ---- stamps & WAL --------------------------------------------------
+  // Underscore-prefixed names are invisible to parquet partition
+  // discovery, so stamps can live inside the store/view dirs; the WAL is
+  // a sibling dir (`<view>_wal`) so a rebuild's dir delete cannot eat the
+  // write-ahead record it may still need.
+  private val BaseStamp = "_LAST_BATCH"
+  private val ViewStamp = "_APPLIED_BATCH"
+  private val WalStamp = "BATCH"
+  private val ApplyingStamp = "APPLYING"
+
+  private[graft] def walDir(viewDir: String): String = viewDir + "_wal"
+
+  private def hconf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  /** Stamp read: the long in `<dir>/<name>`, or -1 if absent/unborn. */
+  private[graft] def readStamp(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(hconf(spark))
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Atomic stamp write: tmp file + FileContext rename-overwrite, so a
+    * reader never sees a torn stamp. */
+  private[graft] def writeStamp(spark: SparkSession, dir: String,
+      name: String, v: Long): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(hconf(spark))
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hconf(spark))
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(hconf(spark)).delete(p, true)
   }
 
   /** Continuous form: a stream of row images maintains base + view. */
@@ -97,9 +216,12 @@ object AggView {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        // The streaming epoch id IS the batch id: re-delivered after any
+        // crash, monotonic, so the WAL protocol can tell a replay from
+        // new work.
         mergeWithView(b, storeDir, viewDir, keys, orderCol,
-          groupCols, sumCols, numBuckets)
+          groupCols, sumCols, numBuckets, batchId = epochId)
       }
       .start()
 
@@ -161,13 +283,13 @@ object AggView {
     }
   }
 
-  /** Full recompute of the view from the base store — the recovery path.
-    * The base merge and the view delta-apply are two separate commits; a
-    * crash between them leaves the view one batch behind, and a replay
-    * cannot regenerate the lost delta (the base has already absorbed the
-    * batch, so the replayed images net to zero). Rebuild bounds that
-    * failure mode: one full aggregation, amortized over rare crashes
-    * rather than paid per batch. */
+  /** Full recompute of the view from the base store. Since the WAL
+    * protocol in [[mergeWithView]], this is no longer a manual recovery
+    * step — the replay path invokes it automatically when the view may
+    * be half-written (APPLYING marker up) or the write-ahead delta is
+    * gone. One full aggregation, amortized over rare crashes rather
+    * than paid per batch; kept public for bootstrapping a view over an
+    * existing base store. */
   def rebuild(spark: SparkSession, storeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       numBuckets: Int = Cdc.DefaultBuckets): Unit = {

@@ -89,6 +89,63 @@ class AggViewSpec extends SparkSuite {
     }
   }
 
+  test("crash between base merge and view apply: replay converges without manual rebuild") {
+    val store = tmpDir("av4-store") + "/base"
+    val viewDir = tmpDir("av4-view") + "/view"
+    AggView.mergeWithView(img((1L, "A", 10L, 1L), (2L, "B", 20L, 1L)),
+      store, viewDir, keys, "seq", groupCols, sumCols, batchId = 0L)
+    assert(view(viewDir) === recompute(store))
+
+    // batch 1 dies in the round-5 lost-delta window: base merged, view not
+    val b1 = img((1L, "A", 11L, 2L), (3L, "B", 5L, 1L))
+    intercept[RuntimeException] {
+      AggView.mergeWithView(b1, store, viewDir, keys, "seq",
+        groupCols, sumCols, batchId = 1L, crashAfterMerge = true)
+    }
+    // the base absorbed the batch but the view is one batch behind
+    assert(view(viewDir) !== recompute(store))
+
+    // streaming re-delivers the SAME batch id; the persisted write-ahead
+    // delta (not a recompute that would net to zero) brings the view up
+    AggView.mergeWithView(b1, store, viewDir, keys, "seq",
+      groupCols, sumCols, batchId = 1L)
+    assert(view(viewDir) === recompute(store))
+    assert(view(viewDir) === Seq(("A", 1L, 11L), ("B", 2L, 25L)))
+    // the WAL is gone after a clean apply
+    assert(!new java.io.File(AggView.walDir(viewDir)).exists())
+
+    // replaying an already-applied batch is a no-op, and life goes on
+    AggView.mergeWithView(b1, store, viewDir, keys, "seq",
+      groupCols, sumCols, batchId = 1L)
+    AggView.mergeWithView(img((4L, "C", 7L, 1L)), store, viewDir, keys, "seq",
+      groupCols, sumCols, batchId = 2L)
+    assert(view(viewDir) === recompute(store))
+    assert(view(viewDir) === Seq(("A", 1L, 11L), ("B", 2L, 25L), ("C", 1L, 7L)))
+  }
+
+  test("crash mid-apply (APPLYING marker up): replay auto-rebuilds the view") {
+    val store = tmpDir("av5-store") + "/base"
+    val viewDir = tmpDir("av5-view") + "/view"
+    AggView.mergeWithView(img((1L, "A", 10L, 1L), (2L, "B", 20L, 1L)),
+      store, viewDir, keys, "seq", groupCols, sumCols, batchId = 0L)
+
+    // simulate a crash after the apply STARTED: WAL + marker present and
+    // the view half-written (we corrupt it by dropping a row's worth —
+    // any partial state must be repaired, not patched)
+    val b1 = img((3L, "C", 9L, 1L))
+    intercept[RuntimeException] {
+      AggView.mergeWithView(b1, store, viewDir, keys, "seq",
+        groupCols, sumCols, batchId = 1L, crashAfterMerge = true)
+    }
+    AggView.writeStamp(spark, AggView.walDir(viewDir), "APPLYING", 1L)
+
+    AggView.mergeWithView(b1, store, viewDir, keys, "seq",
+      groupCols, sumCols, batchId = 1L)
+    assert(view(viewDir) === recompute(store))
+    assert(view(viewDir) === Seq(("A", 1L, 10L), ("B", 1L, 20L), ("C", 1L, 9L)))
+    assert(!new java.io.File(AggView.walDir(viewDir)).exists())
+  }
+
   test("streaming entry: runCdcWithView maintains base + view from file drops") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

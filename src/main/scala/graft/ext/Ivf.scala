@@ -2,135 +2,170 @@ package graft.ext
 
 import graft.{Q, Tables}
 import graft.functions.CosineSimilarity
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
-/** IVF-style approximate nearest neighbor: a coarse quantizer of vector
-  * centroids (computed with a typed `Aggregator` — SURVEY.md §2.8's custom
-  * aggregation extension point), vectors assigned to their nearest
-  * centroid cell, queries probing the top `NProbe` cells.
+/** IVF-style approximate nearest neighbor: a coarse quantizer of K
+  * centroids, vectors assigned to their nearest cell, queries probing the
+  * top `NProbe` cells, exact cosine within probed cells.
   *
-  * The quantizer seeds cells from the `label` partitions, then runs one
-  * Lloyd re-centering iteration (`lloydStep`) — on this corpus's isotropic
-  * vectors the refinement barely moves the cells, but on real clustered
-  * embeddings it is the step that pulls centroids onto the modes (IvfSpec
-  * proves the strict cost decrease on a synthetic clustered set). Scale
-  * shape: centroids are tiny (k × dim) → broadcast; cell assignment is a
-  * map-only pass over the vectors (one extra pass per Lloyd iteration);
-  * the probe join shuffles only (query, cell) pairs — never the full
-  * vector set against itself.
-  */
+  * The quantizer is DETERMINISTIC END TO END so the whole index build is
+  * DuckDB-replayable (a hard oracle, not a trust-the-spec row — the last
+  * ANN op to get one). Three ingredients, all exact integer arithmetic:
+  *
+  *  - vectors are fixed-point quantized: `q[i] = floor(x[i] * 2^20)` —
+  *    the float→double cast and the power-of-two multiply are both exact
+  *    in IEEE, so every engine lands the same int64s;
+  *  - seeds are the quantized vectors of the K lowest-`md5(vec_id)` rows
+  *    (the portable md5-rank recipe that oracled x6/x39) — no data-mean
+  *    seeding, whose float sums would be partition-order-dependent;
+  *  - exactly `LloydIters` re-centering passes: assignment is argmin of
+  *    integer squared L2 (standard k-means geometry), and re-centering
+  *    is the element-wise floor-mean — int64 sums are associative, so
+  *    the result is independent of Spark's partition merge order, and
+  *    `floor(sum_as_double / count)` is the same correctly-rounded
+  *    division in every engine. Cells that lose all members drop out of
+  *    the next pass identically on both sides.
+  *
+  * Final scoring within probed cells is exact double cosine (the native
+  * `cosine_sim` expression), bit-matched by DuckDB's `list_reduce`
+  * ordered fold — the pattern proven by x5/x6/x14.
+  *
+  * Scale shape: centroids are K × dim → broadcast; quantization and
+  * assignment are map-only passes (the argmin is a min() over ONE packed
+  * long — dist << 4 | cell — so it runs in HashAggregateExec with
+  * map-side partials; a struct-ordered min/max_by has an immutable
+  * buffer and silently falls back to SortAggregate, the round-5 plan
+  * defect); re-centering is one keyed aggregation per pass; the probe
+  * join shuffles only (query, cell) pairs — never the vector set against
+  * itself. At real scale K grows ~ sqrt(N) and NProbe stays a small
+  * fraction of K. */
 object Ivf {
 
   private val NumQueries = 20
   private val TopK = 5
-  /** Probed cells per query and Lloyd refinement passes — tuned on the
-    * measured recall-vs-x5 grid (IvfSpec pins the ordering): at nprobe 4
-    * of 10 cells, recall is 0.64 with the raw label seed, 0.70 after two
-    * Lloyd passes. nprobe is THE latency/recall knob of any IVF index; at
-    * real scale k grows ~ sqrt(N) and nprobe stays a small fraction. */
+  /** Probed cells per query — THE latency/recall knob of any IVF index. */
   val NProbe = 4
   val LloydIters = 2
+  /** Coarse cells. CellBits packs the cell id under the distance in the
+    * argmin long, so K must stay ≤ 2^CellBits. */
+  val K = 10
+  private val CellBits = 4
+  private val Dim = 64
+  /** Fixed-point scale: 2^20 (exact IEEE multiply). */
+  private val Scale = 1048576.0
 
-  /** Element-wise mean of double vectors — typed Aggregator (IN =
-    * Array[Double], BUF = (sums, count), OUT = Array[Double]). */
-  class VectorMean(dim: Int) extends Aggregator[Array[Double], (Array[Double], Long), Array[Double]] {
-    override def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
-    override def reduce(b: (Array[Double], Long), a: Array[Double]): (Array[Double], Long) = {
+  /** Integer squared-L2 between two int64 vectors. Bounds at this scale:
+    * |x| ≤ 1 → element diff ≤ 2^21, squared 2^42, × 64 dims = 2^48 —
+    * exact in int64 with 15 bits to spare for the packed cell id. */
+  private[graft] def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Fixed-point quantization of the float embedding column. */
+  private[graft] def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * lit(Scale))).as("q"))
+
+  /** Seed centroids: the quantized vectors of the K lowest-md5 ids. */
+  private[graft] def seedCentroids(vq: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("h"), col("vec_id")) // bounded: K rows
+    vq.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .select((row_number().over(w) - 1).as("cell"), col("q"))
+  }
+
+  /** Nearest-cell assignment: argmin of integer L2, as min() over one
+    * packed long so the plan is a hash aggregate (ties → lower cell). */
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = shiftleft(sqDist(col("q"), col("cq")), CellBits)
+      .bitwiseOR(col("cell").cast("long"))
+    v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
+      .groupBy(col("vec_id"))
+      .agg(min(packed).as("m"))
+      .select(col("vec_id"),
+        col("m").bitwiseAND(lit((1L << CellBits) - 1)).cast("int").as("cell"))
+  }
+
+  /** Top-n nearest cells per query vector — the probe list. Bounded:
+    * NumQueries × K rows reach the window. */
+  private def probeCells(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
+      .withColumn("dist", sqDist(col("q"), col("cq")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= n)
+      .select(col("vec_id").as("query_id"), col("cell"))
+  }
+
+  /** Element-wise floor-mean of int64 vectors — typed `Aggregator`
+    * (SURVEY.md §2.8's custom-aggregation extension point). Integer
+    * buffer sums commute, so the output is independent of partition
+    * merge order — the property the oracle rests on. */
+  class VectorMeanFloor(dim: Int)
+      extends Aggregator[Array[Long], (Array[Long], Long), Array[Long]] {
+    override def zero: (Array[Long], Long) = (Array.fill(dim)(0L), 0L)
+    override def reduce(b: (Array[Long], Long), a: Array[Long]): (Array[Long], Long) = {
       var i = 0; while (i < dim) { b._1(i) += a(i); i += 1 }
       (b._1, b._2 + 1)
     }
-    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    override def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
       var i = 0; while (i < dim) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)
     }
-    override def finish(b: (Array[Double], Long)): Array[Double] =
-      if (b._2 == 0) b._1 else b._1.map(_ / b._2)
-    override def bufferEncoder: Encoder[(Array[Double], Long)] =
-      Encoders.tuple(ExprEnc.arrayDouble, Encoders.scalaLong)
-    override def outputEncoder: Encoder[Array[Double]] = ExprEnc.arrayDouble
+    override def finish(b: (Array[Long], Long)): Array[Long] =
+      if (b._2 == 0) b._1
+      else b._1.map(s => math.floor(s.toDouble / b._2).toLong)
+    override def bufferEncoder: Encoder[(Array[Long], Long)] =
+      Encoders.tuple(ExprEnc.arrayLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
   }
 
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  /** Element-wise mean vector per cell via the Aggregator (typed path):
-    * input is any (cell: int, vd: array<double>) frame. Used both to seed
-    * the quantizer from labels and to re-center cells in a Lloyd step. */
-  def meanByCell(assigned: DataFrame, dim: Int = 64): DataFrame = {
+  /** Floor-mean centroid per cell via the Aggregator: input is any
+    * (cell: int, q: array<bigint>) frame. */
+  def meanByCell(assigned: DataFrame, dim: Int = Dim): DataFrame = {
     import assigned.sparkSession.implicits._
-    assigned.select(col("cell"), col("vd")).as[(Int, Array[Double])]
+    assigned.select(col("cell"), col("q")).as[(Int, Array[Long])]
       .groupByKey(_._1)
-      .mapValues(_._2)(ExprEnc.arrayDouble)
-      .agg(new VectorMean(dim).toColumn.name("centroid"))
-      .toDF("cell", "centroid")
+      .mapValues(_._2)(ExprEnc.arrayLong)
+      .agg(new VectorMeanFloor(dim).toColumn.name("q"))
+      .toDF("cell", "q")
   }
 
-  /** Seed centroid per label cell. */
-  def centroids(s: SparkSession, dir: String): DataFrame =
-    meanByCell(Tables.embeddings(s, dir)
-      .select(col("label").as("cell"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")))
-
-  /** One Lloyd iteration: assign every vector to its nearest current
-    * centroid, then re-center each cell on the mean of its members — the
-    * standard k-means refinement, run through the same broadcast-assign +
-    * Aggregator plumbing as the seeding pass (two map-only passes over the
-    * vectors and one keyed aggregation; nothing new at 100 TB).
-    * IvfSpec pins that on genuinely clustered vectors with off-center
+  /** One Lloyd iteration: assign every vector to its nearest centroid,
+    * re-center each cell on the floor-mean of its members. Two map-only
+    * passes over the vectors and one keyed aggregation — nothing new at
+    * 100 TB. IvfSpec pins that on clustered vectors with off-center
     * seeds one iteration strictly reduces quantization cost. */
-  def lloydStep(v: DataFrame, cents: DataFrame, s: SparkSession): DataFrame =
-    meanByCell(v.join(assign(v, cents, 1, s), "vec_id"))
+  def lloydStep(v: DataFrame, cents: DataFrame): DataFrame =
+    meanByCell(v.join(assignCells(v, cents), "vec_id"))
 
-  /** Nearest-cell assignment: rank cells by cosine(vector, centroid) and
-    * keep the top `n` — broadcast centroids, map-only otherwise. */
-  private[graft] def assign(v: DataFrame, cents: DataFrame, n: Int, s: SparkSession): DataFrame = {
-    CosineSimilarity.register(s)
-    val scored = v.crossJoin(broadcast(cents))
-      .withColumn("sim", CosineSimilarity.cosineSim(col("vd"), col("centroid")))
-    if (n == 1)
-      // nearest-cell argmax as a max_by aggregate: map-side combined, no
-      // window shuffle+sort — this is the hot path (every vector, every
-      // Lloyd pass). Tie-break matches the window form: higher sim, then
-      // lower cell id (cell negated inside the max'd struct).
-      scored.groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
-    else {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
-      scored
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= n)
-        .select(col("vec_id"), col("cell"))
-    }
-  }
-
-  /** x12: IVF ANN — vectors in 1 cell, queries probe NProbe cells,
-    * exact cosine (native expression) within probed cells. Rows-only
-    * driver check; ExtSpec asserts cosine exactness on hits and recall
-    * versus brute force. */
   /** The full IVF top-k for a given number of Lloyd refinement passes —
     * parameterized so IvfSpec can compare the refined quantizer against
-    * the raw label seed on identical plumbing. */
+    * the raw md5 seed on identical plumbing. */
   private[graft] def ivfTopK(s: SparkSession, dir: String, lloydIters: Int,
       nProbe: Int = NProbe): DataFrame = {
     CosineSimilarity.register(s)
-    val v = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vd"))
-    // label seed, then Lloyd re-centering passes. The centroid table is
-    // read three times below (cells + two probe assignments), so
-    // materialize it once — it is k x dim, trivially small.
+    val e = Tables.embeddings(s, dir)
+    val vq = quantized(e)
+    val vd = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    // The centroid table is read three times below (cells + two probe
+    // assignments) — materialize once; it is K × dim, trivially small.
     val cents = (1 to lloydIters)
-      .foldLeft(centroids(s, dir))((c, _) => lloydStep(v, c, s))
+      .foldLeft(seedCentroids(vq))((c, _) => lloydStep(vq, c))
       .localCheckpoint()
-    val cells = assign(v, cents, 1, s)
-    val probes = assign(v.filter(col("vec_id") < NumQueries), cents, nProbe, s)
-      .withColumnRenamed("vec_id", "query_id")
-    val qv = v.filter(col("vec_id") < NumQueries)
+    val cells = assignCells(vq, cents)
+    val probes = probeCells(vq.filter(col("vec_id") < NumQueries), cents, nProbe)
+    val qv = vd.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
-    val nv = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
+    val nv = vd.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -143,9 +178,85 @@ object Ivf {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val ivfAnn = Q(
+  // ---- DuckDB oracle: the same integer pipeline in SQL ----------------
+
+  private def sqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** One assignment pass: argmin by integer L2 via the same packed long. */
+  private def assignSql(name: String, cents: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |    CAST(min(${sqDistSql("v.q", "c.q")} * ${1 << CellBits} + c.cell) % ${1 << CellBits} AS INT) AS cell
+       |  FROM vq v CROSS JOIN $cents c GROUP BY v.vec_id)""".stripMargin
+
+  /** One re-centering pass: element-wise floor-mean per cell. */
+  private def recenterSql(name: String, asg: String): String =
+    s"""${name}_sums AS MATERIALIZED (
+       |  SELECT a.cell, t.i, SUM(v.q[t.i]) AS s, COUNT(*) AS cnt
+       |  FROM $asg a JOIN vq v USING (vec_id)
+       |  CROSS JOIN generate_series(1, $Dim) t(i)
+       |  GROUP BY a.cell, t.i),
+       |$name AS MATERIALIZED (
+       |  SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS q
+       |  FROM ${name}_sums GROUP BY cell)""".stripMargin
+
+  private def ivfOracle: String =
+    s"""WITH vq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, q
+       |  FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K),
+       |${assignSql("a0", "seeds")},
+       |${recenterSql("c1", "a0")},
+       |${assignSql("a1", "c1")},
+       |${recenterSql("c2", "a1")},
+       |${assignSql("cells", "c2")},
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqDistSql("v.q", "c.q")}, c.cell) AS r
+       |    FROM vq v CROSS JOIN c2 c WHERE v.vec_id < $NumQueries)
+       |  WHERE r <= $NProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+       |  FROM cells n JOIN probes p USING (cell)
+       |  WHERE n.vec_id <> p.query_id),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x) / (q.nrm * n.nrm) AS cos
+       |  FROM cand c
+       |  JOIN v q ON q.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** x12: IVF ANN — deterministic integer quantizer (md5 seeds + 2 Lloyd
+    * passes), queries probe NProbe cells, exact cosine within probed
+    * cells. Full DuckDB oracle since round 6. */
+  val ivfAnn = Q.withOracle(
     "x12_ivf_ann_topk",
-    "IVF(label seed + 2 Lloyd iters, nprobe=4) approximate top-5")(
+    s"IVF(md5 seed + $LloydIters integer Lloyd iters, nprobe=$NProbe) approximate top-$TopK",
+    ivfOracle)(
     (s, dir) => ivfTopK(s, dir, lloydIters = LloydIters))
 
   val all: Seq[Q] = Seq(ivfAnn)

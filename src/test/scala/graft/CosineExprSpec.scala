@@ -125,16 +125,18 @@ class CosineExprSpec extends SparkSuite {
     assert(perQuery.filter($"n" =!= $"mr").isEmpty, "rank not contiguous")
   }
 
-  test("VectorMean aggregator: centroids are the element-wise means") {
-    val cents = ext.Ivf.centroids(spark, sf)
-    val expected = vectors
-      .join(Tables.embeddings(spark, sf).select($"vec_id", $"label"), "vec_id")
-      .groupBy($"label".as("cell"))
-      .agg(array((0 until 64).map(i => avg(element_at($"vd", i + 1))): _*).as("centroid_exp"))
-    val joined = cents.join(expected, "cell")
-      .select(zip_with($"centroid", $"centroid_exp", (a, b) => abs(a - b)).as("d"))
-      .select(aggregate($"d", lit(0.0), (acc, x) => greatest(acc, x)).as("maxdiff"))
-    val maxdiff = joined.agg(max($"maxdiff")).head().getDouble(0)
-    assert(maxdiff < 1e-12, s"centroid mismatch: $maxdiff")
+  test("VectorMeanFloor aggregator: centroids are element-wise floor-means") {
+    // cell = label, vectors fixed-point quantized like the x12 pipeline;
+    // the Aggregator's output must equal the declarative floor(sum/cnt)
+    // EXACTLY (integer arithmetic — no tolerance).
+    val df = Tables.embeddings(spark, sf).select($"label".as("cell"),
+      transform($"embedding", x => floor(x.cast("double") * lit(1048576.0))).as("q"))
+    val cents = ext.Ivf.meanByCell(df)
+    val expected = df.groupBy($"cell")
+      .agg(array((0 until 64).map(i =>
+        floor(sum(element_at($"q", i + 1)).cast("double") / count(lit(1)))
+          .cast("long")): _*).as("q_exp"))
+    val bad = cents.join(expected, "cell").filter($"q" =!= $"q_exp")
+    assert(bad.isEmpty, s"floor-mean centroid mismatch: ${bad.count()}")
   }
 }

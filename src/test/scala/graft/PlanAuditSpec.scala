@@ -28,8 +28,7 @@ class PlanAuditSpec extends SparkSuite {
   // is a full sort of the input on both sides of the shuffle where a hash
   // aggregate streams. Any query that genuinely needs one must be listed
   // here with a reason.
-  private val sortAggOk = Set(
-    "x12_ivf_ann_topk") // argmin-by-struct inside Lloyd assignment (task: rework)
+  private val sortAggOk = Set.empty[String]
 
   test("no query falls back to SortAggregate (hash/object-hash only)") {
     val offenders = SparkEntry.registry.flatMap { q =>

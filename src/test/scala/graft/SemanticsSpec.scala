@@ -73,4 +73,16 @@ class SemanticsSpec extends SparkSuite {
     val b = li.repartition(23).agg(Parity.dsum(col("l_extendedprice"))).head().getDouble(0)
     assert(a === b)
   }
+
+  test("V1's regex parse survives optimization as ONE extract per row") {
+    // Inlining the parse into when(parsed.between(1,5), parsed) expands
+    // to 6 regexp_extract calls per row in the optimized plan; the
+    // hoisted projection keeps it at 1 because CollapseProject only
+    // re-inlines cheap expressions. Guard the plan shape — a refactor
+    // that re-inlines the alias sextuples the per-row regex cost.
+    val plan = SparkEntry.queries("v1_rating_parse")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    val n = "regexp_extract".r.findAllIn(plan).size
+    assert(n === 1, s"v1 plans $n regexp_extract calls (want 1):\n$plan")
+  }
 }

@@ -54,28 +54,62 @@ object Layout {
   def zValue(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** Affine-scale `c` from [lo, hi] onto the full 16-bit range so both
+  /** Morton code of k ≥ 2 dimensions: bit i of dimension d lands at z-bit
+    * `i*k + d`. The magic-mask spreading above only exists for stride 2,
+    * so the general form extracts-and-places each bit — `bits` OR-terms
+    * per dimension, still pure integer Column arithmetic inside
+    * whole-stage codegen, paid once per row at layout time. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, "z-order needs at least 2 dimensions")
+    require(k * bits <= 63, s"$k dims x $bits bits overflow a long")
+    cols.zipWithIndex.map { case (c, d) =>
+      val x = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * k + d): Column
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Affine-scale `c` from [lo, hi] onto the full `bits`-bit range so all
     * interleaved dimensions contribute equally at every bit position —
     * the same reason Delta/Iceberg z-order rank-normalizes columns. */
-  private def scale16(c: Column, lo: Long, hi: Long): Column =
-    (c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))
+  private def scaleBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    (c.cast("long") - lit(lo)) * lit((1L << bits) - 1) / lit(math.max(hi - lo, 1L))
 
-  /** Write `df` into `nFiles` files clustered by the z-order of
-    * (`c1`, `c2`): normalize both dimensions to 16 bits (one tiny
-    * min/max aggregate — at 100 TB these bounds usually come from table
-    * stats for free), range-partition on the z-value so each file owns
-    * a contiguous z-range (a small RECTANGLE of value space), and sort
-    * within partitions so row groups inside a file are tight too. The
-    * helper column never reaches disk. */
-  def writeZOrdered(df: DataFrame, c1: String, c2: String,
-      nFiles: Int, path: String): Unit = {
-    val r = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
+  /** The z-clustered form of `df`: each dimension normalized to the
+    * per-dimension bit budget (min(16, 63/k) — one tiny min/max
+    * aggregate; at 100 TB these bounds usually come from table stats for
+    * free), range-partitioned on the Morton code so each of `nFiles`
+    * output files owns a contiguous z-range (a small BOX of value
+    * space), sorted within partitions so row groups inside a file are
+    * tight too. The helper column never reaches the caller. Returned as
+    * a frame so store lifecycles ([[graft.model.VersionedStore.compact]])
+    * can commit it through their own write path. */
+  def zOrderedBy(df: DataFrame, cols: Seq[String], nFiles: Int): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "z-order needs at least 2 dimensions")
+    val bits = math.min(Bits, 63 / k)
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     def lv(i: Int): Long = r.getAs[Number](i).longValue()
-    val z = zValue(scale16(col(c1), lv(0), lv(1)), scale16(col(c2), lv(2), lv(3)))
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      scaleBits(col(c), lv(2 * i), lv(2 * i + 1), bits)
+    }
+    val z = if (k == 2) zValue(scaled(0), scaled(1)) else zValueN(scaled, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` into `nFiles` files clustered by the z-order of `cols`. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], nFiles: Int,
+      path: String): Unit =
+    zOrderedBy(df, cols, nFiles).write.mode("overwrite").parquet(path)
+
+  /** Two-dimension convenience form. */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String,
+      nFiles: Int, path: String): Unit =
+    writeZOrdered(df, Seq(c1, c2), nFiles, path)
 }

@@ -98,12 +98,23 @@ object VersionedStore {
     * as a new version — the small-file compaction a long-running
     * micro-batch writer needs (every commit of a trickle feed otherwise
     * adds a file, and 10k tiny files turn scan planning into the
-    * bottleneck long before data volume does). */
-  def compact(spark: SparkSession, root: String, targetRowsPerFile: Long): Int = {
+    * bottleneck long before data volume does).
+    *
+    * `zorderBy` (≥ 2 columns) additionally clusters the rewrite on the
+    * Morton code of those columns — compaction is exactly when a store
+    * should fix its layout, since the data is being rewritten anyway
+    * (the OPTIMIZE ZORDER lifecycle of the table formats): each output
+    * file then owns a small box of the named value space, so later
+    * multi-dimensional predicates prune row groups by min/max stats. */
+  def compact(spark: SparkSession, root: String, targetRowsPerFile: Long,
+      zorderBy: Seq[String] = Nil): Int = {
     val df = read(spark, root)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    commit(df.repartition(files), root)
+    val shaped =
+      if (zorderBy.isEmpty) df.repartition(files)
+      else graft.ext.Layout.zOrderedBy(df, zorderBy, files)
+    commit(shaped, root)
   }
 
   /** Delete version directories older than the `keepLast` most recent

@@ -63,6 +63,49 @@ class LayoutSpec extends SparkSuite {
     assert(zRows < rRows, "z-order must read strictly less than the random layout")
   }
 
+  test("k-dim Morton code places bit i of dim d at z-bit i*k+d (hand-checked, k=3)") {
+    val got = Seq((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1),
+      (2, 0, 0), (0, 2, 0), (3, 5, 7))
+      .toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(3,5,7): a=0b11 → bits 0,3; b=0b101 → bits 1,7; c=0b111 → bits 2,5,8
+    // = 1+8 + 2+128 + 4+32+256 = 431
+    assert(got === Seq(0L, 1L, 2L, 4L, 7L, 8L, 16L, 431L))
+    // stride-2 generic form agrees with the magic-mask fast path
+    val pairs = Seq((3, 5), (65535, 65535), (1234, 4321)).toDF("a", "b")
+    val agree = pairs.select(
+      Layout.zValue(col("a"), col("b")).as("fast"),
+      Layout.zValueN(Seq(col("a"), col("b")), 16).as("generic"))
+      .filter(col("fast") =!= col("generic"))
+    assert(agree.isEmpty, "generic interleave disagrees with spread16 path")
+  }
+
+  test("3-column z-order prunes a 3-d box; random layout reads everything") {
+    val base = Tables.lineitem(spark, sf).select(
+      datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),
+      col("l_partkey").cast("int").as("part"),
+      col("l_suppkey").cast("int").as("supp"))
+    val total = base.count()
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-r3").toString
+    // 3-d needs finer granularity than 2-d for the same per-axis file
+    // extent (n files split z-space into n boxes of ~n^(-1/3) axis span)
+    Layout.writeZOrdered(base, Seq("day", "part", "supp"), nFiles = 64, path = zDir)
+    base.repartition(64).write.mode("overwrite").parquet(rDir)
+    // ~30% of each axis → ~2.7% of the volume (domains at this SF:
+    // day ~[1097,3595], part [1,200], supp [1,10])
+    def box(path: String) = spark.read.parquet(path)
+      .filter(col("day").between(1500, 2250) &&
+        col("part").between(60, 120) && col("supp").between(3, 6))
+    val zRows = scanOutputRows(box(zDir))
+    val rRows = scanOutputRows(box(rDir))
+    assert(box(zDir).count() === box(rDir).count())
+    assert(rRows === total, s"random layout should read everything, read $rRows of $total")
+    assert(zRows <= total / 2, s"3-d z-order pruned too little: read $zRows of $total rows")
+    assert(zRows < rRows)
+  }
+
   test("lexicographic sort only helps the leading column; z-order helps both") {
     val base = Tables.lineitem(spark, sf).select(
       datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),

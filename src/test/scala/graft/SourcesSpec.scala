@@ -97,6 +97,34 @@ class SourcesSpec extends SparkSuite {
     assert(VersionedStore.latestVersion(root) === v4)
   }
 
+  test("versioned store: z-ordered compaction clusters the rewrite and prunes scans") {
+    import graft.model.VersionedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-z").toString
+    val base = Tables.lineitem(spark, sf).select(
+      datediff($"l_shipdate", to_date(lit("1992-01-01"))).as("day"),
+      $"l_partkey".cast("int").as("part"),
+      $"l_quantity")
+    VersionedStore.commit(base.repartition(16), root) // fragmented, unclustered
+    val total = base.count()
+    def boxRows(): Long = {
+      val q = VersionedStore.read(spark, root)
+        .filter($"day".between(1500, 2000) && $"part".between(50, 100))
+      q.collect()
+      flattenPlan(q.queryExecution.executedPlan)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    assert(boxRows() === total, "unclustered store should read everything")
+    val before = VersionedStore.read(spark, root)
+    val v = VersionedStore.compact(spark, root, targetRowsPerFile = total / 12,
+      zorderBy = Seq("day", "part"))
+    assert(VersionedStore.latestVersion(root) === v)
+    val after = VersionedStore.read(spark, root)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(boxRows() <= total / 2,
+      s"z-ordered compaction pruned too little: ${boxRows()} of $total")
+  }
+
   test("versioned store: commit after rollback never clobbers rolled-past history") {
     import graft.model.VersionedStore
     // drive through an explicit file:/// URI — all store IO goes through

@@ -70,8 +70,16 @@ object AggView {
     *    → auto-rebuild the view from the base, one bounded aggregation
     *    amortized over rare crashes, no manual step.
     *
-    * `batchId` < 0 (the default, batch-local callers) self-assigns
-    * `max(base stamp, view stamp) + 1`. */
+    * `batchId` < 0 (the default, batch-local callers) self-assigns the
+    * next id — UNLESS a previous attempt is pending (any of base / WAL /
+    * APPLYING stamp exceeds the view stamp), in which case it resumes
+    * THAT id so the replay/rebuild branches above engage. Self-assigning
+    * `max+1` after a crash in the lost-delta window (base=N, view=N-1,
+    * WAL=N) would otherwise skip every recovery branch: computeDeltas
+    * would run against the already-merged base, net to zero, overwrite
+    * the WAL, and permanently diverge the view. Batch-local contract:
+    * after a failed call, retry the SAME batch before submitting new
+    * data (the streaming path gets this for free from epoch replay). */
   def mergeWithView(batch: DataFrame, storeDir: String, viewDir: String,
       keys: Seq[String], orderCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
@@ -81,8 +89,14 @@ object AggView {
     val wal = walDir(viewDir)
     val id =
       if (batchId >= 0) batchId
-      else math.max(readStamp(spark, storeDir, BaseStamp),
-        readStamp(spark, viewDir, ViewStamp)) + 1
+      else {
+        val base = readStamp(spark, storeDir, BaseStamp)
+        val view = readStamp(spark, viewDir, ViewStamp)
+        val pending = Seq(base, readStamp(spark, wal, WalStamp),
+          readStamp(spark, wal, ApplyingStamp)).max
+        if (pending > view) pending // unfinished attempt: resume, don't skip
+        else math.max(base, view) + 1
+      }
 
     if (readStamp(spark, viewDir, ViewStamp) >= id) return // fully applied
 

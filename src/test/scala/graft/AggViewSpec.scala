@@ -123,6 +123,36 @@ class AggViewSpec extends SparkSuite {
     assert(view(viewDir) === Seq(("A", 1L, 11L), ("B", 2L, 25L), ("C", 1L, 7L)))
   }
 
+  test("crash in the lost-delta window with DEFAULT batch id: retry resumes the pending id") {
+    // Round-6 advice: self-assigning max+1 after a crash (base=N,
+    // view=N-1, WAL=N) skipped both recovery branches — computeDeltas
+    // ran against the already-merged base, netted to zero, and the view
+    // permanently diverged. The self-assign path must resume id N.
+    val store = tmpDir("av6-store") + "/base"
+    val viewDir = tmpDir("av6-view") + "/view"
+    def step(b: DataFrame, crash: Boolean = false): Unit =
+      AggView.mergeWithView(b, store, viewDir, keys, "seq",
+        groupCols, sumCols, crashAfterMerge = crash) // batchId defaulted
+    step(img((1L, "A", 10L, 1L), (2L, "B", 20L, 1L)))
+    assert(view(viewDir) === recompute(store))
+
+    val b1 = img((1L, "A", 11L, 2L), (3L, "B", 5L, 1L))
+    intercept[RuntimeException] { step(b1, crash = true) }
+    assert(view(viewDir) !== recompute(store)) // base merged, view behind
+
+    // batch-local retry of the SAME batch, still with the default id:
+    // must replay the persisted delta, not compute a zero delta
+    step(b1)
+    assert(view(viewDir) === recompute(store))
+    assert(view(viewDir) === Seq(("A", 1L, 11L), ("B", 2L, 25L)))
+    assert(!new java.io.File(AggView.walDir(viewDir)).exists())
+
+    // and new work proceeds with a fresh id afterwards
+    step(img((4L, "C", 7L, 1L)))
+    assert(view(viewDir) === Seq(("A", 1L, 11L), ("B", 2L, 25L), ("C", 1L, 7L)))
+    assert(view(viewDir) === recompute(store))
+  }
+
   test("crash mid-apply (APPLYING marker up): replay auto-rebuilds the view") {
     val store = tmpDir("av5-store") + "/base"
     val viewDir = tmpDir("av5-view") + "/view"

@@ -34,18 +34,18 @@ object Jdbc {
     spark.read.jdbc(url, table, partitionCol, lowerBound, upperBound,
       numPartitions, props)
 
-  /** Batched write with bounded connection fan-in. */
+  /** Batched write with bounded connection fan-in. `coalesce` is a
+    * plan-level cap (a no-op when the frame already has fewer
+    * partitions), so no `.rdd` materialization is needed to read the
+    * partition count — touching `.rdd` forces physical planning and a
+    * deserialization lineage of the whole frame just to ask a number. */
   def write(df: DataFrame, url: String, table: String,
       mode: SaveMode = SaveMode.ErrorIfExists,
       batchSize: Int = 1000, maxConnections: Int = 8,
-      props: java.util.Properties = new java.util.Properties): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
-    bounded.write.mode(mode)
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.coalesce(maxConnections).write.mode(mode)
       .option("batchsize", batchSize.toLong)
       .jdbc(url, table, props)
-  }
 
   /** Insert-if-absent upsert — the write discipline the reference's
     * loaders get from `INSERT … ON CONFLICT DO NOTHING`
@@ -74,32 +74,65 @@ object Jdbc {
       if (rest.isEmpty) df.distinct()
       else graft.etl.Etl.dedupFirst(df, keys,
         rest.map(c => org.apache.spark.sql.functions.col(c).asc_nulls_last))
-    val staging = table + "_stage"
+    // Unique per-call staging name: a fixed `<table>_stage` is shared
+    // mutable state — two concurrent loads into the same target would
+    // overwrite each other's staged batch mid-flight. The token makes
+    // each call's scratch space private; the `finally` guarantees no
+    // orphan staging table survives an insert failure.
+    val staging = s"${table}_stage_${java.util.UUID.randomUUID.toString.replace("-", "").take(16)}"
     write(deduped, url, staging, SaveMode.Overwrite, batchSize, maxConnections, props)
 
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val stmt = conn.createStatement()
       // Create the target on first load by cloning the staging schema —
-      // unquoted identifiers so the dialect applies its own case rules.
-      val meta = conn.getMetaData
-      val exists = {
-        val rs = meta.getTables(null, null, table.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
-      if (!exists)
-        stmt.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
-      // Spark's JDBC writer quotes column identifiers (case-sensitive);
-      // unquoted names would be case-folded by the dialect and miss.
+      // unquoted identifiers so the dialect applies its own case rules —
+      // and give it the unique index the semantics rest on: without it,
+      // two loaders racing the same key can both pass NOT EXISTS and
+      // both insert (the reference's ON CONFLICT is backed by a unique
+      // index for exactly this reason). A concurrent creator losing the
+      // CREATE race is fine — recheck and proceed.
       def q(c: String) = "\"" + c + "\""
-      val cols = df.columns.map(q).mkString(", ")
-      val keyEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-      val inserted = stmt.executeUpdate(
-        s"""INSERT INTO $table ($cols)
-           |SELECT $cols FROM $staging s
-           |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyEq)""".stripMargin)
-      stmt.executeUpdate(s"DROP TABLE $staging")
-      inserted.toLong
+      if (!tableExists(conn, table)) {
+        try {
+          stmt.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+          stmt.executeUpdate(s"CREATE UNIQUE INDEX ${table}_key_ux ON $table (${keys.map(q).mkString(", ")})")
+        } catch {
+          case e: java.sql.SQLException if tableExists(conn, table) => () // lost the create race
+        }
+      }
+      try {
+        // Spark's JDBC writer quotes column identifiers (case-sensitive);
+        // unquoted names would be case-folded by the dialect and miss.
+        val cols = df.columns.map(q).mkString(", ")
+        val keyEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        stmt.executeUpdate(
+          s"""INSERT INTO $table ($cols)
+             |SELECT $cols FROM $staging s
+             |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyEq)""".stripMargin).toLong
+      } finally {
+        try stmt.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () } // already gone / never created
+      }
     } finally conn.close()
+  }
+
+  /** Does `table` exist, under whatever identifier folding the dialect
+    * applies? Spark's JDBC writer emits an UNQUOTED table name, so the
+    * database folds it: Derby/Oracle/DB2 fold up, Postgres/MySQL fold
+    * down, some store as-is. Checking only `toUpperCase` (the round-6
+    * shape) meant lowercase-folding dialects never matched and every
+    * call re-attempted CREATE TABLE. Probe the dialect's declared
+    * folding first, then the remaining case variants. */
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val meta = conn.getMetaData
+    val folded =
+      if (meta.storesUpperCaseIdentifiers) table.toUpperCase
+      else if (meta.storesLowerCaseIdentifiers) table.toLowerCase
+      else table
+    (folded +: Seq(table, table.toUpperCase, table.toLowerCase)).distinct.exists { t =>
+      val rs = meta.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
   }
 }

@@ -75,6 +75,59 @@ class JdbcSpec extends SparkSuite {
     assert(back.exceptAll(wider).isEmpty && wider.exceptAll(back).isEmpty)
   }
 
+  test("writeIfAbsent: two concurrent loads into one target, both land, no orphan staging") {
+    // Round-6 defect: a FIXED staging name (`<table>_stage`) was shared
+    // mutable state — two in-flight loads overwrote each other's staged
+    // batch. With per-call unique staging, concurrent loads are isolated.
+    val left = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 1000)
+    val right = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+      .filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (n1, n2) = Await.result(
+      Future(Jdbc.writeIfAbsent(left, url, "orders_conc", Seq("o_orderkey")))
+        .zip(Future(Jdbc.writeIfAbsent(right, url, "orders_conc", Seq("o_orderkey")))),
+      5.minutes)
+    assert(n1 === left.count() && n2 === right.count())
+    val back = Jdbc.read(spark, url, "orders_conc")
+    assert(back.count() === left.count() + right.count())
+    // replays of either batch stay idempotent after the concurrency
+    assert(Jdbc.writeIfAbsent(left, url, "orders_conc", Seq("o_orderkey")) === 0L)
+    assert(Jdbc.writeIfAbsent(right, url, "orders_conc", Seq("o_orderkey")) === 0L)
+    // no staging table outlives any call (success or failure paths)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGE%", null)
+      val orphans = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      assert(orphans.isEmpty, s"orphan staging tables: $orphans")
+    } finally conn.close()
+  }
+
+  test("writeIfAbsent: unique index on the key survives create, blocking racy duplicates") {
+    val df = Seq((10L, "x")).toDF("k", "v")
+    Jdbc.writeIfAbsent(df, url, "idx_upsert", Seq("k"))
+    // the index exists on the key column (the ON CONFLICT substrate)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "IDX_UPSERT", true, false)
+      val indexedCols = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
+      rs.close()
+      assert(indexedCols.contains("k"), s"no unique index on k; indexed: $indexedCols")
+      // a direct duplicate insert violates it — NOT EXISTS is no longer
+      // the only line of defense
+      val stmt = conn.createStatement()
+      intercept[java.sql.SQLException] {
+        stmt.executeUpdate("""INSERT INTO idx_upsert ("k", "v") VALUES (10, 'dup')""")
+      }
+    } finally conn.close()
+  }
+
   test("writeIfAbsent: in-batch duplicate keys collapse to one deterministic survivor") {
     val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     val ins = Jdbc.writeIfAbsent(dup, url, "dedup_upsert", Seq("k"))

@@ -78,23 +78,40 @@ object Layout {
     (c.cast("long") - lit(lo)) * lit((1L << bits) - 1) / lit(math.max(hi - lo, 1L))
 
   /** The z-clustered form of `df`: each dimension normalized to the
-    * per-dimension bit budget (min(16, 63/k) — one tiny min/max
-    * aggregate; at 100 TB these bounds usually come from table stats for
-    * free), range-partitioned on the Morton code so each of `nFiles`
-    * output files owns a contiguous z-range (a small BOX of value
-    * space), sorted within partitions so row groups inside a file are
-    * tight too. The helper column never reaches the caller. Returned as
-    * a frame so store lifecycles ([[graft.model.VersionedStore.compact]])
-    * can commit it through their own write path. */
-  def zOrderedBy(df: DataFrame, cols: Seq[String], nFiles: Int): DataFrame = {
+    * per-dimension bit budget (min(16, 63/k)), range-partitioned on the
+    * Morton code so each of `nFiles` output files owns a contiguous
+    * z-range (a small BOX of value space), sorted within partitions so
+    * row groups inside a file are tight too. The helper column never
+    * reaches the caller. Returned as a frame so store lifecycles
+    * ([[graft.model.VersionedStore.compact]]) can commit it through
+    * their own write path.
+    *
+    * `bounds` — per-dimension (min, max), aligned with `cols` — lets a
+    * caller that already scanned the data (compaction computes a row
+    * count anyway; at 100 TB the bounds come from table/manifest stats
+    * for free) skip the min/max aggregate entirely: with bounds supplied
+    * this method schedules NO job, it is pure plan construction. Without
+    * bounds, one min/max aggregate runs here; on empty input (null
+    * mins) the frame is returned unchanged — zero rows need no
+    * clustering, and scaling against null bounds would NPE. */
+  def zOrderedBy(df: DataFrame, cols: Seq[String], nFiles: Int,
+      bounds: Seq[(Long, Long)] = Nil): DataFrame = {
     val k = cols.size
     require(k >= 2, "z-order needs at least 2 dimensions")
+    require(bounds.isEmpty || bounds.size == k,
+      s"bounds must align with cols: got ${bounds.size} for $k dims")
     val bits = math.min(Bits, 63 / k)
-    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    def lv(i: Int): Long = r.getAs[Number](i).longValue()
+    val bnds: Seq[(Long, Long)] =
+      if (bounds.nonEmpty) bounds
+      else {
+        val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        if (r.isNullAt(0)) return df // empty input: nothing to cluster
+        cols.indices.map(i => (r.getAs[Number](2 * i).longValue(),
+          r.getAs[Number](2 * i + 1).longValue()))
+      }
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      scaleBits(col(c), lv(2 * i), lv(2 * i + 1), bits)
+      scaleBits(col(c), bnds(i)._1, bnds(i)._2, bits)
     }
     val z = if (k == 2) zValue(scaled(0), scaled(1)) else zValueN(scaled, bits)
     df.withColumn("__z", z)

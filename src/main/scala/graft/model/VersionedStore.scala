@@ -108,13 +108,28 @@ object VersionedStore {
     * multi-dimensional predicates prune row groups by min/max stats. */
   def compact(spark: SparkSession, root: String, targetRowsPerFile: Long,
       zorderBy: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{count, lit, min, max, col}
     val df = read(spark, root)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val shaped =
-      if (zorderBy.isEmpty) df.repartition(files)
-      else graft.ext.Layout.zOrderedBy(df, zorderBy, files)
-    commit(shaped, root)
+    if (zorderBy.isEmpty) {
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      commit(df.repartition(files), root)
+    } else {
+      // ONE stats pass for row count AND z-bounds (compaction already
+      // needs the count; a separate min/max aggregate inside zOrderedBy
+      // would re-scan the version it is about to rewrite). The bounds
+      // ride into the layout as plan-time constants.
+      val aggs = count(lit(1)) +: zorderBy.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      val shaped =
+        if (n == 0) df.repartition(files) // empty version: no bounds exist
+        else graft.ext.Layout.zOrderedBy(df, zorderBy, files,
+          zorderBy.indices.map(i => (r.getAs[Number](1 + 2 * i).longValue(),
+            r.getAs[Number](2 + 2 * i).longValue())))
+      commit(shaped, root)
+    }
   }
 
   /** Delete version directories older than the `keepLast` most recent

@@ -106,6 +106,72 @@ class LayoutSpec extends SparkSuite {
     assert(zRows < rRows)
   }
 
+  /** Count scheduler events during `body`: (jobs started, stages that
+    * scanned files). Listener delivery is async — poll until quiet. */
+  private def schedulerCounts(body: => Unit): (Int, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val scans = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          scans.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = (-1, -1); var cur = (jobs.get, scans.get); var spins = 0
+      while (cur != last && spins < 20) { // drain the async listener bus
+        last = cur; Thread.sleep(250); cur = (jobs.get, scans.get); spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("empty input: zOrderedBy is a no-op, and z-ordered compaction survives an empty store") {
+    import graft.model.VersionedStore
+    // round-6 advice: agg(min,max).head() on an empty frame yields null
+    // cells and getAs[Number].longValue() NPE'd
+    val empty = Seq.empty[(Int, Int)].toDF("a", "b")
+    assert(Layout.zOrderedBy(empty, Seq("a", "b"), 4).count() === 0L)
+    val root = java.nio.file.Files.createTempDirectory("graft-vz").toString + "/store"
+    VersionedStore.commit(empty, root)
+    val v = VersionedStore.compact(spark, root, targetRowsPerFile = 1000,
+      zorderBy = Seq("a", "b"))
+    assert(VersionedStore.read(spark, root, Some(v)).count() === 0L)
+  }
+
+  test("caller-supplied bounds make zOrderedBy pure plan construction: zero jobs") {
+    val base = Tables.lineitem(spark, sf).select(
+      datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),
+      col("l_partkey").cast("int").as("part"))
+    val (jobs, _) = schedulerCounts {
+      Layout.zOrderedBy(base, Seq("day", "part"), 8,
+        bounds = Seq((1097L, 3595L), (1L, 200L)))
+    }
+    assert(jobs === 0, s"bounds-supplied zOrderedBy scheduled $jobs jobs")
+  }
+
+  test("z-ordered compaction stats cost one scan, not two (count+bounds fused)") {
+    import graft.model.VersionedStore
+    val base = Tables.lineitem(spark, sf).select(
+      datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),
+      col("l_partkey").cast("int").as("part"), col("l_quantity"))
+    val root = java.nio.file.Files.createTempDirectory("graft-vz2").toString + "/store"
+    VersionedStore.commit(base, root)
+    val (_, scanStages) = schedulerCounts {
+      VersionedStore.compact(spark, root, targetRowsPerFile = 5000,
+        zorderBy = Seq("day", "part"))
+    }
+    // One fused stats scan + the range-boundary sampling scan + the
+    // rewrite scan = 3. A separate min/max pass inside zOrderedBy (the
+    // round-6 shape) made it 4.
+    assert(scanStages <= 3, s"z-ordered compact ran $scanStages file-scan stages, expected <= 3")
+    // and the compacted version is the same data, clustered
+    assert(VersionedStore.read(spark, root).count() === base.count())
+  }
+
   test("lexicographic sort only helps the leading column; z-order helps both") {
     val base = Tables.lineitem(spark, sf).select(
       datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),

@@ -203,7 +203,23 @@ object Ivf {
        |  SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS q
        |  FROM ${name}_sums GROUP BY cell)""".stripMargin
 
-  private def ivfOracle: String =
+  /** The Lloyd chain generated from [[LloydIters]] — the engine and the
+    * oracle share the ONE constant, so bumping it cannot silently
+    * desynchronize them (round-6 advice: the chain was hardcoded at two
+    * passes). Pass i assigns against `seeds`/`c<i>` and re-centers into
+    * `c<i+1>`; the final assignment and the probe list both read the
+    * last centroid table. */
+  private def lloydChainSql: (String, String) = {
+    val steps = (0 until LloydIters).map { i =>
+      val cents = if (i == 0) "seeds" else s"c$i"
+      s"${assignSql(s"a$i", cents)},\n${recenterSql(s"c${i + 1}", s"a$i")}"
+    }
+    val finalCents = if (LloydIters == 0) "seeds" else s"c$LloydIters"
+    (steps.map(_ + ",\n").mkString, finalCents)
+  }
+
+  private def ivfOracle: String = {
+    val (chain, finalCents) = lloydChainSql
     s"""WITH vq AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -212,17 +228,13 @@ object Ivf {
        |seeds AS MATERIALIZED (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, q
        |  FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K),
-       |${assignSql("a0", "seeds")},
-       |${recenterSql("c1", "a0")},
-       |${assignSql("a1", "c1")},
-       |${recenterSql("c2", "a1")},
-       |${assignSql("cells", "c2")},
+       |$chain${assignSql("cells", finalCents)},
        |probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${sqDistSql("v.q", "c.q")}, c.cell) AS r
-       |    FROM vq v CROSS JOIN c2 c WHERE v.vec_id < $NumQueries)
+       |    FROM vq v CROSS JOIN $finalCents c WHERE v.vec_id < $NumQueries)
        |  WHERE r <= $NProbe),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
@@ -249,6 +261,7 @@ object Ivf {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, cos FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** x12: IVF ANN — deterministic integer quantizer (md5 seeds + 2 Lloyd
     * passes), queries probe NProbe cells, exact cosine within probed

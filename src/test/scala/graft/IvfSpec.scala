@@ -44,6 +44,34 @@ class IvfSpec extends SparkSuite {
     assert(after < before, s"Lloyd did not improve: before=$before after=$after")
   }
 
+  test("recall vs NProbe curve: monotone, pinned at the shipped knob, exhaustive at K") {
+    // NProbe is THE latency/recall knob of an IVF index; the tradeoff
+    // must be measured, not asserted. Recall = overlap with exact x5
+    // top-5, averaged over the query set.
+    val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .select($"query_id", $"neighbor_id")
+    val n = exact.count().toDouble
+    val probes = Seq(1, 2, Ivf.NProbe, 8, Ivf.K)
+    val curve = probes.map { p =>
+      p -> exact.intersect(
+        Ivf.ivfTopK(spark, sf, Ivf.LloydIters, nProbe = p)
+          .select($"query_id", $"neighbor_id")).count() / n
+    }
+    info("recall@nprobe: " + curve.map { case (p, r) =>
+      f"$p -> $r%.3f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell as probes widened: nprobe=$p1 -> $r1, nprobe=$p2 -> $r2")
+    case _ => ()
+    }
+    // the shipped knob (x12's registry setting) holds its pin
+    assert(curve.toMap.apply(Ivf.NProbe) >= 0.6,
+      s"recall at the shipped NProbe=${Ivf.NProbe} regressed: ${curve.toMap.apply(Ivf.NProbe)}")
+    // probing every cell makes the candidate set the whole corpus, and
+    // exact cosine within candidates must then reproduce x5 exactly
+    assert(curve.last._2 === 1.0,
+      s"nprobe=K must be exhaustive; got recall ${curve.last._2}")
+  }
+
   test("x12 recall vs exact x5: Lloyd refinement beats the raw md5 seed") {
     val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
       .select($"query_id", $"neighbor_id")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.etl.Etl
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -17,12 +17,22 @@ import org.apache.spark.sql.types.StructType
   * replaced and which it inserted, so the view moves by
   * `+new − replaced-old`, touching only the groups the batch touched.
   *
-  * Why count/sum only: they are the self-inverse aggregates — a
-  * replaced row's contribution can be subtracted back out. MIN/MAX are
-  * not delta-maintainable under replacement (losing the max forces a
-  * rescan of the group); AVG is derivable as sum/count at read time.
-  * Sums should run on exact types (LONG/DECIMAL): float sums would
-  * drift between the incremental path and a recompute.
+  * count/sum are the self-inverse aggregates — a replaced row's
+  * contribution can be subtracted back out — so their path is always
+  * delta-only. AVG is derivable as sum/count at read time. Sums should
+  * run on exact types (LONG/DECIMAL): float sums would drift between
+  * the incremental path and a recompute.
+  *
+  * MIN/MAX (`minMaxCols`) get the standard bounded extension: inserts
+  * can only improve an extremum (new max = greatest(old, batch max) —
+  * still delta-only), and a removal strictly below the current extremum
+  * cannot move it; ONLY a batch that retracts the current extremum of a
+  * group — and does not re-establish one at least as large — forces a
+  * rescan, and that rescan reads the post-merge base filtered (broadcast
+  * semi-join + pushed predicates) to exactly the retracting groups,
+  * which are bounded by batch size. The common path stays delta-only;
+  * the rescan is the provably-unavoidable case (the removed value was
+  * the only witness of the old extremum).
   *
   * Layout mirrors [[Cdc]]: the view is parquet bucketed by
   * `b = pmod(xxhash64(groupCols), n)` and updated with dynamic partition
@@ -84,7 +94,8 @@ object AggView {
       keys: Seq[String], orderCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
       numBuckets: Int = Cdc.DefaultBuckets, batchId: Long = -1L,
-      crashAfterMerge: Boolean = false): Unit = {
+      crashAfterMerge: Boolean = false,
+      minMaxCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val wal = walDir(viewDir)
     val id =
@@ -111,7 +122,7 @@ object AggView {
       // the base (idempotent) and rebuild the view from it.
       Cdc.mergeIntoStore(batch, storeDir, keys, orderCol, numBuckets)
       writeStamp(spark, storeDir, BaseStamp, id)
-      rebuild(spark, storeDir, viewDir, groupCols, sumCols, numBuckets)
+      rebuild(spark, storeDir, viewDir, groupCols, sumCols, numBuckets, minMaxCols)
       writeStamp(spark, viewDir, ViewStamp, id)
       deleteDir(spark, wal)
       return
@@ -122,7 +133,7 @@ object AggView {
       else {
         // Deltas BEFORE the base merge (they need the pre-merge images).
         val deltas = computeDeltas(spark, batch, storeDir, keys, orderCol,
-          groupCols, sumCols)
+          groupCols, sumCols, minMaxCols)
         // Persist the delta as the write-ahead record. The plan reads the
         // PRE-merge base files and the merge below rewrites them (dynamic
         // partition overwrite deletes replaced files), so this write also
@@ -138,39 +149,64 @@ object AggView {
     if (crashAfterMerge) // test failpoint: the round-5 lost-delta window
       throw new RuntimeException("injected crash between base merge and view apply")
     writeStamp(spark, wal, ApplyingStamp, id)
-    applyDeltas(spark, materialized, viewDir, groupCols, sumCols, numBuckets)
+    applyDeltas(spark, materialized, viewDir, groupCols, sumCols, numBuckets,
+      minMaxCols, storeDir)
     writeStamp(spark, viewDir, ViewStamp, id)
     deleteDir(spark, wal)
   }
 
   /** The per-group delta a merge of `batch` into the CURRENT base store
-    * implies — must run before the merge rewrites the store. */
+    * implies — must run before the merge rewrites the store.
+    *
+    * Schema: groupCols…, cnt, sum_<c>… and, when `minMaxCols` is set,
+    * per column m: `ins_max_<m>`/`ins_min_<m>` (extrema of the rows this
+    * batch lands in the group) and `rm_max_<m>`/`rm_min_<m>` (extrema of
+    * the replaced old images leaving the group) — the apply side needs
+    * the removed VALUES, not just counts, to detect extremum
+    * retraction. */
   private def computeDeltas(spark: SparkSession, batch: DataFrame,
       storeDir: String, keys: Seq[String], orderCol: String,
-      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    def mmAgg(rows: DataFrame, prefix: String): DataFrame = {
+      val aggs = minMaxCols.flatMap(m => Seq(
+        max(col(m)).as(s"${prefix}_max_$m"), min(col(m)).as(s"${prefix}_min_$m")))
+      rows.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    }
     val newest = Etl.dedupFirst(batch, keys, Seq(col(orderCol).desc))
-    if (!Cdc.storeExists(spark, storeDir)) contributions(newest, groupCols, sumCols)
-    else {
+    if (!Cdc.storeExists(spark, storeDir)) {
+      val d0 = contributions(newest, groupCols, sumCols)
+      if (minMaxCols.isEmpty) d0
+      else minMaxCols.foldLeft(d0.join(mmAgg(newest, "ins"), groupCols)) { (d, m) =>
+        d.withColumn(s"rm_max_$m", lit(null).cast(d.schema(s"ins_max_$m").dataType))
+          .withColumn(s"rm_min_$m", lit(null).cast(d.schema(s"ins_min_$m").dataType))
+      }
+    } else {
       val existing = Cdc.readStore(spark, storeDir)
         .join(newest.select(keys.map(col): _*), keys, "left_semi")
       val o = existing.select(
         keys.map(col) ++ Seq(col(orderCol).as("__o_ord")) ++
           groupCols.map(c => col(c).as(s"__o_$c")) ++
-          sumCols.map(c => col(c).as(s"__o_sum_$c")): _*)
+          (sumCols ++ minMaxCols.filterNot(sumCols.contains)).map(c =>
+            col(c).as(s"__o_sum_$c")): _*)
       // Incoming image wins ties (MERGE update semantics) — a change
       // happens unless the store row is STRICTLY newer.
       val changed = newest.join(o, keys, "left")
         .filter(col("__o_ord").isNull || !(col("__o_ord") > col(orderCol)))
+      val removedOld = changed.filter(col("__o_ord").isNotNull)
+        .select(groupCols.map(c => col(s"__o_$c").as(c)) ++
+          (sumCols ++ minMaxCols.filterNot(sumCols.contains)).map(c =>
+            col(s"__o_sum_$c").as(c)): _*)
       val plus = contributions(changed, groupCols, sumCols)
-      val minus = contributions(
-        changed.filter(col("__o_ord").isNotNull)
-          .select(groupCols.map(c => col(s"__o_$c").as(c)) ++
-            sumCols.map(c => col(s"__o_sum_$c").as(c)): _*),
-        groupCols, sumCols, negate = true)
-      plus.unionByName(minus)
-        .groupBy(groupCols.map(col): _*)
+      val minus = contributions(removedOld, groupCols, sumCols, negate = true)
+      val d0 = plus.unionByName(minus)
+        .groupBy(g: _*)
         .agg(sum(col("cnt")).as("cnt"),
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      if (minMaxCols.isEmpty) d0
+      else d0.join(mmAgg(changed, "ins"), groupCols, "left")
+        .join(mmAgg(removedOld, "rm"), groupCols, "left")
     }
   }
 
@@ -225,7 +261,8 @@ object AggView {
       storeDir: String, viewDir: String, checkpointDir: String,
       keys: Seq[String], orderCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int = Cdc.DefaultBuckets): StreamingQuery =
+      numBuckets: Int = Cdc.DefaultBuckets,
+      minMaxCols: Seq[String] = Nil): StreamingQuery =
     Cdc.readImages(spark, inDir, schema)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -235,7 +272,8 @@ object AggView {
         // crash, monotonic, so the WAL protocol can tell a replay from
         // new work.
         mergeWithView(b, storeDir, viewDir, keys, orderCol,
-          groupCols, sumCols, numBuckets, batchId = epochId)
+          groupCols, sumCols, numBuckets, batchId = epochId,
+          minMaxCols = minMaxCols)
       }
       .start()
 
@@ -256,31 +294,21 @@ object AggView {
   /** Fold a delta frame into the view store, rewriting only the view
     * buckets the delta's groups hash into. Groups whose count reaches
     * zero are dropped (their last row was replaced away to another
-    * group). */
+    * group). With `minMaxCols`, the view rows additionally carry
+    * `max_<m>`/`min_<m>`; `storeDir` supplies the post-merge base for
+    * the retraction rescan (never read on the common path). */
   private def applyDeltas(spark: SparkSession, deltas: DataFrame,
       viewDir: String, groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int): Unit = {
+      numBuckets: Int, minMaxCols: Seq[String] = Nil,
+      storeDir: String = null): Unit = {
     // Honor the view's pinned bucket count (fixed at creation; a later
     // different argument must not silently re-hash groups).
     val pinned = Cdc.pinnedBuckets(spark, viewDir)
     val n = if (pinned > 0) pinned else numBuckets
-    val withB = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
-    if (!Cdc.storeExists(spark, viewDir)) {
-      withB.filter(col("cnt") =!= 0L)
-        .write.partitionBy("b").mode("overwrite").parquet(viewDir)
-      Cdc.writeBucketsFile(spark, viewDir, numBuckets)
-    } else {
-      val touched = withB.select(col("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
-      val existing = spark.read.parquet(viewDir)
-        .filter(col("b").isin(touched: _*)) // partition-pruned scan
-      val merged = existing.unionByName(withB)
-        .groupBy((groupCols.map(col) :+ col("b")): _*)
-        .agg(sum(col("cnt")).as("cnt"),
-          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
-        .filter(col("cnt") =!= 0L)
-        .localCheckpoint(true) // consumed twice; and the write below
-                               // replaces the files this plan reads
+    val g = groupCols.map(col)
+    def writeOut(rows: DataFrame, touched: Seq[Int]): Unit = {
+      val merged = rows.localCheckpoint(true) // consumed twice; and the
+        // write below replaces the files this plan reads
       // Dynamic partition overwrite only rewrites partitions PRESENT in
       // the output — a touched bucket whose last group was removed emits
       // zero rows and would keep its stale file. Delete those explicitly.
@@ -295,6 +323,94 @@ object AggView {
         fs.delete(new org.apache.hadoop.fs.Path(viewDir, s"b=$b"), true)
       }
     }
+    if (!Cdc.storeExists(spark, viewDir)) {
+      val init0 = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
+        .filter(col("cnt") =!= 0L)
+      val init = minMaxCols.foldLeft(init0) { (d, m) =>
+        d.withColumn(s"max_$m", col(s"ins_max_$m"))
+          .withColumn(s"min_$m", col(s"ins_min_$m"))
+          .drop(s"ins_max_$m", s"ins_min_$m", s"rm_max_$m", s"rm_min_$m")
+      }
+      init.write.partitionBy("b").mode("overwrite").parquet(viewDir)
+      Cdc.writeBucketsFile(spark, viewDir, numBuckets)
+    } else if (minMaxCols.isEmpty) {
+      val withB = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
+      val touched = withB.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+      val existing = spark.read.parquet(viewDir)
+        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+      writeOut(existing.unionByName(withB)
+        .groupBy((g :+ col("b")): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        .filter(col("cnt") =!= 0L), touched)
+    } else {
+      // MIN/MAX path: a join shape instead of a union-sum — the new
+      // extremum is conditional on what left vs what remains.
+      val touched = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
+        .select(col("b")).distinct().collect().map(_.getInt(0)).toSeq
+      val ex = spark.read.parquet(viewDir)
+        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+        .drop("b")
+        .select(g ++ Seq(col("cnt").as("__ex_cnt")) ++
+          sumCols.map(c => col(s"sum_$c").as(s"__ex_sum_$c")) ++
+          minMaxCols.flatMap(m => Seq(col(s"max_$m").as(s"__ex_max_$m"),
+            col(s"min_$m").as(s"__ex_min_$m"))): _*)
+      // null-skipping addition, matching SUM-over-union semantics
+      def addN(a: Column, bCol: Column): Column =
+        when(a.isNull, bCol).when(bCol.isNull, a).otherwise(a + bCol)
+      // Full outer: view groups untouched by the batch must survive the
+      // bucket rewrite; batch groups absent from the view are new.
+      val flagged = deltas.join(ex, groupCols, "full_outer").select(
+        g ++ Seq((coalesce(col("__ex_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt")) ++
+          sumCols.map(c => addN(col(s"__ex_sum_$c"), col(s"sum_$c")).as(s"sum_$c")) ++
+          minMaxCols.flatMap { m =>
+            val exMax = col(s"__ex_max_$m"); val exMin = col(s"__ex_min_$m")
+            val insMax = col(s"ins_max_$m"); val insMin = col(s"ins_min_$m")
+            val rmMax = col(s"rm_max_$m"); val rmMin = col(s"rm_min_$m")
+            Seq(
+              greatest(exMax, insMax).as(s"cand_max_$m"),
+              least(exMin, insMin).as(s"cand_min_$m"),
+              // retraction: the batch removed a witness of the current
+              // extremum AND did not re-establish one at least as good
+              (exMax.isNotNull && rmMax.isNotNull && (rmMax === exMax) &&
+                (insMax.isNull || insMax < exMax)).as(s"need_max_$m"),
+              (exMin.isNotNull && rmMin.isNotNull && (rmMin === exMin) &&
+                (insMin.isNull || insMin > exMin)).as(s"need_min_$m"))
+          }: _*)
+        .localCheckpoint(true) // probed for rescan groups, then written
+      val needAny = minMaxCols
+        .map(m => col(s"need_max_$m") || col(s"need_min_$m")).reduce(_ || _)
+      val needGroups = flagged.filter(needAny).select(g: _*)
+      // Existence probe is bounded by batch size; the base is NOT read
+      // unless some group actually lost its extremum.
+      val resolved =
+        if (needGroups.limit(1).count() == 0L) {
+          minMaxCols.foldLeft(flagged) { (d, m) =>
+            d.withColumn(s"max_$m", col(s"cand_max_$m"))
+              .withColumn(s"min_$m", col(s"cand_min_$m"))
+          }
+        } else {
+          // Rescan ONLY the retracting groups: broadcast semi-join keeps
+          // the base scan filtered (and row-group-pruned) to them.
+          val aggs = minMaxCols.flatMap(m => Seq(
+            max(col(m)).as(s"re_max_$m"), min(col(m)).as(s"re_min_$m")))
+          val re = Cdc.readStore(spark, storeDir)
+            .join(broadcast(needGroups), groupCols, "left_semi")
+            .groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+          minMaxCols.foldLeft(flagged.join(re, groupCols, "left")) { (d, m) =>
+            d.withColumn(s"max_$m",
+                when(col(s"need_max_$m"), col(s"re_max_$m")).otherwise(col(s"cand_max_$m")))
+              .withColumn(s"min_$m",
+                when(col(s"need_min_$m"), col(s"re_min_$m")).otherwise(col(s"cand_min_$m")))
+          }.drop(minMaxCols.flatMap(m => Seq(s"re_max_$m", s"re_min_$m")): _*)
+        }
+      writeOut(resolved
+        .drop(minMaxCols.flatMap(m => Seq(s"cand_max_$m", s"cand_min_$m",
+          s"need_max_$m", s"need_min_$m")): _*)
+        .filter(col("cnt") =!= 0L)
+        .withColumn("b", Cdc.bucketColFor(groupCols, n)), touched)
+    }
   }
 
   /** Full recompute of the view from the base store. Since the WAL
@@ -306,12 +422,24 @@ object AggView {
     * existing base store. */
   def rebuild(spark: SparkSession, storeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int = Cdc.DefaultBuckets): Unit = {
+      numBuckets: Int = Cdc.DefaultBuckets,
+      minMaxCols: Seq[String] = Nil): Unit = {
     val fs = new org.apache.hadoop.fs.Path(viewDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(viewDir), true)
-    applyDeltas(spark,
-      contributions(Cdc.readStore(spark, storeDir), groupCols, sumCols),
-      viewDir, groupCols, sumCols, numBuckets)
+    val base = Cdc.readStore(spark, storeDir)
+    val d0 = contributions(base, groupCols, sumCols)
+    val d =
+      if (minMaxCols.isEmpty) d0
+      else {
+        val aggs = minMaxCols.flatMap(m => Seq(
+          max(col(m)).as(s"ins_max_$m"), min(col(m)).as(s"ins_min_$m")))
+        val mm = base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        minMaxCols.foldLeft(d0.join(mm, groupCols)) { (dd, m) =>
+          dd.withColumn(s"rm_max_$m", lit(null).cast(dd.schema(s"ins_max_$m").dataType))
+            .withColumn(s"rm_min_$m", lit(null).cast(dd.schema(s"ins_min_$m").dataType))
+        }
+      }
+    applyDeltas(spark, d, viewDir, groupCols, sumCols, numBuckets, minMaxCols, storeDir)
   }
 }

@@ -319,6 +319,51 @@ object Similarity {
       .orderBy(col("keep_id"), col("dup_id"))
   }
 
+  /** The x32 pipeline unbounded and with a PARAMETERIZED bucket width —
+    * the ScaleProbe form. The registered x32 is windowed (vec_id < 500)
+    * so its oracle can compare against exact all-pairs x14; probing that
+    * window at growing corpus sizes would time constant work. This
+    * variant deduplicates the WHOLE corpus and takes `bitsPerTable` as
+    * an argument so the prober can raise it with log2(N) — the
+    * deployment lever the x6 scaladoc documents (bucket occupancy
+    * ~ N/2^b): occupancy, and with it candidates per vector, stays
+    * constant, which is what makes the op linear rather than
+    * quadratic-within-buckets. Projections are composed Column sums off
+    * the same md5 ±1 weight matrix as the native `sign_buckets`
+    * expression (the native op is fixed at the registered 4×4 config;
+    * plane count here is dynamic). */
+  def lshDedupScaled(e: DataFrame, bitsPerTable: Int,
+      numTables: Int = NumTables, threshold: Double = 0.3): DataFrame = {
+    val s = e.sparkSession
+    val vd = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    def proj(p: Int): Column =
+      (0 until Dim).map(d => element_at(col("vd"), d + 1) * lit(weight(p, d)))
+        .reduce(_ + _)
+    def bucketCol(t: Int): Column =
+      (0 until bitsPerTable).map { b =>
+        when(proj(t * bitsPerTable + b) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val banded = vd.select(col("vec_id"),
+      posexplode(array((0 until numTables).map(bucketCol): _*)).as(Seq("tbl", "bucket")))
+    val cand = banded
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a AS keep_id, b AS dup_id))))""".stripMargin)).as("p"))
+      .select(col("p.keep_id"), col("p.dup_id"))
+      .distinct()
+    cand
+      .join(vd.select(col("vec_id").as("keep_id"), col("vd").as("va")), "keep_id")
+      .join(vd.select(col("vec_id").as("dup_id"), col("vd").as("vb")), "dup_id")
+      .withColumn("cos", cosine(s, col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("keep_id"), col("dup_id"), col("cos"))
+  }
+
   /** x31: symmetric int8 embedding quantization — the storage/compute
     * shrink a 100 TB vector corpus runs before ANN serving (4× smaller
     * than float32, integer SIMD dot products downstream). Per vector:

@@ -101,12 +101,19 @@ object AggView {
     val id =
       if (batchId >= 0) batchId
       else {
-        val base = readStamp(spark, storeDir, BaseStamp)
         val view = readStamp(spark, viewDir, ViewStamp)
-        val pending = Seq(base, readStamp(spark, wal, WalStamp),
-          readStamp(spark, wal, ApplyingStamp)).max
+        // Pending detection reads only VIEW-LOCAL state (the WAL and its
+        // APPLYING marker): the protocol writes the WAL stamp before the
+        // base merge and deletes the WAL only after the view stamp, so
+        // every crash window of a batch leaves WAL-or-marker > view.
+        // The shared BaseStamp must NOT be a pending signal — a second
+        // view maintained over the same base store advances it past this
+        // view's stamp on every one of ITS batches, and treating that as
+        // "crashed" would push each batch down the full-rebuild branch.
+        val pending = math.max(readStamp(spark, wal, WalStamp),
+          readStamp(spark, wal, ApplyingStamp))
         if (pending > view) pending // unfinished attempt: resume, don't skip
-        else math.max(base, view) + 1
+        else math.max(readStamp(spark, storeDir, BaseStamp), view) + 1
       }
 
     if (readStamp(spark, viewDir, ViewStamp) >= id) return // fully applied
@@ -155,6 +162,23 @@ object AggView {
     deleteDir(spark, wal)
   }
 
+  /** Join on the group columns with NULL-SAFE equality. groupBy treats
+    * NULL as a regular group (the count/sum path rides on that), but a
+    * plain equi-join silently rejects NULL keys — a null-keyed group
+    * would split into duplicate view rows in the full-outer apply join
+    * and vanish entirely from the inner rebuild join. The right side's
+    * group columns are renamed away, matched with `<=>`, and (for outer
+    * joins) coalesced back. */
+  private def nsJoin(l: DataFrame, r: DataFrame, cols: Seq[String],
+      how: String): DataFrame = {
+    val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => l(c) <=> rr(s"__r_$c")).reduce(_ && _)
+    val joined = l.join(rr, cond, how)
+    if (how == "left_semi" || how == "left_anti") joined
+    else cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__r_$c"))).drop(s"__r_$c"))
+  }
+
   /** The per-group delta a merge of `batch` into the CURRENT base store
     * implies — must run before the merge rewrites the store.
     *
@@ -178,7 +202,7 @@ object AggView {
     if (!Cdc.storeExists(spark, storeDir)) {
       val d0 = contributions(newest, groupCols, sumCols)
       if (minMaxCols.isEmpty) d0
-      else minMaxCols.foldLeft(d0.join(mmAgg(newest, "ins"), groupCols)) { (d, m) =>
+      else minMaxCols.foldLeft(nsJoin(d0, mmAgg(newest, "ins"), groupCols, "inner")) { (d, m) =>
         d.withColumn(s"rm_max_$m", lit(null).cast(d.schema(s"ins_max_$m").dataType))
           .withColumn(s"rm_min_$m", lit(null).cast(d.schema(s"ins_min_$m").dataType))
       }
@@ -205,8 +229,8 @@ object AggView {
         .agg(sum(col("cnt")).as("cnt"),
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       if (minMaxCols.isEmpty) d0
-      else d0.join(mmAgg(changed, "ins"), groupCols, "left")
-        .join(mmAgg(removedOld, "rm"), groupCols, "left")
+      else nsJoin(nsJoin(d0, mmAgg(changed, "ins"), groupCols, "left"),
+        mmAgg(removedOld, "rm"), groupCols, "left")
     }
   }
 
@@ -306,9 +330,13 @@ object AggView {
     val pinned = Cdc.pinnedBuckets(spark, viewDir)
     val n = if (pinned > 0) pinned else numBuckets
     val g = groupCols.map(col)
-    def writeOut(rows: DataFrame, touched: Seq[Int]): Unit = {
-      val merged = rows.localCheckpoint(true) // consumed twice; and the
-        // write below replaces the files this plan reads
+    def writeOut(rows: DataFrame, touched: Seq[Int],
+        checkpoint: Boolean = true): Unit = {
+      // Consumed twice, and the write below replaces the files the plan
+      // reads — unless the caller's frame is already checkpoint-derived
+      // (the min/max path checkpoints flagged + the rescan aggregate),
+      // in which case a second materialization would just double memory.
+      val merged = if (checkpoint) rows.localCheckpoint(true) else rows
       // Dynamic partition overwrite only rewrites partitions PRESENT in
       // the output — a touched bucket whose last group was removed emits
       // zero rows and would keep its stale file. Delete those explicitly.
@@ -361,7 +389,7 @@ object AggView {
         when(a.isNull, bCol).when(bCol.isNull, a).otherwise(a + bCol)
       // Full outer: view groups untouched by the batch must survive the
       // bucket rewrite; batch groups absent from the view are new.
-      val flagged = deltas.join(ex, groupCols, "full_outer").select(
+      val flagged = nsJoin(deltas, ex, groupCols, "full_outer").select(
         g ++ Seq((coalesce(col("__ex_cnt"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt")) ++
           sumCols.map(c => addN(col(s"__ex_sum_$c"), col(s"sum_$c")).as(s"sum_$c")) ++
           minMaxCols.flatMap { m =>
@@ -395,10 +423,12 @@ object AggView {
           // the base scan filtered (and row-group-pruned) to them.
           val aggs = minMaxCols.flatMap(m => Seq(
             max(col(m)).as(s"re_max_$m"), min(col(m)).as(s"re_min_$m")))
-          val re = Cdc.readStore(spark, storeDir)
-            .join(broadcast(needGroups), groupCols, "left_semi")
+          val re = nsJoin(Cdc.readStore(spark, storeDir),
+              broadcast(needGroups), groupCols, "left_semi")
             .groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
-          minMaxCols.foldLeft(flagged.join(re, groupCols, "left")) { (d, m) =>
+            .localCheckpoint(true) // tiny (one row per retracting group);
+              // resolved is consumed twice and must not re-scan the base
+          minMaxCols.foldLeft(nsJoin(flagged, re, groupCols, "left")) { (d, m) =>
             d.withColumn(s"max_$m",
                 when(col(s"need_max_$m"), col(s"re_max_$m")).otherwise(col(s"cand_max_$m")))
               .withColumn(s"min_$m",
@@ -409,7 +439,8 @@ object AggView {
         .drop(minMaxCols.flatMap(m => Seq(s"cand_max_$m", s"cand_min_$m",
           s"need_max_$m", s"need_min_$m")): _*)
         .filter(col("cnt") =!= 0L)
-        .withColumn("b", Cdc.bucketColFor(groupCols, n)), touched)
+        .withColumn("b", Cdc.bucketColFor(groupCols, n)), touched,
+        checkpoint = false)
     }
   }
 
@@ -435,7 +466,7 @@ object AggView {
         val aggs = minMaxCols.flatMap(m => Seq(
           max(col(m)).as(s"ins_max_$m"), min(col(m)).as(s"ins_min_$m")))
         val mm = base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        minMaxCols.foldLeft(d0.join(mm, groupCols)) { (dd, m) =>
+        minMaxCols.foldLeft(nsJoin(d0, mm, groupCols, "inner")) { (dd, m) =>
           dd.withColumn(s"rm_max_$m", lit(null).cast(dd.schema(s"ins_max_$m").dataType))
             .withColumn(s"rm_min_$m", lit(null).cast(dd.schema(s"ins_min_$m").dataType))
         }

@@ -255,6 +255,43 @@ class AggViewSpec extends SparkSuite {
     }
   }
 
+  test("NULL group key is one group on the min/max path too (join null-rejection fixed)") {
+    // groupBy treats NULL as a regular group; the min/max path's joins
+    // must match it with null-safe equality or the null group splits
+    // into duplicate view rows (full-outer apply) and vanishes from
+    // rebuilds (inner join).
+    val store = tmpDir("av10-store") + "/base"
+    val viewDir = tmpDir("av10-view") + "/view"
+    val ng: String = null
+    def step(b: DataFrame): Unit =
+      AggView.mergeWithView(b, store, viewDir, keys, "seq",
+        groupCols, sumCols, minMaxCols = Seq("v"))
+    def viewMM: Seq[(String, Long, Long, Long, Long)] =
+      AggView.readView(spark, viewDir).orderBy($"g")
+        .select($"g", $"cnt", $"sum_v", $"max_v", $"min_v")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    def recomputeMM: Seq[(String, Long, Long, Long, Long)] =
+      Cdc.readStore(spark, store).groupBy($"g")
+        .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+          max($"v").as("max_v"), min($"v").as("min_v"))
+        .orderBy($"g").as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    step(img((1L, "A", 10L, 1L), (2L, ng, 7L, 1L), (3L, ng, 9L, 1L)))
+    assert(viewMM === Seq((ng, 2L, 16L, 9L, 7L), ("A", 1L, 10L, 10L, 10L)))
+    assert(viewMM === recomputeMM)
+    // delta-only insert into the null group
+    step(img((4L, ng, 20L, 1L)))
+    assert(viewMM === recomputeMM)
+    // retract the null group's max (20 -> 2): rescan must find 9
+    step(img((4L, ng, 2L, 2L)))
+    assert(viewMM === recomputeMM)
+    assert(viewMM.head === ((ng, 3L, 18L, 9L, 2L)))
+    // and a rebuild keeps the null group (inner joins were the trap)
+    AggView.rebuild(spark, store, viewDir, groupCols, sumCols,
+      minMaxCols = Seq("v"))
+    assert(viewMM === recomputeMM)
+  }
+
   test("min/max survives the lost-delta crash window via the WAL") {
     val store = tmpDir("av9-store") + "/base"
     val viewDir = tmpDir("av9-view") + "/view"

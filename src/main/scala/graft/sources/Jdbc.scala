@@ -85,20 +85,29 @@ object Jdbc {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val stmt = conn.createStatement()
-      // Create the target on first load by cloning the staging schema —
-      // unquoted identifiers so the dialect applies its own case rules —
-      // and give it the unique index the semantics rest on: without it,
-      // two loaders racing the same key can both pass NOT EXISTS and
-      // both insert (the reference's ON CONFLICT is backed by a unique
-      // index for exactly this reason). A concurrent creator losing the
-      // CREATE race is fine — recheck and proceed.
       def q(c: String) = "\"" + c + "\""
-      if (!tableExists(conn, table)) {
-        try {
-          stmt.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
-          stmt.executeUpdate(s"CREATE UNIQUE INDEX ${table}_key_ux ON $table (${keys.map(q).mkString(", ")})")
-        } catch {
-          case e: java.sql.SQLException if tableExists(conn, table) => () // lost the create race
+      // Create the target on first load by cloning the staging schema —
+      // unquoted identifiers so the dialect applies its own case rules.
+      // A concurrent creator losing the CREATE race rechecks and
+      // proceeds.
+      if (tableName(conn, table).isEmpty) {
+        try stmt.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+        catch {
+          case _: java.sql.SQLException if tableName(conn, table).nonEmpty => ()
+        }
+      }
+      // The unique key index is ensured INDEPENDENTLY of table creation:
+      // the semantics rest on it (without it two loaders racing the same
+      // key can both pass NOT EXISTS and both insert — the reference's
+      // ON CONFLICT is backed by a unique index for exactly this
+      // reason), and a crash between CREATE TABLE and CREATE INDEX must
+      // not leave the table unguarded forever. A genuine index-creation
+      // failure (e.g. duplicates already present) propagates.
+      if (!keyIndexExists(conn, table, keys)) {
+        try stmt.executeUpdate(
+          s"CREATE UNIQUE INDEX ${table}_key_ux ON $table (${keys.map(q).mkString(", ")})")
+        catch {
+          case _: java.sql.SQLException if keyIndexExists(conn, table, keys) => ()
         }
       }
       try {
@@ -106,10 +115,24 @@ object Jdbc {
         // unquoted names would be case-folded by the dialect and miss.
         val cols = df.columns.map(q).mkString(", ")
         val keyEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-        stmt.executeUpdate(
+        val insertSql =
           s"""INSERT INTO $table ($cols)
              |SELECT $cols FROM $staging s
-             |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyEq)""".stripMargin).toLong
+             |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyEq)""".stripMargin
+        // Two loaders can both pass NOT EXISTS on the same new key; the
+        // loser's SET-BASED insert then aborts wholesale on the unique
+        // index (SQLState class 23, integrity violation). Retrying
+        // re-runs NOT EXISTS against the winner's now-committed rows and
+        // inserts the disjoint remainder — recovering the reference's
+        // row-level ON CONFLICT DO NOTHING contract at statement level.
+        def attempt(left: Int): Long =
+          try stmt.executeUpdate(insertSql).toLong
+          catch {
+            case e: java.sql.SQLException
+                if left > 0 && Option(e.getSQLState).exists(_.startsWith("23")) =>
+              attempt(left - 1)
+          }
+        attempt(3)
       } finally {
         try stmt.executeUpdate(s"DROP TABLE $staging")
         catch { case _: java.sql.SQLException => () } // already gone / never created
@@ -117,22 +140,55 @@ object Jdbc {
     } finally conn.close()
   }
 
-  /** Does `table` exist, under whatever identifier folding the dialect
-    * applies? Spark's JDBC writer emits an UNQUOTED table name, so the
+  /** The name under which the dialect stores `table`, or None if it does
+    * not exist. Spark's JDBC writer emits an UNQUOTED table name, so the
     * database folds it: Derby/Oracle/DB2 fold up, Postgres/MySQL fold
-    * down, some store as-is. Checking only `toUpperCase` (the round-6
-    * shape) meant lowercase-folding dialects never matched and every
-    * call re-attempted CREATE TABLE. Probe the dialect's declared
-    * folding first, then the remaining case variants. */
-  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    * down, some store as-is — probe the dialect's declared folding
+    * first, then the remaining case variants. `getTables` treats its
+    * arguments as LIKE patterns ('_' matches ANY character, so
+    * `orders_conc` would match `ordersXconc`), hence the metacharacter
+    * escaping; the search is also scoped to the connection's current
+    * schema so a same-named table elsewhere cannot shadow the unqualified
+    * DML below. */
+  private def tableName(conn: java.sql.Connection, table: String): Option[String] = {
     val meta = conn.getMetaData
+    // Dialects that declare NO escape string (Derby returns "") cannot
+    // have their metacharacters escaped — use the raw name there (a
+    // wildcard false positive is recoverable; a false negative re-runs
+    // CREATE TABLE and fails the load).
+    val esc = Option(meta.getSearchStringEscape).getOrElse("")
+    def escape(s: String): String =
+      if (esc.isEmpty) s
+      else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val schema =
+      try Option(conn.getSchema).map(escape).orNull
+      catch { case _: Throwable => null } // driver without getSchema: all schemas
     val folded =
       if (meta.storesUpperCaseIdentifiers) table.toUpperCase
       else if (meta.storesLowerCaseIdentifiers) table.toLowerCase
       else table
-    (folded +: Seq(table, table.toUpperCase, table.toLowerCase)).distinct.exists { t =>
-      val rs = meta.getTables(null, null, t, null)
+    (folded +: Seq(table, table.toUpperCase, table.toLowerCase)).distinct.find { t =>
+      val rs = meta.getTables(null, schema, escape(t), null)
       try rs.next() finally rs.close()
     }
   }
+
+  /** Is there a unique index on the target whose column set is exactly
+    * `keys`? Resolved via the stored table name (getIndexInfo takes an
+    * exact name, not a pattern). */
+  private def keyIndexExists(conn: java.sql.Connection, table: String,
+      keys: Seq[String]): Boolean =
+    tableName(conn, table).exists { stored =>
+      val rs = conn.getMetaData.getIndexInfo(null, null, stored, true, false)
+      val byIndex = scala.collection.mutable.Map.empty[String, Set[String]]
+      try {
+        while (rs.next()) {
+          val idx = rs.getString("INDEX_NAME")
+          val c = rs.getString("COLUMN_NAME")
+          if (idx != null && c != null)
+            byIndex(idx) = byIndex.getOrElse(idx, Set.empty) + c
+        }
+      } finally rs.close()
+      byIndex.values.exists(_ == keys.toSet)
+    }
 }

@@ -108,6 +108,30 @@ class JdbcSpec extends SparkSuite {
     } finally conn.close()
   }
 
+  test("writeIfAbsent: concurrent loads with OVERLAPPING keys — no duplicates, no lost rows") {
+    // Both loaders race the same keys in [800, 1200): each passes NOT
+    // EXISTS before the other commits, the loser's set-based insert hits
+    // the unique index, and the retry must insert its disjoint remainder
+    // (the reference's ON CONFLICT DO NOTHING row-level contract).
+    val left = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").filter($"o_orderkey" < 1200)
+    val right = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+      .filter($"o_orderkey" >= 800 && $"o_orderkey" < 2000)
+    val total = Tables.orders(spark, sf).filter($"o_orderkey" < 2000).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (n1, n2) = Await.result(
+      Future(Jdbc.writeIfAbsent(left, url, "orders_overlap", Seq("o_orderkey")))
+        .zip(Future(Jdbc.writeIfAbsent(right, url, "orders_overlap", Seq("o_orderkey")))),
+      5.minutes)
+    assert(n1 + n2 === total, s"inserted $n1 + $n2, expected exactly $total distinct keys")
+    val back = Jdbc.read(spark, url, "orders_overlap")
+    assert(back.count() === total)
+    assert(back.select("o_orderkey").distinct().count() === total)
+  }
+
   test("writeIfAbsent: unique index on the key survives create, blocking racy duplicates") {
     val df = Seq((10L, "x")).toDF("k", "v")
     Jdbc.writeIfAbsent(df, url, "idx_upsert", Seq("k"))

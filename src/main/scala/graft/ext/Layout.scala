@@ -106,7 +106,11 @@ object Layout {
       else {
         val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        if (r.isNullAt(0)) return df // empty input: nothing to cluster
+        // Empty input, or a dimension with no non-NULL values: no bounds
+        // exist to scale against (min/max aggregates skip nulls, so ANY
+        // null cell means that dimension is all-NULL — checking only
+        // column 0 would misdiagnose or NPE). Return unclustered.
+        if ((0 until 2 * cols.size).exists(r.isNullAt)) return df
         cols.indices.map(i => (r.getAs[Number](2 * i).longValue(),
           r.getAs[Number](2 * i + 1).longValue()))
       }

@@ -123,8 +123,13 @@ object VersionedStore {
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getLong(0)
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      // No bounds exist on an empty version OR when some z-dimension has
+      // no non-NULL values (min/max skip nulls) — fall back to the plain
+      // rewrite rather than NPE on a null bound.
+      val boundsMissing = n == 0 ||
+        (1 to 2 * zorderBy.size).exists(r.isNullAt)
       val shaped =
-        if (n == 0) df.repartition(files) // empty version: no bounds exist
+        if (boundsMissing) df.repartition(files)
         else graft.ext.Layout.zOrderedBy(df, zorderBy, files,
           zorderBy.indices.map(i => (r.getAs[Number](1 + 2 * i).longValue(),
             r.getAs[Number](2 + 2 * i).longValue())))

@@ -142,6 +142,17 @@ class LayoutSpec extends SparkSuite {
     assert(VersionedStore.read(spark, root, Some(v)).count() === 0L)
   }
 
+  test("all-NULL z-dimension: unclustered fallback instead of an NPE (non-empty input)") {
+    import graft.model.VersionedStore
+    val df = Seq((1, Option.empty[Int]), (2, None), (3, None)).toDF("a", "b")
+    assert(Layout.zOrderedBy(df, Seq("a", "b"), 4).count() === 3L)
+    val root = java.nio.file.Files.createTempDirectory("graft-vznull").toString + "/store"
+    VersionedStore.commit(df, root)
+    val v = VersionedStore.compact(spark, root, targetRowsPerFile = 1000,
+      zorderBy = Seq("a", "b"))
+    assert(VersionedStore.read(spark, root, Some(v)).count() === 3L)
+  }
+
   test("caller-supplied bounds make zOrderedBy pure plan construction: zero jobs") {
     val base = Tables.lineitem(spark, sf).select(
       datediff(col("l_shipdate"), to_date(lit("1992-01-01"))).as("day"),

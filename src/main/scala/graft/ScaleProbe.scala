@@ -126,12 +126,17 @@ object ScaleProbe {
     // would time constant work. The probe runs the UNBOUNDED pipeline
     // with bucket bits raised as log2(N/32): constant target occupancy
     // ~32, the lever a real deployment turns.
+    // Memoized per dir: the count that sizes `bits` runs once on the
+    // warmup invocation — a per-call count would ride inside the TIMED
+    // run and contaminate the very linearity the probe measures.
+    val bitsCache = scala.collection.mutable.Map.empty[String, Int]
     val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "x32_lsh_dedup_scaled" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val n = math.max(e.count(), 1L)
-        val bits = math.max(4,
-          math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+        val bits = bitsCache.getOrElseUpdate(dir, {
+          val n = math.max(e.count(), 1L)
+          math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+        })
         graft.ext.Similarity.lshDedupScaled(e, bits)
       }))
     val base = "/root/testdata/sf0.1"

@@ -238,5 +238,75 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts, oovRate)
+  /** x40: per-document bigram language-model quality score — the
+    * relational form of the perplexity filter a training pipeline runs
+    * before admitting text (KenLM-style fluency scoring). The corpus's
+    * own add-one-smoothed bigram model scores each document:
+    * `P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)` where `c(w1·)` is w1's
+    * history count (the sum of its outgoing bigram counts) and V the
+    * corpus vocabulary size; a document's score is the MEAN conditional
+    * probability over its bigrams in document order. The arithmetic
+    * mean of probabilities stands in for the usual mean log-prob because
+    * libm `log` is the one primitive whose last ulp differs between
+    * runtimes (the x33 BM25 lesson) — every step here is exact-integer
+    * counts, one correctly-rounded division per bigram, and an
+    * ORDERED left-fold sum (the x33/x10 technique), so the DuckDB
+    * oracle is bit-exact.
+    *
+    * Scale shape: the LM tables are NOT broadcast — c12 and c1 are keyed
+    * aggregates that stay distributed (at 100 TB the bigram table is
+    * itself huge), the per-bigram probability lookup is two keyed
+    * equi-joins, and the final per-doc regroup carries (i, p) pairs
+    * only. Three shuffles, all on keys whose cardinality the corpus
+    * bounds; nothing quadratic, nothing driver-side. */
+  val bigramLmScore = Q.withOracle(
+    "x40_bigram_lm_score",
+    "x40: per-doc mean add-one-smoothed bigram conditional probability",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM d),
+      |bg AS (SELECT doc_id, i, ts[i] AS w1, ts[i + 1] AS w2 FROM pos),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |p AS (SELECT b.doc_id, b.i,
+      |        CAST(c.c12 + 1 AS DOUBLE) / CAST(u.c1 + v.v AS DOUBLE) AS p
+      |      FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v),
+      |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
+      |          (a, x) -> a + x) AS sp
+      |      FROM p GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  sp / n_bigrams AS score
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = toks(col("text"))
+    // (doc_id, i, w1, w2) with 1-based bigram position — the fold order
+    val bg = docs
+      .select(col("doc_id"), posexplode(
+        filter(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as(Seq("i0", "p")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs.select(explode(t).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val p = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v)) // one scalar row
+      .select(col("doc_id"), col("i"),
+        ((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+    p.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        array_sort(collect_list(struct(col("i"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+          col("n_bigrams")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
+    oovRate, bigramLmScore)
 }

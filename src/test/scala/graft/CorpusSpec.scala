@@ -106,4 +106,30 @@ class CorpusSpec extends SparkSuite {
     val plan = q("x38_oov_rate").queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), s"x38 vocab join must broadcast:\n$plan")
   }
+
+  test("x40 LM score matches an add-one-smoothing hand computation on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a" + "a b" → c12 = {(a,b):2, (b,a):1}, c1 = {a:2, b:1},
+    // V = 2. P(b|a) = 3/4, P(a|b) = 2/3.
+    val dir = java.nio.file.Files.createTempDirectory("x40tiny").toString
+    Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x40_bigram_lm_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L, s"bigram counts wrong: $got")
+    assert(got(1L)._2 == (3.0 / 4 + 2.0 / 3) / 2, "doc 1 mean of P(b|a), P(a|b)")
+    assert(got(2L)._2 == 3.0 / 4, "doc 2 is the single bigram P(b|a)")
+  }
+
+  test("x40 forces no broadcast of the LM count tables (only the 1-row vocab scalar is hinted)") {
+    // The bigram/unigram count tables scale with the corpus; whether to
+    // broadcast them is AQE's call from runtime stats, never a hint. The
+    // one explicit hint must be the 1-row vocab-size aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val hints = q("x40_bigram_lm_score").queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"exactly one explicit hint expected, got ${hints.size}")
+    assert(hints.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "the hinted subtree must be the bounded 1-row vocab aggregate")
+  }
 }

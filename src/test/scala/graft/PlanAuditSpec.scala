@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSuite {
     "x18_tfidf_topterm",   // broadcast of the 1-row corpus-size aggregate
     "x25b_quality_deciles_approx", // broadcast of the 1-row boundary sketch
     "x33_bm25_topk",               // broadcast of the 1-row corpus stats (N, sum dl)
+    "x40_bigram_lm_score",         // broadcast of the 1-row vocab-size scalar
+
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 
   test("registry is well-formed: unique names, oracles only for registered queries") {

@@ -28,15 +28,38 @@ object Parity {
   /** Exact 2-decimal view of a double column. */
   def dec(c: Column): Column = c.cast(Money)
 
-  /** Order-independent sum of a ≤2-decimal double column, as double. */
-  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Long-pennies aggregation: `sum(decimal(12,2))` widens the buffer to
+    * decimal(22,2), which exceeds the 18-digit long-backed representation —
+    * HashAggregateExec then keeps heavyweight Decimal buffers and skips the
+    * vectorized fast hash map. Summing exact integer pennies in a plain
+    * LONG buffer is ~2× faster end-to-end (measured on a2 at sf0.1:
+    * 1.03-1.9s decimal vs 0.69s pennies) and remains bit-identical: the
+    * pennies are derived from the decimal cast itself (exact ×10^scale,
+    * exact long), the exact integer total is widened back through decimal,
+    * and the final double is the correctly-rounded image of the same
+    * rational DuckDB computes. ANSI mode makes long-sum overflow loud, and
+    * the headroom is wide: with ≤10^7-penny row values a single GROUP would
+    * need ~10^11 rows to overflow — far beyond any 100 TB group. */
+  private def pennySum(c: Column, scale: Int): Column = {
+    val unit = math.pow(10, scale).toLong
+    (sum((c * unit).cast("long")).cast("decimal(38,0)") / unit).cast("double")
+  }
 
-  /** Order-independent sum of an already-decimal expression, as double. */
-  def dsumExact(c: Column): Column = sum(c).cast("double")
+  /** Order-independent sum of a ≤2-decimal double column, as double. */
+  def dsum(c: Column): Column = pennySum(dec(c), 2)
+
+  /** Order-independent sum of an already-decimal SCALE-2 expression, as
+    * double. (For the scale-4 revenue product use [[revenueSum]].) */
+  def dsumExact(c: Column): Column = pennySum(c, 2)
 
   /** `l_extendedprice * (1 - l_discount)` in exact decimal arithmetic. */
   def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(1).cast(Money) - dec(discount))
+
+  /** Order-independent `SUM(price * (1 - discount))`, as double — the
+    * scale-4 penny path for the revenue product. */
+  def revenueSum(price: Column, discount: Column): Column =
+    pennySum(revenue(price, discount), 4)
 
   /** Monday-start week as DATE (matches DuckDB `date_trunc('week', ts)`,
     * which returns DATE directly; Spark returns a timestamp → cast). */

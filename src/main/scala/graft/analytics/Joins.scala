@@ -44,7 +44,7 @@ object Joins {
     Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
-      .agg(dsumExact(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus"))
   }

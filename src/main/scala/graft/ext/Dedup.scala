@@ -593,8 +593,75 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     })
 
+  /** x42: cross-document repeated-span coverage — the per-doc "fraction
+    * of tokens inside a substring duplicated across documents" signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499). A 3-gram occurring in ≥ 2 DISTINCT docs
+    * is a repeated span; each occurrence covers its 3 token positions;
+    * the measure is |union of covered positions| / n_tokens. (Production
+    * span dedup uses longer windows — the window length is a constant of
+    * the gram expression, not of this plan shape. On this corpus's tiny
+    * synthetic vocabulary the signal saturates high, which the oracle
+    * reproduces exactly.)
+    *
+    * Scale shape: gram extraction is the map-only native `shingle_hash3`
+    * (no shuffle before the aggregate); "repeated anywhere" is ONE
+    * hash-aggregate on the gram key — min(doc) < max(doc) needs no
+    * distinct-count — and the coverage union is a keyed join back on the
+    * gram hash plus one distinct on (doc, position): every shuffle is on
+    * a gram or doc key, nothing is quadratic, nothing is collected. The
+    * repeated-gram side is NOT broadcast by assumption: at corpus scale
+    * it grows with the data, so the equi-join's shuffle is the design. */
+  val repeatedSpans = Q.withOracle(
+    "x42_repeated_spans",
+    "x42: per-doc token coverage by 3-grams repeated across >= 2 docs",
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |      i -> {'pos': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS u
+      |  FROM toks),
+      |ge AS MATERIALIZED (SELECT doc_id, (u).pos AS pos, (u).g AS g FROM g),
+      |rep AS MATERIALIZED (
+      |  SELECT g FROM ge GROUP BY g HAVING MIN(doc_id) < MAX(doc_id)),
+      |cov AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, pos + o AS p
+      |  FROM ge JOIN rep USING (g) CROSS JOIN generate_series(0, 2) z(o)),
+      |per AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_rep_tokens,
+      |  CAST(COALESCE(per.n, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS rep_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHash3.register(s)
+    val docs = Tables.documents(s, dir)
+    // Position-bearing grams: the native expression returns the gram
+    // array in token order, so posexplode's index IS the span start
+    // (0-based here, 1-based in the oracle — coverage COUNTS are
+    // shift-invariant, which is all the output exposes).
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash3.shingleHash3(split(col("text"), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val rep = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") < col("mx"))
+      .select(col("g"))
+    val per = grams.join(rep, "g")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(2))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n"), lit(0L)).as("n_rep_tokens"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("n_tokens")).as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
-    dedupClustersStar, simhashPairs)
+    dedupClustersStar, simhashPairs, repeatedSpans)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

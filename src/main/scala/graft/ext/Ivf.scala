@@ -146,6 +146,12 @@ object Ivf {
   def lloydStep(v: DataFrame, cents: DataFrame): DataFrame =
     meanByCell(v.join(assignCells(v, cents), "vec_id"))
 
+  /** Centroids after `iters` Lloyd passes over the md5-rank seeds — the
+    * ONE deterministic quantizer, shared by x12 (ANN probing) and x41
+    * (SemDeDup cells) so both replay against the same oracle CTEs. */
+  private[graft] def refinedCentroids(vq: DataFrame, iters: Int = LloydIters): DataFrame =
+    (1 to iters).foldLeft(seedCentroids(vq))((c, _) => lloydStep(vq, c))
+
   /** The full IVF top-k for a given number of Lloyd refinement passes —
     * parameterized so IvfSpec can compare the refined quantizer against
     * the raw md5 seed on identical plumbing. */
@@ -158,9 +164,7 @@ object Ivf {
       transform(col("embedding"), x => x.cast("double")).as("vd"))
     // The centroid table is read three times below (cells + two probe
     // assignments) — materialize once; it is K × dim, trivially small.
-    val cents = (1 to lloydIters)
-      .foldLeft(seedCentroids(vq))((c, _) => lloydStep(vq, c))
-      .localCheckpoint()
+    val cents = refinedCentroids(vq, lloydIters).localCheckpoint()
     val cells = assignCells(vq, cents)
     val probes = probeCells(vq.filter(col("vec_id") < NumQueries), cents, nProbe)
     val qv = vd.filter(col("vec_id") < NumQueries)
@@ -180,7 +184,7 @@ object Ivf {
 
   // ---- DuckDB oracle: the same integer pipeline in SQL ----------------
 
-  private def sqDistSql(a: String, b: String): String =
+  private[graft] def sqDistSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i]))),
        |      (acc, x) -> acc + x)""".stripMargin
@@ -218,17 +222,28 @@ object Ivf {
     (steps.map(_ + ",\n").mkString, finalCents)
   }
 
-  private def ivfOracle: String = {
+  /** Oracle CTE prefix replaying the whole quantizer — `vq` (fixed-point
+    * vectors), `seeds`, the Lloyd chain, and the final `cells`
+    * assignment — plus the name of the final centroid table. Shared
+    * with x41 SemDeDup, whose oracle clusters on the same `cells`. */
+  private[graft] def quantizerOracleCtes: (String, String) = {
     val (chain, finalCents) = lloydChainSql
-    s"""WITH vq AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |seeds AS MATERIALIZED (
-       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, q
-       |  FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K),
-       |$chain${assignSql("cells", finalCents)},
+    val ctes =
+      s"""vq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seeds AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell, q
+         |  FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K),
+         |$chain${assignSql("cells", finalCents)}""".stripMargin
+    (ctes, finalCents)
+  }
+
+  private def ivfOracle: String = {
+    val (ctes, finalCents) = quantizerOracleCtes
+    s"""WITH $ctes,
        |probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT v.vec_id, c.cell,

@@ -126,7 +126,10 @@ object ScaleProbe {
       "x36_vocab_build", "x38_oov_rate", "x39_domain_mix",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
-      "x40_bigram_lm_score")
+      "x40_bigram_lm_score",
+      // x42: one row per doc (linear); repeated grams stay within a copy
+      // (disjoint shingle spaces), so the coverage join is copy-local
+      "x42_repeated_spans")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes
@@ -137,6 +140,7 @@ object ScaleProbe {
     // warmup invocation — a per-call count would ride inside the TIMED
     // run and contaminate the very linearity the probe measures.
     val bitsCache = scala.collection.mutable.Map.empty[String, Int]
+    val kCache = scala.collection.mutable.Map.empty[String, Int]
     val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "x32_lsh_dedup_scaled" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -145,6 +149,21 @@ object ScaleProbe {
           math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
         })
         graft.ext.Similarity.lshDedupScaled(e, bits)
+      }),
+      // The registered x41 pins K=10 for its DuckDB-replayed oracle;
+      // timing THAT at growing N would plant the quadratic its scaladoc
+      // warns about (fixed cell count → cell population grows with N).
+      // The probe turns the documented lever instead: K ~ sqrt(N), cell
+      // occupancy flat, candidate pairs ~ NProbe²·N²/K ~ N^1.5·NProbe².
+      "x41_semdedup_scaled" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val k = kCache.getOrElseUpdate(dir, {
+          val n = math.max(e.count(), 1L)
+          math.max(graft.ext.Ivf.K, math.ceil(math.sqrt(n.toDouble)).toInt)
+        })
+        val bits = math.max(graft.ext.Ivf.CellBits,
+          64 - java.lang.Long.numberOfLeadingZeros(k.toLong))
+        graft.ext.SemDedup.pipeline(e, k, bits)
       }))
     val base = "/root/testdata/sf0.1"
     Seq(1, 4, maxFactor).distinct.foreach { f =>

@@ -51,7 +51,7 @@ object Ivf {
   /** Coarse cells. CellBits packs the cell id under the distance in the
     * argmin long, so K must stay ≤ 2^CellBits. */
   val K = 10
-  private val CellBits = 4
+  private[graft] val CellBits = 4
   private val Dim = 64
   /** Fixed-point scale: 2^20 (exact IEEE multiply). */
   private val Scale = 1048576.0
@@ -68,24 +68,28 @@ object Ivf {
     e.select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast("double") * lit(Scale))).as("q"))
 
-  /** Seed centroids: the quantized vectors of the K lowest-md5 ids. */
-  private[graft] def seedCentroids(vq: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("h"), col("vec_id")) // bounded: K rows
+  /** Seed centroids: the quantized vectors of the k lowest-md5 ids. */
+  private[graft] def seedCentroids(vq: DataFrame, k: Int = K): DataFrame = {
+    val w = Window.orderBy(col("h"), col("vec_id")) // bounded: k rows
     vq.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(K)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select((row_number().over(w) - 1).as("cell"), col("q"))
   }
 
   /** Nearest-cell assignment: argmin of integer L2, as min() over one
-    * packed long so the plan is a hash aggregate (ties → lower cell). */
-  private[graft] def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = shiftleft(sqDist(col("q"), col("cq")), CellBits)
+    * packed long so the plan is a hash aggregate (ties → lower cell).
+    * `cellBits` bounds the cell-id field of the packed long (k ≤
+    * 2^cellBits); sqDist tops out at 2^48 (see scaladoc above), so any
+    * cellBits ≤ 14 leaves the pack overflow-free in int64. */
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame,
+      cellBits: Int = CellBits): DataFrame = {
+    val packed = shiftleft(sqDist(col("q"), col("cq")), cellBits)
       .bitwiseOR(col("cell").cast("long"))
     v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
       .groupBy(col("vec_id"))
       .agg(min(packed).as("m"))
       .select(col("vec_id"),
-        col("m").bitwiseAND(lit((1L << CellBits) - 1)).cast("int").as("cell"))
+        col("m").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
   }
 
   /** Top-n nearest cells per query vector — the probe list. Bounded:
@@ -143,14 +147,18 @@ object Ivf {
     * passes over the vectors and one keyed aggregation — nothing new at
     * 100 TB. IvfSpec pins that on clustered vectors with off-center
     * seeds one iteration strictly reduces quantization cost. */
-  def lloydStep(v: DataFrame, cents: DataFrame): DataFrame =
-    meanByCell(v.join(assignCells(v, cents), "vec_id"))
+  def lloydStep(v: DataFrame, cents: DataFrame, cellBits: Int = CellBits): DataFrame =
+    meanByCell(v.join(assignCells(v, cents, cellBits), "vec_id"))
 
   /** Centroids after `iters` Lloyd passes over the md5-rank seeds — the
     * ONE deterministic quantizer, shared by x12 (ANN probing) and x41
-    * (SemDeDup cells) so both replay against the same oracle CTEs. */
-  private[graft] def refinedCentroids(vq: DataFrame, iters: Int = LloydIters): DataFrame =
-    (1 to iters).foldLeft(seedCentroids(vq))((c, _) => lloydStep(vq, c))
+    * (SemDeDup cells) so both replay against the same oracle CTEs.
+    * `k`/`cellBits` default to the oracle-pinned constants; the scale
+    * probe passes k ~ sqrt(N) — the growth rule every IVF scaladoc here
+    * cites — with cellBits sized to hold it. */
+  private[graft] def refinedCentroids(vq: DataFrame, iters: Int = LloydIters,
+      k: Int = K, cellBits: Int = CellBits): DataFrame =
+    (1 to iters).foldLeft(seedCentroids(vq, k))((c, _) => lloydStep(vq, c, cellBits))
 
   /** The full IVF top-k for a given number of Lloyd refinement passes —
     * parameterized so IvfSpec can compare the refined quantizer against

@@ -82,18 +82,17 @@ object SemDedup {
        |ORDER BY c.vec_id""".stripMargin
   }
 
-  /** x41: every vector with its home cell, how many lower-id probe-mates
-    * sit within τ, and the keep/prune decision. Emits ALL rows (kept and
-    * pruned) so the result is non-empty at any scale factor and the
-    * pruned fraction is directly readable. */
-  val semdedup = Q.withOracle(
-    "x41_semdedup",
-    "x41: SemDeDup — k-means cells, multi-probe cosine prune, min-id survivor",
-    semdedupOracle) { (s, dir) =>
-    CosineSimilarity.register(s)
-    val e = Tables.embeddings(s, dir)
+  /** The full prune pipeline over an arbitrary embedding frame,
+    * parameterized on the quantizer size: the registered query binds the
+    * oracle-pinned constants; the scale probe grows k ~ sqrt(N) (with
+    * cellBits sized to hold it) — the growth rule that keeps per-cell
+    * candidate counts flat as the corpus scales. */
+  private[graft] def pipeline(e: org.apache.spark.sql.DataFrame,
+      k: Int = Ivf.K, cellBits: Int = Ivf.CellBits,
+      nProbe: Int = NProbe): org.apache.spark.sql.DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
     val vq = Ivf.quantized(e)
-    val cents = Ivf.refinedCentroids(vq).localCheckpoint()
+    val cents = Ivf.refinedCentroids(vq, Ivf.LloydIters, k, cellBits).localCheckpoint()
     // Top-NProbe cells per vector via a bounded per-vector collect of K
     // (dist, cell) structs (array_sort orders by dist, then cell — the
     // oracle's ROW_NUMBER tie rule). Checkpointed: it is tiny
@@ -103,7 +102,7 @@ object SemDedup {
       .select(col("vec_id"),
         struct(Ivf.sqDist(col("q"), col("cq")).as("d"), col("cell")).as("dc"))
       .groupBy(col("vec_id"))
-      .agg(slice(array_sort(collect_list(col("dc"))), 1, NProbe).as("top"))
+      .agg(slice(array_sort(collect_list(col("dc"))), 1, nProbe).as("top"))
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).as("r"), col("col.cell").as("cell"))
       .localCheckpoint()
@@ -130,6 +129,17 @@ object SemDedup {
         col("n").isNull.as("kept"),
         col("mc").as("max_cos"))
       .orderBy(col("vec_id"))
+  }
+
+  /** x41: every vector with its home cell, how many lower-id probe-mates
+    * sit within τ, and the keep/prune decision. Emits ALL rows (kept and
+    * pruned) so the result is non-empty at any scale factor and the
+    * pruned fraction is directly readable. */
+  val semdedup = Q.withOracle(
+    "x41_semdedup",
+    "x41: SemDeDup — k-means cells, multi-probe cosine prune, min-id survivor",
+    semdedupOracle) { (s, dir) =>
+    pipeline(Tables.embeddings(s, dir))
   }
 
   val all: Seq[Q] = Seq(semdedup)

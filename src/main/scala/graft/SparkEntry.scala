@@ -20,6 +20,7 @@ object SparkEntry {
       etl.Etl.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++
+      ext.Rewrite.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++
       ext.SemDedup.all ++

@@ -105,5 +105,57 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(hashSplit, stratified, domainMix)
+  /** x44's uniform draw: x26's Knuth modular hash (see Curation.scala
+    * for the overflow argument) — pure integer arithmetic, identical on
+    * any engine at any parallelism. */
+  private val SamplePrime = 1000003L
+  private val KnuthModP = 2654435761L % SamplePrime // = 427799
+
+  /** x44: temperature-based language rebalancing — the multinomial
+    * smoothing of XLM-R / mC4 (sample languages ∝ p_l^α) expressed as a
+    * per-document acceptance test. Where x39 hits integer TARGET quotas
+    * and x19 takes the SAME fraction everywhere, x44 interpolates: at
+    * α = 1 the corpus is untouched, at α = 0 every language is
+    * equalized. With the largest-feasible scaling (the smallest
+    * language kept whole), the per-language keep rate is
+    * rate_l = (n_min / n_l)^(1-α); this query pins α = 1/2 — the common
+    * production temperature — so rate_l = sqrt(n_min / n_l).
+    *
+    * Bit-reproducibility (why α = 1/2 and not a pow() knob): the rate
+    * is one long-to-double division (correctly rounded, IEEE) and one
+    * sqrt (the ONE transcendental IEEE 754 requires correctly rounded),
+    * so Spark and DuckDB compute the identical double and the u < rate
+    * cut falls on the identical side on both engines. pow(x, α) carries
+    * no such guarantee — a 1-ulp libm divergence right at a doc's draw
+    * would flip membership between engines. The uniform is x26's
+    * integer Knuth hash: exact everywhere.
+    *
+    * Scale shape: language counts are one map-side-combined aggregate
+    * on a ~10²-cardinality key; the rate table broadcasts; membership
+    * is a map-side predicate — no shuffle touches the corpus itself. */
+  val langTemperature = Q.withOracle(
+    "x44_lang_temp_resample",
+    "x44: temperature (alpha=0.5) language rebalancing, deterministic accept",
+    s"""WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+       |r AS (SELECT lang,
+       |        sqrt(CAST((SELECT MIN(nl) FROM n) AS DOUBLE) / nl) AS rate
+       |      FROM n)
+       |SELECT d.doc_id, d.lang, r.rate,
+       |  (CAST(((d.doc_id % $SamplePrime) * $KnuthModP) % $SamplePrime AS DOUBLE)
+       |     / $SamplePrime) < r.rate AS kept
+       |FROM documents d JOIN r USING (lang)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val nmin = n.agg(min(col("nl")).as("nmin"))
+    val rates = n.crossJoin(broadcast(nmin))
+      .select(col("lang"), sqrt(col("nmin").cast("double") / col("nl")).as("rate"))
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), col("rate"),
+        ((((col("doc_id") % SamplePrime) * lit(KnuthModP)) % SamplePrime)
+          .cast("double") / lit(SamplePrime) < col("rate")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(hashSplit, stratified, domainMix, langTemperature)
 }

@@ -129,7 +129,15 @@ object ScaleProbe {
       "x40_bigram_lm_score",
       // x42: one row per doc (linear); repeated grams stay within a copy
       // (disjoint shingle spaces), so the coverage join is copy-local
-      "x42_repeated_spans")
+      "x42_repeated_spans",
+      // x43: one row per doc (linear); block contents are copy-local
+      // (disjoint token spaces), so each copy's keep-first structure is
+      // the base corpus's and the content-key shuffle has no hot keys
+      "x43_block_dedup_rewrite",
+      // x44: one row per doc (linear); per-lang counts scale by f, so
+      // the min/count ratios — and every keep rate — are EXACTLY the
+      // base corpus's at any factor
+      "x44_lang_temp_resample")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -30,6 +30,7 @@ object SparkEntry {
       ext.Curation.all ++
       ext.Search.all ++
       ext.Corpus.all ++
+      ext.Bpe.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

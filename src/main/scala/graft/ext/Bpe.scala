@@ -1,0 +1,135 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning — the tokenizer-TRAINING stage the
+  * x36–x38 tokenizer-prep family was missing (x36 builds a word vocab,
+  * x38 measures OOV against it; x45 learns the subword merge table that
+  * production tokenizers actually ship).
+  *
+  * Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units"): start from per-word character sequences
+  * weighted by corpus frequency; each round, count adjacent symbol
+  * pairs, pick the most frequent (ties → lexicographic pair, so the
+  * choice is total-ordered and engine-independent), and merge every
+  * greedy left-to-right occurrence into one symbol; repeat M times. The
+  * output is the learned merge table — (round, left, right, count).
+  *
+  * The merge-application trick: a word's symbol sequence is kept as the
+  * string `[s1][s2]…[sn]` ('[' / ']' are reserved — tokens are
+  * alphanumeric), and applying merge (a,b) is the LITERAL replace of
+  * `[a][b]` with `[ab]`. Non-regex string replace scans left-to-right
+  * over non-overlapping occurrences in BOTH Spark (UTF8String.replace)
+  * and DuckDB — exactly greedy BPE semantics, and because each symbol
+  * carries its own brackets, consecutive merge sites share no
+  * characters (`[a][b][a][b]` → `[ab][ab]`, not the half-merged result
+  * a shared-delimiter encoding produces). No floats anywhere in the
+  * loop: counts are longs, symbols are strings, so the DuckDB oracle
+  * replays ALL M training rounds bit-exactly from a generated CTE
+  * chain (the x12 Lloyd-chain pattern; both sides derive from the one
+  * [[Merges]] constant).
+  *
+  * Scale shape: the ONLY corpus-scale stage is the word-frequency
+  * aggregate (one hash-agg with map-side combine on the word key —
+  * x36's shape). The merge loop runs over the DISTINCT-WORD table
+  * (10⁵–10⁶ rows at production scale — distributed, but corpus-size-
+  * independent): each round is one small pair-count hash-agg, a
+  * TakeOrderedAndProject argmax (bounded: 1 row), and a map-side
+  * replace under a 1-row broadcast. M rounds = M tiny shuffles that
+  * never touch the corpus again — at 100 TB the word table is ~10⁻⁶ of
+  * the input, which is why BPE trainers run on word counts, not raw
+  * text. Each round is localCheckpoint'd: the table is tiny and the
+  * alternative is 2^M-deep lineage re-running every prior round.
+  *
+  * Precondition: the pair inventory must survive M rounds (true for any
+  * real corpus; the synthetic vocab's ~31 words × ~5 chars carries
+  * hundreds of distinct pairs against [[Merges]] = 8). */
+object Bpe {
+
+  /** Merge rounds to learn. Production vocabularies run 10⁴–10⁵ rounds
+    * of the same loop; 8 keeps the oracle CTE chain readable while
+    * exercising every recurrence the full run would. */
+  private[graft] val Merges = 8
+
+  /** Bracket-wrapped symbol sequence of a word: `hello` → `[h][e][l][l][o]`. */
+  private def charRepr(w: org.apache.spark.sql.Column) =
+    array_join(transform(split(w, ""), c => concat(lit("["), c, lit("]"))), "")
+
+  /** Adjacent-pair frame (a, b, freq) of the current symbol table. */
+  private def pairs(words: DataFrame): DataFrame = {
+    val syms = split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[")
+    words.select(col("freq"), syms.as("s"))
+      .filter(size(col("s")) > 1)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("a"),
+          element_at(col("s"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+  }
+
+  private def bpeOracle: String = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT (u).a AS a, (u).b AS b, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+         |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+         |    FROM (SELECT freq,
+         |            string_split(substr(repr, 2, len(repr) - 2), '][') AS s
+         |          FROM w${r - 1}) z
+         |    WHERE len(s) > 1)
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    replace(repr, '[' || t.a || '][' || t.b || ']',
+         |                  '[' || t.a || t.b || ']') AS repr
+         |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
+    val rounds = (1 to Merges).map(round).mkString(",\n")
+    val out = (1 to Merges).map(r =>
+      s"SELECT $r AS round, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS freq,
+       |    array_to_string(list_transform(generate_series(1, len(w)),
+       |      i -> '[' || w[i] || ']'), '') AS repr
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  GROUP BY w),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
+  /** x45: the learned merge table after [[Merges]] BPE rounds. Bounded
+    * output (M rows) — the scale story is that the corpus is read
+    * once. */
+  val bpeMerges = Q.withOracle(
+    "x45_bpe_merges",
+    "x45: BPE merge learning - M most-frequent adjacent-pair merges over the corpus",
+    bpeOracle) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), charRepr(col("w")).as("repr"))
+      .localCheckpoint()
+    val rounds = (1 to Merges).map { r =>
+      val top = pairs(words)
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top))
+        .select(col("w"), col("freq"),
+          replace(col("repr"),
+            concat(lit("["), col("a"), lit("]["), col("b"), lit("]")),
+            concat(lit("["), col("a"), col("b"), lit("]"))).as("repr"))
+        .localCheckpoint()
+      top.select(lit(r).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("cnt").cast("long").as("pair_count"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val all: Seq[Q] = Seq(bpeMerges)
+}

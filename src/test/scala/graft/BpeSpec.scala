@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.Bpe
+import org.apache.spark.sql.functions._
+
+/** x45 BPE merge learning: the engine-semantics pin the whole design
+  * rests on (literal replace = greedy merge), plus the algebraic
+  * invariants of the merge sequence. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("literal replace implements greedy left-to-right BPE merge") {
+    // consecutive merge sites share no characters in the bracket-wrapped
+    // representation, so non-overlapping replace merges them ALL —
+    // and overlapping self-pairs merge greedily (aaa → (aa)a).
+    val rows = Seq(
+      ("[a][b][a][b]", "[a][b]", "[ab]", "[ab][ab]"),
+      ("[a][a][a]", "[a][a]", "[aa]", "[aa][a]"),
+      ("[x][a][b][y]", "[a][b]", "[ab]", "[x][ab][y]"),
+      ("[ab][a][b]", "[a][b]", "[ab]", "[ab][ab]"), // pre-existing equal symbol untouched
+      ("[q][r]", "[a][b]", "[ab]", "[q][r]"))
+    rows.foreach { case (src, pat, rep, want) =>
+      val got = Seq(src).toDF("s")
+        .select(replace($"s", lit(pat), lit(rep)).as("r")).as[String].head()
+      assert(got == want, s"replace($src, $pat, $rep)")
+    }
+  }
+
+  test("x45: merge counts are monotonically non-increasing across rounds") {
+    // a new pair created by merge r occurs at most as often as the merged
+    // symbol itself, and existing pair counts never grow — so the chosen
+    // max cannot rise. (Breaking this means the pair recount is wrong.)
+    val m = Bpe.bpeMerges.fn(spark, sf).orderBy($"round").collect()
+    assert(m.length == 8)
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("pair_count") <= a.getAs[Long]("pair_count"))
+    }
+  }
+
+  test("x45: round-1 merge is the true argmax of corpus adjacent char pairs") {
+    val docs = Tables.documents(spark, sf)
+    val chars = docs.select(explode(split($"text", " ")).as("w"))
+      .select(split($"w", "").as("c"))
+      .filter(size($"c") > 1)
+      .select(explode(transform(sequence(lit(1), size($"c") - 1),
+        i => struct(element_at($"c", i).as("a"), element_at($"c", i + 1).as("b")))).as("p"))
+      .groupBy($"p.a", $"p.b").count()
+      .orderBy($"count".desc, $"a", $"b").limit(1).head()
+    val r1 = Bpe.bpeMerges.fn(spark, sf).filter($"round" === 1).head()
+    assert(r1.getAs[String]("left_sym") == chars.getAs[String]("a"))
+    assert(r1.getAs[String]("right_sym") == chars.getAs[String]("b"))
+    assert(r1.getAs[Long]("pair_count") == chars.getAs[Long]("count"))
+  }
+
+  test("x45: later rounds can consume earlier merged symbols (true recurrence)") {
+    // the learned table must be usable as a SEQUENTIAL program: every
+    // symbol referenced in round r is either a single char or the
+    // product of some earlier round — i.e. the table is well-founded.
+    val m = Bpe.bpeMerges.fn(spark, sf).orderBy($"round").collect()
+    val produced = scala.collection.mutable.Set.empty[String]
+    m.foreach { r =>
+      Seq(r.getAs[String]("left_sym"), r.getAs[String]("right_sym")).foreach { s =>
+        assert(s.length == 1 || produced.contains(s),
+          s"round ${r.getAs[Int]("round")}: symbol '$s' has no producer")
+      }
+      produced += r.getAs[String]("left_sym") + r.getAs[String]("right_sym")
+    }
+  }
+}

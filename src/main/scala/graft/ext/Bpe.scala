@@ -70,6 +70,57 @@ object Bpe {
   }
 
   private def bpeOracle: String = {
+    val out = (1 to Merges).map(r =>
+      s"SELECT $r AS round, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""$oracleChain
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
+  /** Run the [[Merges]]-round training loop: returns the final merged
+    * word table (w, freq, repr) and each round's 1-row argmax frame.
+    * Each round is localCheckpoint'd — the tables are tiny (bounded by
+    * distinct-word count and 1 row respectively) and the alternative is
+    * exponentially deep lineage re-running every prior round. */
+  private def train(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), charRepr(col("w")).as("repr"))
+      .localCheckpoint()
+    val tops = (1 to Merges).map { r =>
+      val top = pairs(words)
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top))
+        .select(col("w"), col("freq"),
+          replace(col("repr"),
+            concat(lit("["), col("a"), lit("]["), col("b"), lit("]")),
+            concat(lit("["), col("a"), col("b"), lit("]"))).as("repr"))
+        .localCheckpoint()
+      top
+    }
+    (words, tops)
+  }
+
+  /** x45: the learned merge table after [[Merges]] BPE rounds. Bounded
+    * output (M rows) — the scale story is that the corpus is read
+    * once. */
+  val bpeMerges = Q.withOracle(
+    "x45_bpe_merges",
+    "x45: BPE merge learning - M most-frequent adjacent-pair merges over the corpus",
+    bpeOracle) { (s, dir) =>
+    val (_, tops) = train(Tables.documents(s, dir))
+    tops.zipWithIndex.map { case (top, i) =>
+      top.select(lit(i + 1).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("cnt").cast("long").as("pair_count"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** The CTE prefix shared by both oracles: w0 (word freqs + char
+    * reprs) and the [[Merges]] training rounds p/t/w 1..M. */
+  private def oracleChain: String = {
     def round(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT (u).a AS a, (u).b AS b, SUM(freq) AS cnt FROM (
@@ -87,49 +138,56 @@ object Bpe {
          |    replace(repr, '[' || t.a || '][' || t.b || ']',
          |                  '[' || t.a || t.b || ']') AS repr
          |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
-    val rounds = (1 to Merges).map(round).mkString(",\n")
-    val out = (1 to Merges).map(r =>
-      s"SELECT $r AS round, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t$r")
-      .mkString(" UNION ALL ")
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS freq,
        |    array_to_string(list_transform(generate_series(1, len(w)),
        |      i -> '[' || w[i] || ']'), '') AS repr
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
        |  GROUP BY w),
-       |$rounds
-       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+       |${(1 to Merges).map(round).mkString(",\n")}""".stripMargin
   }
 
-  /** x45: the learned merge table after [[Merges]] BPE rounds. Bounded
-    * output (M rows) — the scale story is that the corpus is read
-    * once. */
-  val bpeMerges = Q.withOracle(
-    "x45_bpe_merges",
-    "x45: BPE merge learning - M most-frequent adjacent-pair merges over the corpus",
-    bpeOracle) { (s, dir) =>
+  /** x45b: ENCODE with the learned tokenizer — after round M the word
+    * table's repr IS each word's greedy-BPE segmentation, so encoding
+    * the corpus is a word → subword-count lookup. Output: one row per
+    * doc with its whitespace-token count, its BPE-subword count, and
+    * the fertility ratio (subwords per word — THE tokenizer-quality
+    * number a pretraining team watches).
+    *
+    * Scale shape: the merged word table is vocabulary-sized → broadcast
+    * to the corpus-scale explode (word-keyed equi-join, no shuffle of
+    * the corpus side beyond the per-doc regroup); the per-doc sums are
+    * one hash-agg on doc_id. Fertility is exact: a LongType ratio pair
+    * plus one double division at the end. */
+  val bpeEncode = Q.withOracle(
+    "x45b_bpe_encode",
+    "x45b: per-doc subword counts + fertility under the learned BPE merges",
+    s"""$oracleChain,
+       |wn AS MATERIALIZED (
+       |  SELECT w, len(string_split(substr(repr, 2, len(repr) - 2), '][')) AS ns
+       |  FROM w$Merges),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(wn.ns) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(wn.ns) AS DOUBLE) / COUNT(*) AS fertility
+       |FROM dw d JOIN wn USING (w)
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    var words = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), charRepr(col("w")).as("repr"))
-      .localCheckpoint()
-    val rounds = (1 to Merges).map { r =>
-      val top = pairs(words)
-        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint()
-      words = words.crossJoin(broadcast(top))
-        .select(col("w"), col("freq"),
-          replace(col("repr"),
-            concat(lit("["), col("a"), lit("]["), col("b"), lit("]")),
-            concat(lit("["), col("a"), col("b"), lit("]"))).as("repr"))
-        .localCheckpoint()
-      top.select(lit(r).as("round"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("cnt").cast("long").as("pair_count"))
-    }
-    rounds.reduce(_ unionByName _).orderBy(col("round"))
+    val (words, _) = train(docs)
+    val subCounts = words.select(col("w"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[")).as("ns"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(subCounts), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("ns")).cast("long").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+      .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(bpeMerges)
+  val all: Seq[Q] = Seq(bpeMerges, bpeEncode)
 }

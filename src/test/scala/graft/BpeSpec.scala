@@ -52,6 +52,23 @@ class BpeSpec extends SparkSuite {
     assert(r1.getAs[Long]("pair_count") == chars.getAs[Long]("count"))
   }
 
+  test("x45b: subword counts sit between word count and char count, every doc") {
+    // merging only ever SHRINKS a word's segmentation, and a word is at
+    // least one subword — so n_words ≤ n_subwords ≤ non-space chars.
+    val enc = graft.ext.Bpe.bpeEncode.fn(spark, sf)
+    val chars = Tables.documents(spark, sf).select($"doc_id",
+      aggregate(transform(split($"text", " "), w => length(w)),
+        lit(0), (acc, x) => acc + x).cast("long").as("n_chars_nospace"))
+    val bad = enc.join(chars, "doc_id")
+      .filter($"n_subwords" < $"n_words" || $"n_subwords" > $"n_chars_nospace")
+    assert(bad.isEmpty)
+    // and the learned merges actually compress: corpus-wide fertility
+    // strictly below the char-level baseline
+    val Row2 = enc.agg(sum($"n_subwords"), sum($"n_words")).head()
+    assert(Row2.getLong(0) < chars.agg(sum($"n_chars_nospace")).head().getLong(0))
+    assert(Row2.getLong(0) >= Row2.getLong(1))
+  }
+
   test("x45: later rounds can consume earlier merged symbols (true recurrence)") {
     // the learned table must be usable as a SEQUENTIAL program: every
     // symbol referenced in round r is either a single char or the

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSuite {
     "x40_bigram_lm_score",         // broadcast of the 1-row vocab-size scalar
     "x44_lang_temp_resample",      // broadcast of the 1-row min-lang-count scalar
     "x45_bpe_merges",              // per-round broadcast of the 1-row argmax pair
+    "x45b_bpe_encode",             // same training loop + broadcast vocab lookup
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -137,7 +137,15 @@ object ScaleProbe {
       // x44: one row per doc (linear); per-lang counts scale by f, so
       // the min/count ratios — and every keep rate — are EXACTLY the
       // base corpus's at any factor
-      "x44_lang_temp_resample")
+      "x44_lang_temp_resample",
+      // x45: bounded output (Merges rows); the corpus-scale stage is
+      // the one word-freq agg — the merge loop runs over the distinct-
+      // word table, which grows by f (disjoint per-copy vocabularies)
+      // but stays corpus-size-independent
+      "x45_bpe_merges",
+      // x45b: one row per doc (linear); adds the broadcast vocab
+      // lookup + per-doc regroup on top of x45's training cost
+      "x45b_bpe_encode")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -31,6 +31,7 @@ object SparkEntry {
       ext.Search.all ++
       ext.Corpus.all ++
       ext.Bpe.all ++
+      ext.Pii.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -145,7 +145,10 @@ object ScaleProbe {
       "x45_bpe_merges",
       // x45b: one row per doc (linear); adds the broadcast vocab
       // lookup + per-doc regroup on top of x45's training cost
-      "x45b_bpe_encode")
+      "x45b_bpe_encode",
+      // x46: pure map (3 regex passes fused into the scan) — the
+      // flattest curve on the board is the design claim
+      "x46_pii_redact")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

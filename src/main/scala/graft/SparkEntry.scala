@@ -32,6 +32,7 @@ object SparkEntry {
       ext.Corpus.all ++
       ext.Bpe.all ++
       ext.Pii.all ++
+      ext.Outlier.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -52,9 +52,9 @@ object Ivf {
     * argmin long, so K must stay ≤ 2^CellBits. */
   val K = 10
   private[graft] val CellBits = 4
-  private val Dim = 64
+  private[graft] val Dim = 64
   /** Fixed-point scale: 2^20 (exact IEEE multiply). */
-  private val Scale = 1048576.0
+  private[graft] val Scale = 1048576.0
 
   /** Integer squared-L2 between two int64 vectors. Bounds at this scale:
     * |x| ≤ 1 → element diff ≤ 2^21, squared 2^42, × 64 dims = 2^48 —

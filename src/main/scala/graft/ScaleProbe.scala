@@ -148,7 +148,10 @@ object ScaleProbe {
       "x45b_bpe_encode",
       // x46: pure map (3 regex passes fused into the scan) — the
       // flattest curve on the board is the design claim
-      "x46_pii_redact")
+      "x46_pii_redact",
+      // x47: two constant-state all-to-one aggregates + map-side flag;
+      // linear output (one row per vector), zero corpus shuffles
+      "x47_embedding_outliers")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -56,29 +56,8 @@ class RewriteSpec extends SparkSuite {
     second.unpersist()
   }
 
-  /** The x43 pipeline over an arbitrary (doc_id, text) frame — mirrors
-    * the registered query, which is pinned to the documents table. */
-  private def rewriteOf(docs: org.apache.spark.sql.DataFrame) = {
-    val toks = split(col("text"), " ")
-    val blocks = docs
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
-        i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))))
-      .select(col("doc_id"), col("pos").as("blk"), col("col").as("btxt"))
-    val packed = shiftleft(col("doc_id"), 20).bitwiseOR(col("blk").cast("long"))
-    val first = blocks.groupBy(col("btxt")).agg(min(packed).as("mp"))
-    val kept = blocks.join(first, "btxt").filter(packed === col("mp"))
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("kept_n"),
-      array_join(transform(array_sort(collect_list(struct(col("blk"), col("btxt")))),
-        x => x.getField("btxt")), " ").as("new_text0"))
-    docs.select(col("doc_id"))
-      .join(blocks.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_blocks")), "doc_id")
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_blocks"),
-        coalesce(col("kept_n"), lit(0L)).cast("long").as("kept_blocks"),
-        coalesce(col("new_text0"), lit("")).as("new_text"))
-  }
+  private def rewriteOf(docs: org.apache.spark.sql.DataFrame) =
+    graft.ext.Rewrite.pipeline(docs)
 
   test("x44: smallest language keeps rate 1.0 and survives whole") {
     val out = Sampling.langTemperature.fn(spark, sf).cache()

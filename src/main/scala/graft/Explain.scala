@@ -40,7 +40,15 @@ object Explain {
     "d1_dedup_keep_first" -> "survivor ordering bit-packed into ONE long so min() keeps a mutable buffer: HashAggregate with map-side partials, never SortAggregate (the round-5 defect class)",
     "d5_fact_upsert_new_rows" -> "left-anti sort-merge on (custkey, derived day) between two filtered scans; neither side broadcastable by design (both scale with the fact)",
     "x12_ivf_ann_topk" -> "broadcast centroids; packed-long argmin in HashAggregate; probe join shuffles (query, cell) pairs only",
-    "v1_rating_parse" -> "ONE regexp_extract per row survives optimization (hoisted via a nullable intermediate; was 6 in the expanded plan)")
+    "v1_rating_parse" -> "ONE regexp_extract per row survives optimization (hoisted via a nullable intermediate; was 6 in the expanded plan)",
+    "x41_semdedup" -> "shared x12 quantizer (broadcast centroids, checkpointed); multi-probe candidates; prune join shuffles (cell) pairs only",
+    "x42_repeated_spans" -> "repeated-gram flag as window-min/max over the gram key: ONE scan of the exploded corpus (was agg + join-back = 3)",
+    "x43_block_dedup_rewrite" -> "keep-first as window-min of a packed long over block content; totals + kept + reconstruction from one per-doc agg: 1 scan, 2 shuffles",
+    "x44_lang_temp_resample" -> "lang counts tiny agg -> sqrt rates broadcast -> map-side accept; the corpus itself never shuffles",
+    "x45_bpe_merges" -> "corpus touched ONCE (word-freq agg); 8 training rounds over the distinct-word table: tiny pair agg + 1-row argmax broadcast + map-side replace each",
+    "x45b_bpe_encode" -> "trained vocab (subword counts) broadcast over the corpus explode; one doc-keyed aggregate",
+    "x46_pii_redact" -> "pure map: 3 portable regex passes fused into the scan, zero shuffles",
+    "x47_embedding_outliers" -> "two constant-state all-to-one aggregates (centroid, mean dist2) broadcast back; zero corpus shuffles")
 
   /** Current commit (for the artifact stamp) — read from .git directly
     * so the run needs no subprocess. */

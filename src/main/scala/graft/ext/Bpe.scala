@@ -82,7 +82,7 @@ object Bpe {
     * Each round is localCheckpoint'd — the tables are tiny (bounded by
     * distinct-word count and 1 row respectively) and the alternative is
     * exponentially deep lineage re-running every prior round. */
-  private def train(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def train(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))

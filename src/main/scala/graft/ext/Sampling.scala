@@ -145,7 +145,12 @@ object Sampling {
        |     / $SamplePrime) < r.rate AS kept
        |FROM documents d JOIN r USING (lang)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    temperaturePipeline(Tables.documents(s, dir))
+  }
+
+  /** The x44 pipeline over an arbitrary (doc_id, lang) frame — shared
+    * with the property spec's plain-Scala model comparison. */
+  private[graft] def temperaturePipeline(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
     val nmin = n.agg(min(col("nl")).as("nmin"))
     val rates = n.crossJoin(broadcast(nmin))

@@ -96,22 +96,27 @@ object Rewrite {
   /** The full rewrite over an arbitrary (doc_id, text) frame — shared
     * by the registered query (bound to the documents table) and the
     * RewriteSpec invariants (planted duplicates, idempotence). */
-  private[graft] def pipeline(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, blk, btxt) block explosion of a (doc_id, text) frame —
+    * shared with the streaming incremental form
+    * ([[graft.streaming.BlockDedupFeed]]). */
+  private[graft] def blockFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
     val lastBlk = floor((size(toks) - 1) / lit(BlockTokens)).cast("int")
-    val blocks = docs
-      .select(col("doc_id"), posexplode(transform(
+    docs.select(col("doc_id"), posexplode(transform(
         sequence(lit(0), lastBlk),
         i => array_join(slice(toks, i * BlockTokens + 1, lit(BlockTokens)), " "))))
       .select(col("doc_id"), col("pos").as("blk"), col("col").as("btxt"))
-    val packed = shiftleft(col("doc_id"), BlkBits).bitwiseOR(col("blk").cast("long"))
-    // Keep-flag via window-min over the content key: the min runs over
-    // one packed long per content partition, and totals + kept counts +
-    // reconstruction all come out of the same per-doc aggregate.
-    val keep = packed === min(packed).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("btxt")))
-    blocks.withColumn("keep", keep)
-      .groupBy(col("doc_id"))
+  }
+
+  /** The (doc_id, blk) occurrence order, packed into one long so firsts
+    * are a plain integer min. */
+  private[graft] def packedCol: org.apache.spark.sql.Column =
+    shiftleft(col("doc_id"), BlkBits).bitwiseOR(col("blk").cast("long"))
+
+  /** Per-doc regroup of a flagged block frame (doc_id, blk, btxt, keep):
+    * totals, kept counts, and the reconstructed text in one aggregate. */
+  private[graft] def reassemble(flagged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_blocks"),
         sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept_blocks"),
         // collect_list skips NULLs, so the unkept blocks drop out here
@@ -120,6 +125,16 @@ object Rewrite {
             when(col("keep"), struct(col("blk"), col("btxt"))))),
             x => x.getField("btxt")), " ").as("new_text"))
       .orderBy(col("doc_id"))
+
+  private[graft] def pipeline(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val blocks = blockFrame(docs)
+    val packed = packedCol
+    // Keep-flag via window-min over the content key: the min runs over
+    // one packed long per content partition, and totals + kept counts +
+    // reconstruction all come out of the same per-doc aggregate.
+    val keep = packed === min(packed).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("btxt")))
+    reassemble(blocks.withColumn("keep", keep))
   }
 
   val all: Seq[Q] = Seq(blockDedup)

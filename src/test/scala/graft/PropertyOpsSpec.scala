@@ -75,6 +75,84 @@ class PropertyOpsSpec extends SparkSuite {
     }
   }
 
+  /** Reference trainer variant returning the final per-word symbol
+    * counts (the x45b encode table). */
+  private def refBpeSegments(texts: Seq[String], rounds: Int): Map[String, Int] = {
+    val freqs = texts.flatMap(_.split(" ")).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var words: Map[String, Vector[String]] =
+      freqs.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        words = words.map { case (w, syms) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { buf += (a + b); i += 2 }
+            else { buf += syms(i); i += 1 }
+          }
+          w -> buf.result()
+        }
+        r += 1
+      }
+    }
+    words.map { case (w, syms) => w -> syms.size }
+  }
+
+  test("property: x45b per-doc subword counts equal the reference encode on random corpora") {
+    samples(corpusGen, 4).foreach { texts =>
+      val seg = refBpeSegments(texts, Bpe.Merges)
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        val ws = t.split(" ").toSeq
+        (i.toLong, ws.size.toLong, ws.map(seg(_).toLong).sum)
+      }.sortBy(_._1)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (words, _) = Bpe.train(docs)
+      val got = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .join(words.select($"w",
+          size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[")).as("ns")), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("nw"), sum($"ns").cast("long").as("nsw"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"corpus: ${texts.take(3)}...")
+    }
+  }
+
+  test("property: x47 integer distances and flags equal the plain-Scala model") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 64.0f))
+    val tableGen = Gen.choose(4, 30).flatMap(n =>
+      Gen.listOfN(n, vecGen)).map(_.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
+    samples(tableGen, 5).foreach { rows =>
+      // the model, in exact integer arithmetic mirroring the scaladoc:
+      // q = floor(x * 2^20); centroid = floor-mean per dim; dist2 exact;
+      // cut at 2 * floor-mean(dist2)
+      val q = rows.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong) }
+      val dim = 8
+      val cent = (0 until dim).map { i =>
+        math.floor(q.map(_._2(i)).sum.toDouble / q.size).toLong
+      }.toArray
+      val d = q.map { case (id, v) =>
+        id -> (0 until dim).map(i => (v(i) - cent(i)) * (v(i) - cent(i))).sum
+      }
+      val md = math.floor(d.map(_._2).sum.toDouble / d.size).toLong
+      val expected = d.map { case (id, dd) => (id, dd, dd > 2 * md) }.sortBy(_._1)
+      // the engine pipeline is Dim=64-wide; pad the 8 generated dims
+      // with zeros (zero dims contribute zero to every sum — the model
+      // above IS the 64-dim computation)
+      val padded = rows.map { case (id, v) => (id, v ++ Array.fill(64 - dim)(0f)) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ext.Outlier.pipeline(padded)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == expected)
+    }
+  }
+
   test("property: x43 rewrite equals the keep-first reference model on random corpora") {
     samples(corpusGen, 6).foreach { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -256,10 +256,10 @@ object Dedup {
     * petabyte scale the same loop with the large-star/small-star edge
     * rewrite (Kiveris et al.) converges in O(log n) rounds; lineage is
     * cut with localCheckpoint mid-loop exactly as here. */
-  val dedupClusters = Q.withOracle(
-    "x16_dedup_clusters",
-    "x16: connected components over near-dup pairs (min-label propagation)",
-    s"""WITH $JaccardCtes,
+  /** Oracle CTE prefix shared by x16/x16b/x48: the Jaccard pair graph
+    * and the [[CcRounds]]-deep min-label chain ending at `l$CcRounds`. */
+  private def ccOracleCtes: String =
+    s"""$JaccardCtes,
        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM scored WHERE jac >= 0.5),
        |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
@@ -271,7 +271,12 @@ object Dedup {
                |    SELECT e.v AS v, MIN(l2.comp) AS nbr
                |    FROM edges e JOIN l${k - 1} l2 ON e.u = l2.v
                |    GROUP BY e.v) m ON l.v = m.v)""".stripMargin
-          }.mkString(",\n")}
+          }.mkString(",\n")}""".stripMargin
+
+  val dedupClusters = Q.withOracle(
+    "x16_dedup_clusters",
+    "x16: connected components over near-dup pairs (min-label propagation)",
+    s"""WITH $ccOracleCtes
        |SELECT v AS doc_id, comp AS cluster_id,
        |  COUNT(*) OVER (PARTITION BY comp) AS n_members
        |FROM l$CcRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -557,6 +562,43 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** x48: near-dup REMOVAL — the decision x16 only labels. One row per
+    * corpus document: whether it sits in a near-dup cluster, and whether
+    * it survives (min-id member per cluster; every unclustered doc
+    * survives trivially). Completes the document-level family the way
+    * x43 completed the span level: measure (x4) → cluster (x16) →
+    * REMOVE (x48); a pipeline keeps `survivor` rows and has the
+    * transitive-closure guarantee pairs alone can't give.
+    *
+    * Scale shape: composes the x16 cluster frame (already ≪ corpus — it
+    * holds only edge-touched docs), one min-per-cluster hash-agg over
+    * it, and two doc/cluster-keyed joins back to the doc list. The
+    * cluster frame is NOT broadcast by assumption: near-dup mass grows
+    * with the corpus. */
+  val nearDupSurvivors = Q.withOracle(
+    "x48_near_dup_survivors",
+    "x48: per-doc near-dup survivor decision (min-id per x16 cluster)",
+    s"""WITH $ccOracleCtes,
+       |mn AS MATERIALIZED (
+       |  SELECT comp, MIN(v) AS m FROM l$CcRounds GROUP BY comp)
+       |SELECT d.doc_id,
+       |  c.comp IS NOT NULL AS clustered,
+       |  (c.comp IS NULL OR d.doc_id = mn.m) AS survivor
+       |FROM documents d
+       |LEFT JOIN l$CcRounds c ON d.doc_id = c.v
+       |LEFT JOIN mn ON c.comp = mn.comp
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val cl = dedupClusters.fn(s, dir).select(col("doc_id"), col("cluster_id"))
+    val mins = cl.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("m"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(mins, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        col("cluster_id").isNotNull.as("clustered"),
+        (col("cluster_id").isNull || col("doc_id") === col("m")).as("survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x27: SimHash near-dup pairs at scale — LSH-band the 64-bit simhash
     * (x3) into 16-bit buckets, self-join only within buckets, then verify
     * candidates with the exact hamming distance. Completes the simhash
@@ -667,7 +709,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
-    dedupClustersStar, simhashPairs, repeatedSpans)
+    dedupClustersStar, nearDupSurvivors, simhashPairs, repeatedSpans)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

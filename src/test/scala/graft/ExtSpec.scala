@@ -230,4 +230,22 @@ class ExtSpec extends SparkSuite {
     val wrong = perDoc.filter($"n" =!= greatest(floor($"len" / 64), lit(1)))
     assert(wrong.isEmpty, wrong.collect().take(3).mkString(","))
   }
+
+  test("x48: exactly one survivor per cluster; every unclustered doc survives") {
+    val out = Dedup.nearDupSurvivors.fn(spark, sf).cache()
+    val cl = Dedup.dedupClusters.fn(spark, sf).select($"doc_id", $"cluster_id")
+    // per-cluster survivor count is exactly 1
+    val perCluster = out.join(cl, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(sum(when($"survivor", 1L).otherwise(0L)).as("n"))
+    assert(perCluster.filter($"n" =!= 1L).isEmpty)
+    // unclustered docs all survive, and `clustered` agrees with x16
+    assert(out.filter(!$"clustered" && !$"survivor").isEmpty)
+    assert(out.filter($"clustered").count() === cl.count())
+    // survivor set = corpus minus (cluster members - one per cluster)
+    val nClusters = cl.select($"cluster_id").distinct().count()
+    val expectSurvivors = out.count() - cl.count() + nClusters
+    assert(out.filter($"survivor").count() === expectSurvivors)
+    out.unpersist()
+  }
 }

@@ -151,7 +151,11 @@ object ScaleProbe {
       "x46_pii_redact",
       // x47: two constant-state all-to-one aggregates + map-side flag;
       // linear output (one row per vector), zero corpus shuffles
-      "x47_embedding_outliers")
+      "x47_embedding_outliers",
+      // x48: one row per doc (linear); the x16 cluster frame it composes
+      // is copy-local (disjoint shingle spaces), so the min-per-cluster
+      // agg and the two doc-keyed joins back ride x16's linear curve
+      "x48_near_dup_survivors")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -247,22 +247,14 @@ object Curation {
     * column: pure map, no shuffle, composes with the rest of the
     * curation DAG like the stopword scrub. The synthetic corpus contains
     * no digits/emails, so this carries a crafted-input spec
-    * (CurationSpec) instead of a no-op registry oracle. Patterns stay in
-    * the regex subset shared by Java and RE2 so the same strings drive
-    * any engine. */
-  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiSsn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-  // no leading \b: it cannot anchor before an opening paren, and for PII
-  // the failure mode of a looser left edge is over-redaction — the safe
-  // direction
-  val PiiPhone = "(\\+?[0-9]{1,2}[ .-]?)?(\\(?[0-9]{3}\\)?[ .-]?)[0-9]{3}[ .-][0-9]{4}\\b"
-
+    * (CurationSpec) instead of a no-op registry oracle.
+    *
+    * Patterns and the fold live in [[Pii]] — the repo's ONE pattern
+    * table and redaction chain (round-8 unification with x46); this
+    * call site binds the broader Java-side [[Pii.CurationRules]] list
+    * (email / SSN / loose phone). */
   def piiScrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, PiiEmail, "<EMAIL>"),
-        PiiSsn, "<SSN>"),
-      PiiPhone, "<PHONE>")
+    Pii.redactChain(text, Pii.CurationRules)
 
   /** Redaction count: one count per replacement `piiScrubbed` performs.
     * Each class counts on text with the EARLIER classes already masked,
@@ -270,13 +262,8 @@ object Curation {
     * matches the looser phone shape, and a phone-shaped digit run inside
     * an email local part must count as the email it was replaced as, not
     * double-count as a phone. */
-  def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val emailMasked = regexp_replace(text, PiiEmail, "<EMAIL>")
-    val ssnMasked = regexp_replace(emailMasked, PiiSsn, "<SSN>")
-    (size(regexp_extract_all(text, lit(PiiEmail), lit(0))) +
-      size(regexp_extract_all(emailMasked, lit(PiiSsn), lit(0))) +
-      size(regexp_extract_all(ssnMasked, lit(PiiPhone), lit(0)))).cast("long")
-  }
+  def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Pii.redactionCount(text, Pii.CurationRules)
 
   /** Per-doc quality score used by x25/x26: distinct-token ratio (the x8
     * `uniq_ratio` signal) — one IEEE division of two exact counts. */

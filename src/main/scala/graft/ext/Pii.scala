@@ -1,45 +1,100 @@
 package graft.ext
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** PII scrubbing — the redaction stage every released training corpus
-  * runs (emails / phone numbers / IP addresses → typed placeholder
-  * tokens). Pure map work: at 100 TB this is the cheapest stage in the
-  * pipeline — no shuffle, no state, fused into whatever scan feeds it.
+  * runs (emails / phone numbers / SSNs / IP addresses → typed
+  * placeholder tokens). Pure map work: at 100 TB this is the cheapest
+  * stage in the pipeline — no shuffle, no state, fused into whatever
+  * scan feeds it.
   *
-  * Portability: the patterns use only the regex subset with identical
-  * semantics in Java's engine (Spark) and RE2 (DuckDB) — character
-  * classes, bounded/unbounded repetition, literal dots — no
-  * backreferences, no lookaround, no \\b (word-boundary is a Java/RE2
-  * divergence). Spark's regexp_replace is global by default; the DuckDB
-  * side passes the 'g' flag explicitly.
+  * This object is the SINGLE pattern table and redaction chain for the
+  * repo (round-8 unification): the batch x46 query and the curation
+  * scrub ([[Curation.piiScrubbed]] / [[Curation.piiRedactions]]) both
+  * build from the patterns and fold helpers here, so the two families
+  * cannot drift. Two rule LISTS remain, because their contracts differ:
   *
-  * The synthetic corpus contains no PII, which would make a redaction
-  * oracle vacuous (hashing text == redacted proves nothing about the
-  * regexes). The query therefore PLANTS deterministic doc_id-derived
-  * PII — an email, a phone, an IP per document, built with identical
-  * string arithmetic on both engines — then redacts. The oracle compare
-  * genuinely exercises match/replace semantics cross-engine on every
-  * row, and the emitted counts pin exactly one match per category (the
-  * planted one) on the PII-free corpus. */
+  *  - [[OracleRules]] (email / strict phone / IP) uses only the regex
+  *    subset with identical semantics in Java's engine (Spark) and RE2
+  *    (DuckDB) — character classes, bounded/unbounded repetition,
+  *    literal dots; no backreferences, no lookaround, no \\b
+  *    (word-boundary is a Java/RE2 divergence). This is the set x46's
+  *    cross-engine oracle can gate.
+  *  - [[CurationRules]] (email / SSN / loose phone) is the broader
+  *    Java-side net a real scrub casts — \\b anchors and optional
+  *    country/area punctuation — correctness carried by CurationSpec's
+  *    crafted rows rather than a DuckDB oracle.
+  *
+  * Chain ORDER matters and is part of each list: earlier classes mask
+  * before later classes match (an IP-shaped fragment inside a
+  * yet-unredacted email must not double-count; an SSN also matches the
+  * looser phone shape, so SSN redacts first). */
 object Pii {
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  // ---- The pattern table (one definition per PII class) ---------------
 
-  /** Redaction chain order matters: the IP pattern would match inside a
-    * phone-like or email-like digit run if those were still present —
-    * emails first (they can contain dots and digits), then phones, then
-    * IPs. Shared by the query and the spec. */
-  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      IpRe, "<IP>")
+  /** RE2 ∩ Java portable. */
+  val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** RE2 ∩ Java portable: the plain NNN-NNN-NNNN form. */
+  val PhoneStrict = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** RE2 ∩ Java portable. */
+  val Ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Java-only (\\b): SSN-shaped triple. */
+  val Ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Java-only (\\b): optional country code / parens / space-dot-dash
+    * separators. No leading \\b: it cannot anchor before an opening
+    * paren, and for PII the failure mode of a looser left edge is
+    * over-redaction — the safe direction. */
+  val PhoneLoose = "(\\+?[0-9]{1,2}[ .-]?)?(\\(?[0-9]{3}\\)?[ .-]?)[0-9]{3}[ .-][0-9]{4}\\b"
+
+  // ---- The redaction chain (one fold, every call site) ----------------
+
+  /** Ordered (pattern → placeholder) rules for the oracle-gated x46. */
+  val OracleRules: Seq[(String, String)] =
+    Seq(Email -> "<EMAIL>", PhoneStrict -> "<PHONE>", Ip -> "<IP>")
+
+  /** Ordered rules for the curation scrub (crafted-row spec gate). */
+  val CurationRules: Seq[(String, String)] =
+    Seq(Email -> "<EMAIL>", Ssn -> "<SSN>", PhoneLoose -> "<PHONE>")
+
+  /** Apply an ordered rule list: each class replaces on text with every
+    * EARLIER class already masked. Spark's regexp_replace is global by
+    * default; the DuckDB oracle passes the 'g' flag explicitly. */
+  def redactChain(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (re, tok)) => regexp_replace(c, re, tok) }
+
+  /** Per-class match counts under chain precedence: class i counts on
+    * text with classes 0..i-1 already masked — mirroring the replace
+    * chain exactly, so sum(counts) == number of replacements the chain
+    * performs. */
+  def categoryCounts(text: Column, rules: Seq[(String, String)]): Seq[Column] = {
+    val prefixMasked = rules.indices.map(i => redactChain(text, rules.take(i)))
+    rules.zip(prefixMasked).map { case ((re, _), prior) =>
+      size(regexp_extract_all(prior, lit(re), lit(0))).cast("long")
+    }
+  }
+
+  /** Total redaction count for a rule list (the [[categoryCounts]] sum). */
+  def redactionCount(text: Column, rules: Seq[(String, String)]): Column =
+    categoryCounts(text, rules).reduce(_ + _).cast("long")
+
+  /** The x46 chain over a text column (shared by the query and PiiSpec). */
+  def redact(c: Column): Column = redactChain(c, OracleRules)
+
+  /** The synthetic corpus contains no PII, which would make a redaction
+    * oracle vacuous (hashing text == redacted proves nothing about the
+    * regexes). The query therefore PLANTS deterministic doc_id-derived
+    * PII — an email, a phone, an IP per document, built with identical
+    * string arithmetic on both engines — then redacts. The oracle compare
+    * genuinely exercises match/replace semantics cross-engine on every
+    * row, and the emitted counts pin exactly one match per category (the
+    * planted one) on the PII-free corpus. */
   val piiRedact = Q.withOracle(
     "x46_pii_redact",
     "x46: plant deterministic PII per doc, redact it, count matches per category",
@@ -50,16 +105,18 @@ object Pii {
        |      CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
        |  FROM documents)
        |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$Email')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(
-       |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
-       |                   '$PhoneRe', '<PHONE>', 'g'),
-       |    '$IpRe')) AS BIGINT) AS n_ips,
+       |    regexp_replace(t, '$Email', '<EMAIL>', 'g'),
+       |    '$PhoneStrict')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(regexp_replace(t, '$Email', '<EMAIL>', 'g'),
+       |                   '$PhoneStrict', '<PHONE>', 'g'),
+       |    '$Ip')) AS BIGINT) AS n_ips,
        |  regexp_replace(regexp_replace(regexp_replace(t,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g'),
-       |    '$IpRe', '<IP>', 'g') AS redacted
+       |    '$Email', '<EMAIL>', 'g'),
+       |    '$PhoneStrict', '<PHONE>', 'g'),
+       |    '$Ip', '<IP>', 'g') AS redacted
        |FROM planted
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val planted = Tables.documents(s, dir).select(col("doc_id"),
@@ -68,16 +125,14 @@ object Pii {
         lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
         lit("-4242 from 10.0."),
         (col("doc_id") % 256).cast("string"), lit(".7")).as("t"))
+    // Per-category counts under chain precedence — phone counts with
+    // emails already masked, IPs with both masked (an IP-shaped fragment
+    // inside a yet-unredacted email would double-count).
+    val Seq(nEmails, nPhones, nIps) = categoryCounts(col("t"), OracleRules)
     planted.select(col("doc_id"),
-        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
-        // IPs are counted AFTER the email/phone passes — same reason as
-        // the replace order: an IP-shaped fragment inside a yet-unredacted
-        // email would double-count.
-        regexp_count(
-          regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          lit(IpRe)).cast("long").as("n_ips"),
+        nEmails.as("n_emails"),
+        nPhones.as("n_phones"),
+        nIps.as("n_ips"),
         redact(col("t")).as("redacted"))
       .orderBy(col("doc_id"))
   }

@@ -77,22 +77,34 @@ object Bpe {
        |SELECT * FROM ($out) ORDER BY round""".stripMargin
   }
 
-  /** Run the [[Merges]]-round training loop: returns the final merged
+  /** Run the `merges`-round training loop: returns the final merged
     * word table (w, freq, repr) and each round's 1-row argmax frame.
     * Each round is localCheckpoint'd — the tables are tiny (bounded by
     * distinct-word count and 1 row respectively) and the alternative is
-    * exponentially deep lineage re-running every prior round. */
-  private[graft] def train(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    * exponentially deep lineage re-running every prior round.
+    *
+    * Each round ASSERTS its argmax frame is non-empty (round-8 advice):
+    * if the pair inventory runs dry before round `merges`, an empty
+    * limit(1) frame would crossJoin the word table to EMPTY — x45 would
+    * silently emit fewer than M rows and x45b an empty encode, and the
+    * oracle reproduces the same degenerate output, so nothing downstream
+    * catches the violated precondition. The count is free: the frame is
+    * already localCheckpoint'd (materialized) and holds ≤ 1 row. */
+  private[graft] def train(docs: DataFrame,
+      merges: Int = Merges): (DataFrame, Seq[DataFrame]) = {
     var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), charRepr(col("w")).as("repr"))
       .localCheckpoint()
-    val tops = (1 to Merges).map { r =>
+    val tops = (1 to merges).map { r =>
       val top = pairs(words)
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .localCheckpoint()
+      require(top.count() == 1L,
+        s"BPE pair inventory ran dry at round $r of $merges: every word is " +
+          "a single symbol — lower the merge count for this corpus")
       words = words.crossJoin(broadcast(top))
         .select(col("w"), col("freq"),
           replace(col("repr"),

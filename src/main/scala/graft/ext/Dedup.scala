@@ -647,14 +647,24 @@ object Dedup {
     * synthetic vocabulary the signal saturates high, which the oracle
     * reproduces exactly.)
     *
-    * Scale shape: gram extraction is the map-only native `shingle_hash3`
+    * Scale shape: gram extraction is the map-only native `shingle_str3`
     * (no shuffle before the aggregate); "repeated anywhere" is ONE
     * hash-aggregate on the gram key — min(doc) < max(doc) needs no
     * distinct-count — and the coverage union is a keyed join back on the
-    * gram hash plus one distinct on (doc, position): every shuffle is on
+    * gram key plus one distinct on (doc, position): every shuffle is on
     * a gram or doc key, nothing is quadratic, nothing is collected. The
     * repeated-gram side is NOT broadcast by assumption: at corpus scale
-    * it grows with the data, so the equi-join's shuffle is the design. */
+    * it grows with the data, so the equi-join's shuffle is the design.
+    *
+    * The gram KEY is the literal gram string — the oracle's own
+    * semantics, collision-free at any corpus size (round-8 advice: the
+    * earlier 64-bit xxhash64 key silently diverges from the oracle on a
+    * cross-doc hash collision, and at ~1e12 production grams the
+    * birthday bound predicts dozens). A deployment that wants a
+    * fixed-width shuffle key swaps in md5's two 64-bit lanes (x2's
+    * portable family) — 128 bits keeps collisions below 1e-13 at 1e12
+    * grams; a 64-bit key is the one width that is both temptingly cheap
+    * and arithmetically wrong. */
   val repeatedSpans = Q.withOracle(
     "x42_repeated_spans",
     "x42: per-doc token coverage by 3-grams repeated across >= 2 docs",
@@ -678,14 +688,14 @@ object Dedup {
       |  CAST(COALESCE(per.n, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS rep_frac
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    graft.functions.ShingleHash3.register(s)
+    graft.functions.ShingleStr3.register(s)
     val docs = Tables.documents(s, dir)
     // Position-bearing grams: the native expression returns the gram
     // array in token order, so posexplode's index IS the span start
     // (0-based here, 1-based in the oracle — coverage COUNTS are
     // shift-invariant, which is all the output exposes).
     val grams = docs.select(col("doc_id"),
-        posexplode(graft.functions.ShingleHash3.shingleHash3(split(col("text"), " "))))
+        posexplode(graft.functions.ShingleStr3.shingleStr3(split(col("text"), " "))))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
     // "Repeated anywhere" as a window-min/max over the gram key: one
     // scan of the exploded corpus and one gram-keyed shuffle, vs the

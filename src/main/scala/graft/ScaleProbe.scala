@@ -179,17 +179,18 @@ object ScaleProbe {
       // The registered x41 pins K=10 for its DuckDB-replayed oracle;
       // timing THAT at growing N would plant the quadratic its scaladoc
       // warns about (fixed cell count → cell population grows with N).
-      // The probe turns the documented lever instead: K ~ sqrt(N), cell
-      // occupancy flat, candidate pairs ~ NProbe²·N²/K ~ N^1.5·NProbe².
+      // The probe turns the documented lever instead: CONSTANT TARGET
+      // OCCUPANCY, K = ⌈N/c⌉ (round 8 — the ⌈√N⌉ rule let occupancy
+      // grow as √N and candidate pairs as N^1.5; measured 4.1× wall at
+      // 10×, the worst curve on the board). Candidates are now
+      // ~ NProbe²·c·N/2 — linear — and cellBitsFor routes through the
+      // requireCellBits ≤ 14 overflow guard, so a probe too big for the
+      // packed argmin fails loud instead of silently corrupting cells.
       "x41_semdedup_scaled" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val k = kCache.getOrElseUpdate(dir, {
-          val n = math.max(e.count(), 1L)
-          math.max(graft.ext.Ivf.K, math.ceil(math.sqrt(n.toDouble)).toInt)
-        })
-        val bits = math.max(graft.ext.Ivf.CellBits,
-          64 - java.lang.Long.numberOfLeadingZeros(k.toLong))
-        graft.ext.SemDedup.pipeline(e, k, bits)
+        val k = kCache.getOrElseUpdate(dir,
+          graft.ext.SemDedup.cellsFor(math.max(e.count(), 1L)))
+        graft.ext.SemDedup.pipeline(e, k, graft.ext.SemDedup.cellBitsFor(k))
       }))
     val base = "/root/testdata/sf0.1"
     Seq(1, 4, maxFactor).distinct.foreach { f =>

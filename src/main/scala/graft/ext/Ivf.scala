@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
   * buffer and silently falls back to SortAggregate, the round-5 plan
   * defect); re-centering is one keyed aggregation per pass; the probe
   * join shuffles only (query, cell) pairs — never the vector set against
-  * itself. At real scale K grows ~ sqrt(N) and NProbe stays a small
-  * fraction of K. */
+  * itself. At real scale K grows with the corpus (constant target
+  * occupancy — see [[SemDedup]]'s growth-rule doc) and NProbe stays a
+  * small fraction of K; probe selection is the bounded [[BoundedMinN]]
+  * aggregation, O(NProbe) state per query at any K. */
 object Ivf {
 
   private val NumQueries = 20
@@ -76,13 +78,22 @@ object Ivf {
       .select((row_number().over(w) - 1).as("cell"), col("q"))
   }
 
+  /** The packed (dist, cell) long: sqDist tops out at 2^48 (see scaladoc
+    * above), so any cellBits ≤ 14 leaves the pack overflow-free in
+    * int64 — [[requireCellBits]] makes a larger quantizer fail LOUD
+    * instead of silently overflowing the shift (round-8 advice). */
+  private[graft] def requireCellBits(cellBits: Int): Unit =
+    require(cellBits <= 14,
+      s"cellBits = $cellBits > 14: dist << cellBits overflows int64 " +
+        "(sqDist <= 2^48); shard the quantizer or widen the pack")
+
   /** Nearest-cell assignment: argmin of integer L2, as min() over one
     * packed long so the plan is a hash aggregate (ties → lower cell).
     * `cellBits` bounds the cell-id field of the packed long (k ≤
-    * 2^cellBits); sqDist tops out at 2^48 (see scaladoc above), so any
-    * cellBits ≤ 14 leaves the pack overflow-free in int64. */
+    * 2^cellBits). */
   private[graft] def assignCells(v: DataFrame, cents: DataFrame,
       cellBits: Int = CellBits): DataFrame = {
+    requireCellBits(cellBits)
     val packed = shiftleft(sqDist(col("q"), col("cq")), cellBits)
       .bitwiseOR(col("cell").cast("long"))
     v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
@@ -92,16 +103,64 @@ object Ivf {
         col("m").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
   }
 
-  /** Top-n nearest cells per query vector — the probe list. Bounded:
-    * NumQueries × K rows reach the window. */
-  private def probeCells(v: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
-      .withColumn("dist", sqDist(col("q"), col("cq")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= n)
-      .select(col("vec_id").as("query_id"), col("cell"))
+  /** Bounded smallest-n collector over longs — the probe-selection
+    * aggregation state (SURVEY.md §2.8 typed-Aggregator extension
+    * point). The buffer is a sorted array CAPPED AT n: per-group state
+    * is O(n) no matter how many centroids stream through, which is what
+    * lets the probe list survive a constant-occupancy quantizer whose K
+    * grows with the corpus (a collect_list-of-all-K buffer is O(K) per
+    * vector — the round-7 shape this replaces). Insertion is
+    * binary-search + arraycopy into a ≤ n array; merges concatenate two
+    * ≤ n arrays — both O(n), both partial-aggregable map-side. */
+  class BoundedMinN(n: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(n > 0, s"n must be positive, got $n")
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def insert(b: Array[Long], v: Long): Array[Long] = {
+      if (b.length == n && v >= b(n - 1)) return b
+      var i = java.util.Arrays.binarySearch(b, v)
+      if (i < 0) i = -i - 1
+      val len = math.min(b.length + 1, n)
+      val out = new Array[Long](len)
+      System.arraycopy(b, 0, out, 0, i)
+      out(i) = v
+      System.arraycopy(b, i, out, i + 1, len - i - 1)
+      out
+    }
+    override def reduce(b: Array[Long], a: Long): Array[Long] = insert(b, a)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(insert)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
   }
+
+  /** Top-n nearest cells per vector: (vec_id, r, cell) with r = 1..n
+    * ordered by (dist, cell) — the oracle's ROW_NUMBER tie rule, carried
+    * by the packed long's natural order. Per-vector aggregation state is
+    * n longs regardless of K ([[BoundedMinN]]), so the same plan serves
+    * the registered K=10 and a constant-occupancy quantizer at K ≥ 10⁵.
+    * Shared by x12's query probing and x41's multi-probe assignment. */
+  private[graft] def topNCells(v: DataFrame, cents: DataFrame, n: Int,
+      cellBits: Int = CellBits): DataFrame = {
+    requireCellBits(cellBits)
+    import v.sparkSession.implicits._
+    val packed = shiftleft(sqDist(col("q"), col("cq")), cellBits)
+      .bitwiseOR(col("cell").cast("long"))
+    v.crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
+      .select(col("vec_id").cast("long").as("vec_id"), packed.as("p"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new BoundedMinN(n).toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).as("r"),
+        col("col").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
+  }
+
+  /** Top-n nearest cells per query vector — the probe list. */
+  private def probeCells(v: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    topNCells(v, cents, n).select(col("vec_id").as("query_id"), col("cell"))
 
   /** Element-wise floor-mean of int64 vectors — typed `Aggregator`
     * (SURVEY.md §2.8's custom-aggregation extension point). Integer
@@ -154,8 +213,8 @@ object Ivf {
     * ONE deterministic quantizer, shared by x12 (ANN probing) and x41
     * (SemDeDup cells) so both replay against the same oracle CTEs.
     * `k`/`cellBits` default to the oracle-pinned constants; the scale
-    * probe passes k ~ sqrt(N) — the growth rule every IVF scaladoc here
-    * cites — with cellBits sized to hold it. */
+    * probe passes the constant-occupancy [[SemDedup.cellsFor]] with
+    * cellBits sized to hold it. */
   private[graft] def refinedCentroids(vq: DataFrame, iters: Int = LloydIters,
       k: Int = K, cellBits: Int = CellBits): DataFrame =
     (1 to iters).foldLeft(seedCentroids(vq, k))((c, _) => lloydStep(vq, c, cellBits))

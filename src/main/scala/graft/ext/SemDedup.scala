@@ -24,14 +24,30 @@ import org.apache.spark.sql.functions._
   * which is sound only when τ is far above the cell diameter; at this
   * corpus's τ=0.3 the single-cell form catches just 0.49 of the exact
   * near-dup relation (measured, SemDedupSpec) while 2 probes reach
-  * 0.85–0.96 at ~2.6× fewer comparisons than all-pairs on K=10 cells —
-  * and the candidate fraction shrinks as NProbe²/K once K scales with
-  * sqrt(N), so the probe widening is free at corpus scale.
+  * 0.85–0.96 at ~2.6× fewer comparisons than all-pairs on K=10 cells.
+  *
+  * GROWTH RULE (round 8 — fixes the round-7 N^1.5 defect): the corpus-
+  * scale posture is CONSTANT TARGET OCCUPANCY — K = ⌈N/c⌉ cells with c
+  * fixed (the published SemDeDup posture: cluster count scales with the
+  * corpus). Per-cell candidate pairs are then ~ NProbe²·c²/2 per cell ×
+  * N/c cells = NProbe²·c·N/2 — LINEAR in N (SemDedupSpec pins the
+  * linearity across probe factors; SCALING.md measures the wall curve).
+  * The round-7 rule K = ⌈√N⌉ let occupancy grow as √N, so candidates
+  * grew ~N^1.5 — measured 4.1× wall at 10× vectors, the worst curve on
+  * the board. What constant occupancy costs instead: the centroid
+  * table grows as N/c (broadcast of K×dim longs — fine to K ~ 10⁵–10⁶),
+  * and brute-force assignment is N·K = N²/c distance evals — map-only
+  * broadcast work with zero shuffle, but at 10⁹ vectors the standard
+  * move is a hierarchical coarse quantizer (assign to √K superclusters,
+  * then within: N·2√K evals), which changes only the assignment pass,
+  * not this pipeline's shape.
   *
   * Scale shape (100 TB): quantize + probe are map-ish passes against a
-  * broadcast centroid table (K × dim; the top-NProbe pick is a bounded
-  * collect of K (dist, cell) structs per vector, map-side combined); the
-  * pair expansion self-joins the tiny (vec_id, cell, r) probe table —
+  * broadcast centroid table; the top-NProbe pick is a BOUNDED typed
+  * aggregation ([[Ivf.BoundedMinN]] — O(NProbe) state per vector
+  * regardless of K, map-side combined; round 8 replaced the
+  * collect-all-K-structs form, whose per-row state grew with K); the
+  * pair expansion self-joins the tiny (vec_id, r, cell) probe table —
   * checkpointed once — and shuffles vectors on the cell key only. The
   * survivor rule (exists a closer-than-τ mate with a lower id) needs no
   * transitive closure — one aggregation over verified candidates. */
@@ -82,38 +98,54 @@ object SemDedup {
        |ORDER BY c.vec_id""".stripMargin
   }
 
-  /** The full prune pipeline over an arbitrary embedding frame,
-    * parameterized on the quantizer size: the registered query binds the
-    * oracle-pinned constants; the scale probe grows k ~ sqrt(N) (with
-    * cellBits sized to hold it) — the growth rule that keeps per-cell
-    * candidate counts flat as the corpus scales. */
-  private[graft] def pipeline(e: org.apache.spark.sql.DataFrame,
-      k: Int = Ivf.K, cellBits: Int = Ivf.CellBits,
-      nProbe: Int = NProbe): org.apache.spark.sql.DataFrame = {
-    CosineSimilarity.register(e.sparkSession)
+  /** Cell count for a corpus of `n` vectors under constant target
+    * occupancy `c` (never below the oracle-pinned [[Ivf.K]]) — THE
+    * growth rule (see object doc). `c` defaults to the registered
+    * configuration's own occupancy (2,000 vectors / 10 cells). */
+  val TargetOccupancy = 200
+  def cellsFor(n: Long, c: Int = TargetOccupancy): Int =
+    math.max(Ivf.K, ((n + c - 1) / c).toInt)
+
+  /** Smallest cellBits that holds k cell ids (≥ the oracle-pinned
+    * default; [[Ivf.requireCellBits]] bounds it at 14). */
+  def cellBitsFor(k: Int): Int =
+    math.max(Ivf.CellBits, 64 - java.lang.Long.numberOfLeadingZeros(math.max(k - 1, 1).toLong))
+
+  /** The (vec_id, r, cell) multi-probe table: quantize, cluster, pick
+    * each vector's top-nProbe cells via the BOUNDED aggregation
+    * ([[Ivf.topNCells]] — O(nProbe) state per vector regardless of k).
+    * Checkpointed: it is tiny (N × nProbe rows of three ints) and feeds
+    * both join sides of the pair expansion. */
+  private[graft] def probeTable(e: org.apache.spark.sql.DataFrame,
+      k: Int, cellBits: Int, nProbe: Int): org.apache.spark.sql.DataFrame = {
     val vq = Ivf.quantized(e)
     val cents = Ivf.refinedCentroids(vq, Ivf.LloydIters, k, cellBits).localCheckpoint()
-    // Top-NProbe cells per vector via a bounded per-vector collect of K
-    // (dist, cell) structs (array_sort orders by dist, then cell — the
-    // oracle's ROW_NUMBER tie rule). Checkpointed: it is tiny
-    // (N × NProbe rows of three ints) and feeds both join sides below.
-    val probed = vq
-      .crossJoin(broadcast(cents.select(col("cell"), col("q").as("cq"))))
-      .select(col("vec_id"),
-        struct(Ivf.sqDist(col("q"), col("cq")).as("d"), col("cell")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(slice(array_sort(collect_list(col("dc"))), 1, nProbe).as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), (col("pos") + 1).as("r"), col("col.cell").as("cell"))
-      .localCheckpoint()
-    // Home cell = the first probe — identical to x12's packed argmin
-    // (min dist, ties to the lower cell).
-    val cells = probed.filter(col("r") === 1).select(col("vec_id"), col("cell"))
-    val cand = probed.as("a")
+    Ivf.topNCells(vq, cents, nProbe, cellBits).localCheckpoint()
+  }
+
+  /** Candidate pairs of a probe table: co-probed ids, each unordered
+    * pair once. Exposed for SemDedupSpec's candidate-count linearity
+    * pin (the growth rule's testable claim). */
+  private[graft] def candidatePairs(probed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    probed.as("a")
       .join(probed.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
+
+  /** The full prune pipeline over an arbitrary embedding frame,
+    * parameterized on the quantizer size: the registered query binds the
+    * oracle-pinned constants; the scale probe passes the constant-
+    * occupancy [[cellsFor]] (with [[cellBitsFor]] sizing the pack). */
+  private[graft] def pipeline(e: org.apache.spark.sql.DataFrame,
+      k: Int = Ivf.K, cellBits: Int = Ivf.CellBits,
+      nProbe: Int = NProbe): org.apache.spark.sql.DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    val probed = probeTable(e, k, cellBits, nProbe)
+    // Home cell = the first probe — identical to x12's packed argmin
+    // (min dist, ties to the lower cell).
+    val cells = probed.filter(col("r") === 1).select(col("vec_id"), col("cell"))
+    val cand = candidatePairs(probed)
     val vd = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd"))
     val close = cand

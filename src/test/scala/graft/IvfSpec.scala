@@ -84,4 +84,53 @@ class IvfSpec extends SparkSuite {
       s"Lloyd passes lost recall on the real corpus: seed=$seedOnly refined=$refined")
     assert(refined >= 0.6, s"x12 recall regressed: $refined")
   }
+
+  test("BoundedMinN: sorted, capped at n, merge-order-independent") {
+    val agg = new Ivf.BoundedMinN(3)
+    val vals = Seq(9L, 2L, 7L, 2L, 11L, 0L, 5L)
+    val direct = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(direct.toSeq == Seq(0L, 2L, 2L),
+      s"smallest-3 with duplicates wrong: ${direct.toSeq}")
+    // arbitrary split + merge must equal the single-pass fold
+    // (map-side partials merge in arbitrary order at scale)
+    (1 until vals.size).foreach { cut =>
+      val (l, r) = vals.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == direct.toSeq, s"merge at $cut diverged")
+    }
+    // buffer never exceeds n mid-stream
+    assert(vals.scanLeft(agg.zero)(agg.reduce).forall(_.length <= 3))
+  }
+
+  test("topNCells matches the window row_number form at K=1200 (probe state O(n), not O(K))") {
+    // The round-8 growth rule makes K scale with the corpus, so probe
+    // selection must hold at K far beyond the registered 10. Synthetic
+    // quantizer: 300 vectors x 1200 centroids (cellBits 11), integer
+    // coordinates — compare the bounded aggregation against the
+    // window-sort reference on identical inputs.
+    val dim = 4
+    def coords(seedCol: org.apache.spark.sql.Column, salt: Int) =
+      array((0 until dim).map(i =>
+        pmod(xxhash64(seedCol, lit(i), lit(salt)), lit(1000L))): _*)
+    val vecs = spark.range(300).select($"id".as("vec_id"), coords($"id", 1).as("q"))
+    val cents = spark.range(1200)
+      .select($"id".cast("int").as("cell"), coords($"id", 2).as("q"))
+    val n = 3
+    val got = Ivf.topNCells(vecs, cents, n, cellBits = 11)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist", $"cell")
+    val ref = vecs.crossJoin(cents.select($"cell", $"q".as("cq")))
+      .withColumn("dist", Ivf.sqDist($"q", $"cq"))
+      .withColumn("r", row_number().over(w)).filter($"r" <= n)
+      .select($"vec_id", $"r", $"cell")
+    assert(got.select($"vec_id", $"r", $"cell")
+      .exceptAll(ref).isEmpty && ref.exceptAll(
+        got.select($"vec_id", $"r", $"cell")).isEmpty,
+      "bounded top-n diverged from the window reference at K=1200")
+    // the overflow guard fails loud past the packed-long bound
+    assertThrows[IllegalArgumentException] {
+      Ivf.topNCells(vecs, cents, n, cellBits = 15)
+    }
+  }
 }

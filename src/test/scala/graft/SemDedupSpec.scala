@@ -48,6 +48,37 @@ class SemDedupSpec extends SparkSuite {
     assert(recall >= 0.8, s"semantic-dedup recall collapsed: $recall")
   }
 
+  test("x41 growth rule: candidate pairs stay LINEAR in N under constant occupancy") {
+    // The round-8 rule: K = ceil(N/c), occupancy pinned at c, so
+    // candidate pairs ~ NProbe^2 * c * N / 2 — linear. (The round-7
+    // K = ceil(sqrt(N)) rule let occupancy grow as sqrt(N) and candidates
+    // as N^1.5 — measured 4.1x wall at 10x vectors.) Probed on the
+    // spec corpus with c sized so K actually grows across the factors
+    // (at 500 base vectors the deployment c=200 would leave K at the
+    // floor); scaled copies come from the probe's own sign-flip
+    // construction, which preserves within-copy similarity structure.
+    val c = 50
+    val counts = Seq(1, 2, 4).map { f =>
+      val e = ScaleProbe.scaledEmbeddings(spark, sf, f)
+      val n = e.count()
+      val k = SemDedup.cellsFor(n, c)
+      val probed = SemDedup.probeTable(e, k, SemDedup.cellBitsFor(k), SemDedup.NProbe)
+      val pairs = SemDedup.candidatePairs(probed).count()
+      (f, n, k, pairs)
+    }
+    val base = counts.head._4.toDouble
+    counts.foreach { case (f, n, k, pairs) =>
+      info(f"factor $f: N=$n K=$k candidates=$pairs (${pairs / (base * f)}%.2f x linear)")
+    }
+    counts.tail.foreach { case (f, _, _, pairs) =>
+      val vsLinear = pairs / (base * f)
+      // quadratic growth would read f x linear (4.0 at f=4); flat-occupancy
+      // cell imbalance wobble stays well under 2x
+      assert(vsLinear <= 2.0,
+        s"candidate pairs superlinear at factor $f: $vsLinear x the linear prediction")
+    }
+  }
+
   test("x42 certifies exact duplicates as fully covered") {
     val x42 = SparkEntry.queries("x42_repeated_spans")(spark, sf).cache()
     // internal consistency: coverage is a position-set size

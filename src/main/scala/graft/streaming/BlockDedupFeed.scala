@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.ext.Rewrite
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,10 +13,24 @@ import org.apache.spark.sql.types._
   * of every block ever kept, and only the increment pays.
   *
   * The index is an APPEND-ONLY parquet table (block md5 → packed first
-  * owner). Keep-first makes ownership immutable — a block's first owner
-  * never changes — so maintaining the index never rewrites anything:
-  * each batch appends exactly the rows for blocks it introduced. A
-  * batch's decision rule is
+  * owner), stored in the Cdc-style HASH-BUCKETED layout: `b=<k>/`
+  * partition directories with `k = pmod(xxhash64(bh), n)` and the
+  * bucket count pinned in a `_BUCKETS` file at creation (round 8 — the
+  * round-7 form read the WHOLE index every micro-batch, so each
+  * increment paid linearly for corpus history). A batch lists the
+  * buckets its own block hashes fall in (a driver-side collect BOUNDED
+  * BY the bucket count — metadata, not data) and the existing-side read
+  * partition-prunes to exactly those directories: per-batch cost scales
+  * with the batch's bucket coverage, not with history. At deployment
+  * scale the bucket count is sized so one bucket ≈ one executor's
+  * comfortable scan (e.g. 2^10–2^14 buckets for a 100 TB corpus); a
+  * small batch touches few buckets, a full-corpus replay touches all —
+  * both read only what they must.
+  *
+  * Keep-first makes ownership immutable — a block's first owner never
+  * changes — so maintaining the index never rewrites anything: each
+  * batch appends exactly the rows for blocks it introduced, into the
+  * partition dirs they hash to. A batch's decision rule is
   *
   *   keep = first-in-batch AND (absent from index OR index owner == me)
   *
@@ -27,66 +40,111 @@ import org.apache.spark.sql.types._
   * crash between output write and index append (either order) therefore
   * reconverges on replay, and the per-batch output directory
   * (`out/batch=<id>`, dynamic overwrite) makes the output side
-  * idempotent too.
+  * idempotent too. `_BUCKETS` is written at creation BEFORE the first
+  * append (the Cdc pin-at-creation rule): a crash in between leaves an
+  * empty pinned store, which reads as empty and replays clean.
   *
   * Scale shape: per batch, one window over the batch's own blocks
-  * (batch-sized), one left join against the index on the block-hash key
-  * (shuffle of the BATCH side; the index side partition-prunes nothing
-  * here but shuffles only (hash, owner) pairs — at deployment scale the
-  * index would live in the Cdc-style hash-bucketed layout so the join
-  * touches only the buckets the batch hashes into), one per-doc
-  * regroup, and an append of the new owners. History never rewrites;
-  * state lives in the store, not the stream — batch size, not corpus
-  * size, bounds memory. */
+  * (batch-sized), one left join against the TOUCHED BUCKETS of the
+  * index on the block-hash key (shuffle of the batch side plus only the
+  * pruned index slice), one per-doc regroup, and a partitioned append
+  * of the new owners. History never rewrites; state lives in the store,
+  * not the stream — batch size, not corpus size, bounds memory. */
 object BlockDedupFeed {
 
-  private val idxSchema = StructType(Seq(
-    StructField("bh", StringType), StructField("owner", LongType)))
+  val DefaultBuckets = 8
 
-  private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val fs = new Path(indexDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(indexDir))) spark.read.schema(idxSchema).parquet(indexDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+  private val idxSchema = StructType(Seq(
+    StructField("bh", StringType), StructField("owner", LongType),
+    StructField("b", IntegerType)))
+
+  private def bucketCol(n: Int) =
+    pmod(xxhash64(col("bh")), lit(n.toLong)).cast("int").as("b")
+
+  /** Partition-pruned index read: only the `touched` bucket directories
+    * reach the scan (BlockDedupFeedSpec asserts the pruned file set).
+    * The explicit schema keeps an empty-but-pinned store readable. */
+  private[graft] def readIndex(spark: SparkSession, indexDir: String,
+      touched: Seq[Int]): DataFrame = {
+    if (!Cdc.storeExists(spark, indexDir) || touched.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+        .drop("b")
+    else
+      spark.read.schema(idxSchema).parquet(indexDir)
+        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+        .drop("b")
   }
 
   /** Deduplicate one document batch against (and into) the index at
     * `indexDir`; returns the x43-shaped rewrite of the batch. Owners
     * are appended BEFORE the caller writes the output — either order
     * is crash-safe (see object doc), this one makes the returned frame
-    * independently re-derivable. */
-  def applyBatch(batch: DataFrame, indexDir: String): DataFrame = {
+    * independently re-derivable. The bucket count is pinned at store
+    * creation; a later different `numBuckets` argument is ignored. */
+  def applyBatch(batch: DataFrame, indexDir: String,
+      numBuckets: Int = DefaultBuckets): DataFrame = {
     val spark = batch.sparkSession
+    val pinned = Cdc.pinnedBuckets(spark, indexDir)
+    val n = if (pinned > 0) pinned else numBuckets
     val blocks = Rewrite.blockFrame(batch.select(col("doc_id"), col("text")))
       .withColumn("bh", md5(col("btxt")))
       .withColumn("p", Rewrite.packedCol)
-      .localCheckpoint() // read twice (flag + append); batch-sized
-    val idx = readIndex(spark, indexDir)
+      .localCheckpoint() // read three times (touched + flag + append); batch-sized
+    val touched = blocks.select(bucketCol(n)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = readIndex(spark, indexDir, touched)
     val flagged = blocks
       .withColumn("bf", col("p") === min(col("p")).over(Window.partitionBy(col("bh"))))
       .join(idx, Seq("bh"), "left")
       .withColumn("keep", col("bf") && (col("owner").isNull || col("owner") === col("p")))
       .localCheckpoint() // decisions must not shift between append and output
-    val newOwners = flagged
+    if (pinned == 0) Cdc.writeBucketsFile(spark, indexDir, n)
+    // Unconditional append (round 8): a replay's new-owner frame is
+    // empty and writes nothing — probing it with isEmpty first was one
+    // extra Spark job per batch for no behavior change.
+    flagged
       .filter(col("bf") && col("owner").isNull)
       .select(col("bh"), col("p").as("owner"))
-    if (!newOwners.isEmpty)
-      newOwners.write.mode("append").parquet(indexDir)
+      .withColumn("b", bucketCol(n))
+      .write.partitionBy("b").mode("append").parquet(indexDir)
     Rewrite.reassemble(flagged.select(col("doc_id"), col("blk"), col("btxt"), col("keep")))
+  }
+
+  /** Fold each bucket's per-batch append files into ONE file per bucket
+    * — the LSM-style maintenance pass that bounds read amplification:
+    * appends keep per-batch writes O(batch), and periodic compaction
+    * keeps per-batch READS at (touched buckets) files, so files-read
+    * scales with batch coverage, not with how many batches history took
+    * (BlockDedupFeedSpec pins both). Idempotent and replay-safe: rows
+    * are immutable, so compaction only re-groups them; dynamic
+    * partition overwrite touches exactly the bucket dirs and leaves the
+    * `_BUCKETS` pin in place; the localCheckpoint materializes the
+    * index before its source files are replaced. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val n = Cdc.pinnedBuckets(spark, indexDir)
+    if (n > 0) {
+      spark.read.schema(idxSchema).parquet(indexDir)
+        .localCheckpoint()
+        .repartition(col("b")) // each bucket wholly in one task → one file per dir
+        .write.partitionBy("b").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexDir)
+    }
   }
 
   /** The continuous pipeline: document drops in, per-batch rewritten
     * corpus out (one directory per micro-batch — idempotent under
     * replay), block index maintained incrementally. */
   def run(spark: SparkSession, inDir: String, indexDir: String,
-      outDir: String, checkpointDir: String): StreamingQuery =
+      outDir: String, checkpointDir: String,
+      numBuckets: Int = DefaultBuckets): StreamingQuery =
     DocFeed.readDocs(spark, inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexDir)
+        applyBatch(batch, indexDir, numBuckets)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()

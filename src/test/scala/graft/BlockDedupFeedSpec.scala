@@ -52,6 +52,59 @@ class BlockDedupFeedSpec extends SparkSuite {
     assert(spark.read.parquet(idx).count() == idxRows, "replay must append nothing")
   }
 
+  test("index reads partition-prune to the batch's touched buckets; compaction bounds files-read by batch coverage") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idx = tmp()
+    // history: 6 batches, each with 4 distinct blocks -> owners spread
+    // across (almost certainly) every one of the 8 default buckets, one
+    // append file per touched bucket per batch
+    (0 until 6).foreach { k =>
+      BlockDedupFeed.applyBatch(
+        docsOf((10L + k) -> (1 to 40).map(i => s"h${k}_$i").mkString(" ")), idx)
+    }
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      dir.listFiles().toSeq.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val allFiles = parquetFiles(new java.io.File(idx))
+    // the touched-bucket set of a single-block batch, via the same
+    // arithmetic applyBatch uses
+    val one = docsOf(99L -> (1 to 10).map(i => s"q$i").mkString(" "))
+    val touched = graft.ext.Rewrite.blockFrame(one.select($"doc_id", $"text"))
+      .select(pmod(xxhash64(md5($"btxt")), lit(8L)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSeq
+    assert(touched.size == 1)
+    val pruned = BlockDedupFeed.readIndex(spark, idx, touched)
+    val scanned = flattenPlan(pruned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+    assert(scanned.nonEmpty, "expected a file scan in the pruned read")
+    assert(scanned.forall(_.contains(s"b=${touched.head}")),
+      s"pruned read leaked outside touched buckets: ${scanned.take(3)}")
+    assert(scanned.size < allFiles.size,
+      "pruning read the whole index - partition filter did not engage")
+    // compaction folds per-batch appends: the same pruned read is then
+    // EXACTLY one file per touched bucket, independent of how many
+    // batches history took
+    val before = spark.read.parquet(idx).select($"bh", $"owner")
+      .as[(String, Long)].collect().toSet
+    BlockDedupFeed.compact(spark, idx)
+    assert(spark.read.parquet(idx).select($"bh", $"owner")
+      .as[(String, Long)].collect().toSet == before, "compaction changed rows")
+    val prunedAfter = BlockDedupFeed.readIndex(spark, idx, touched)
+    val scannedAfter = flattenPlan(prunedAfter.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+    assert(scannedAfter.size == touched.size,
+      s"post-compaction files-read must equal touched buckets: ${scannedAfter.size}")
+    // and the feed still behaves: the new batch dedups correctly on top
+    val out = BlockDedupFeed.applyBatch(one, idx)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 == 1L && out._3 == 1L, "fresh block must be kept")
+  }
+
   test("end-to-end stream: per-batch output dirs land, index grows append-only") {
     val in = tmp(); val idx = tmp(); val out = tmp(); val ck = tmp()
     val blk = (1 to 10).map(i => s"s$i").mkString(" ")

@@ -190,11 +190,12 @@ object Dedup {
       |  JOIN sizes za ON doc_a = za.doc_id
       |  JOIN sizes zb ON doc_b = zb.doc_id)""".stripMargin
 
-  /** All co-shingling pairs with exact Jaccard: one self-join of
-    * (doc, shingle-hash, set-size) — sizes ride the join, jaccard falls
-    * out of the grouped intersection count directly. */
-  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame = {
-    val shn = shingleHashesWithCount(Tables.documents(s, dir))
+  /** All co-shingling pairs with exact Jaccard from a prepared
+    * (doc_id, g, n) shingle table: one self-join — sizes ride the join,
+    * jaccard falls out of the grouped intersection count directly. The
+    * self-join consumes `shn` TWICE; pass a checkpointed table when the
+    * plan must scan the corpus once (the x49 composed DAG does). */
+  private[graft] def scoredPairsFrom(shn: DataFrame): DataFrame =
     shn.as("a").join(shn.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -203,7 +204,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
         (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
           .as("jac"))
-  }
+
+  private[graft] def scoredPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairsFrom(shingleHashesWithCount(Tables.documents(s, dir)))
 
   /** x4: exact 3-gram Jaccard threshold join.
     *
@@ -273,28 +276,20 @@ object Dedup {
                |    GROUP BY e.v) m ON l.v = m.v)""".stripMargin
           }.mkString(",\n")}""".stripMargin
 
-  val dedupClusters = Q.withOracle(
-    "x16_dedup_clusters",
-    "x16: connected components over near-dup pairs (min-label propagation)",
-    s"""WITH $ccOracleCtes
-       |SELECT v AS doc_id, comp AS cluster_id,
-       |  COUNT(*) OVER (PARTITION BY comp) AS n_members
-       |FROM l$CcRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = symmetrize(pairs)
-      .localCheckpoint() // computed once, read by every round
+  /** Min-label propagation to fixpoint over a SYMMETRIC edge list —
+    * the x16 loop body, shared with the x49 composed DAG. Early exit at
+    * the fixpoint: near-dup components have tiny diameter, so this
+    * usually stops after 2 rounds instead of burning all [[CcRounds]] —
+    * and a convergence-driven loop is the only correct shape at real
+    * scale, where diameter is data-dependent. Result is identical to
+    * the fixed-depth oracle because a fixpoint is stable under more
+    * rounds (TemporalSpec pins fixpoint-by-8 on this data).
+    * NOTE: the per-round isEmpty action means building this DataFrame
+    * EXECUTES the loop (driver-coordinated iteration, as in any CC
+    * implementation); plan audits over the returned frame see the final
+    * labels behind checkpoints, not the loop's (all equi-) joins. */
+  private[graft] def ccLabels(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("v"), col("u").as("comp")).distinct()
-    // Early exit at the fixpoint: near-dup components have tiny diameter,
-    // so this usually stops after 2 rounds instead of burning all 8 — and
-    // a convergence-driven loop is the only correct shape at real scale,
-    // where diameter is data-dependent. Result is identical to the
-    // fixed-depth oracle because a fixpoint is stable under more rounds
-    // (TemporalSpec pins fixpoint-by-8 on this data).
-    // NOTE: the per-round isEmpty action means building this DataFrame
-    // EXECUTES the loop (driver-coordinated iteration, as in any CC
-    // implementation); plan audits over the returned frame see the final
-    // labels behind checkpoints, not the loop's (all equi-) joins.
     var round = 0
     var converged = false
     while (round < CcRounds && !converged) {
@@ -308,7 +303,22 @@ object Dedup {
       converged = stepped.filter(col("comp2") < col("comp")).isEmpty
       labels = stepped.select(col("v"), col("comp2").as("comp"))
     }
-    labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"),
+    labels
+  }
+
+  val dedupClusters = Q.withOracle(
+    "x16_dedup_clusters",
+    "x16: connected components over near-dup pairs (min-label propagation)",
+    s"""WITH $ccOracleCtes
+       |SELECT v AS doc_id, comp AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY comp) AS n_members
+       |FROM l$CcRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = scoredPairs(s, dir).filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = symmetrize(pairs)
+      .localCheckpoint() // computed once, read by every round
+    ccLabels(edges)
+      .select(col("v").as("doc_id"), col("comp").as("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("comp"))).as("n_members"))
       .orderBy(col("doc_id"))
@@ -599,6 +609,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** x49: the document-level dedup family composed END-TO-END in one
+    * DAG (the x30 pattern, round-8 task): MEASURE (x4's exact-Jaccard
+    * pair graph) → CLUSTER (x16's connected components) → REMOVE (x48's
+    * min-id survivor rule), emitting per corpus document its near-dup
+    * degree, cluster membership, and survivor decision.
+    *
+    * The point vs running x4 / x16 / x48 separately: the corpus TEXT is
+    * scanned ONCE. The shingle table is checkpointed and feeds both
+    * sides of the pair self-join; edges are checkpointed and feed the
+    * CC loop, the degree aggregate, AND (through labels) the survivor
+    * rule; the final doc list is a doc_id-only column-pruned scan.
+    * x48 recomputing x16's chain per invocation is acceptable for a
+    * registry query but not for the production pipeline — this is the
+    * shape that pipeline runs. */
+  val dedupPipeline = Q.withOracle(
+    "x49_dedup_pipeline",
+    "x49: measure -> cluster -> remove dedup DAG, one corpus scan",
+    s"""WITH $ccOracleCtes,
+       |mn AS MATERIALIZED (
+       |  SELECT comp, MIN(v) AS m FROM l$CcRounds GROUP BY comp),
+       |deg AS MATERIALIZED (
+       |  SELECT u AS v, COUNT(*) AS n FROM edges GROUP BY u)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(deg.n, 0) AS BIGINT) AS n_neighbors,
+       |  c.comp IS NOT NULL AS clustered,
+       |  (c.comp IS NULL OR d.doc_id = mn.m) AS survivor
+       |FROM documents d
+       |LEFT JOIN l$CcRounds c ON d.doc_id = c.v
+       |LEFT JOIN deg ON deg.v = d.doc_id
+       |LEFT JOIN mn ON c.comp = mn.comp
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val shn = shingleHashesWithCount(Tables.documents(s, dir))
+      .localCheckpoint() // ONE corpus scan; the self-join reads this twice
+    val pairs = scoredPairsFrom(shn).filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = symmetrize(pairs)
+      .localCheckpoint() // feeds the CC loop, the degree agg, the survivor rule
+    val labels = ccLabels(edges)
+    val mins = labels.groupBy(col("comp")).agg(min(col("v")).as("m"))
+    val deg = edges.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .join(deg, Seq("doc_id"), "left")
+      .join(mins, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("comp").isNotNull.as("clustered"),
+        (col("comp").isNull || col("doc_id") === col("m")).as("survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x27: SimHash near-dup pairs at scale — LSH-band the 64-bit simhash
     * (x3) into 16-bit buckets, self-join only within buckets, then verify
     * candidates with the exact hamming distance. Completes the simhash
@@ -719,7 +781,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
-    dedupClustersStar, nearDupSurvivors, simhashPairs, repeatedSpans)
+    dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -155,7 +155,12 @@ object ScaleProbe {
       // x48: one row per doc (linear); the x16 cluster frame it composes
       // is copy-local (disjoint shingle spaces), so the min-per-cluster
       // agg and the two doc-keyed joins back ride x16's linear curve
-      "x48_near_dup_survivors")
+      "x48_near_dup_survivors",
+      // x49: one row per doc (linear); the composed DAG scans the corpus
+      // once and checkpoints the shingle + edge tables, so its curve
+      // should undercut the sum of its parts (x4 + x16 + x48 re-derive
+      // those tables from separate corpus scans)
+      "x49_dedup_pipeline")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

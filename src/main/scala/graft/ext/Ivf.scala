@@ -162,6 +162,86 @@ object Ivf {
   private def probeCells(v: DataFrame, cents: DataFrame, n: Int): DataFrame =
     topNCells(v, cents, n).select(col("vec_id").as("query_id"), col("cell"))
 
+  /** Two-level (coarse-to-fine) quantizer + bounded probe selection —
+    * the constant-occupancy growth rule's missing half (round 8).
+    * Constant occupancy makes CANDIDATE PAIRS linear in N, but a flat
+    * quantizer still pays N·K distance evals in Lloyd training and in
+    * probe selection — quadratic in N once K ~ N/c, and the first
+    * round-8 probe measured the consequence (x41 wall 4.9× at 10× with
+    * linear candidates: assignment had become the curve). The published
+    * coarse-quantizer posture (FAISS's IVF coarse level / IMI) caps it:
+    * cluster the corpus into S = ⌈√K⌉ super-cells, train an independent
+    * sub-quantizer of ⌈K/S⌉ cells INSIDE each super-cell (a keyed join
+    * on the super — a vector only ever meets its own super's
+    * centroids), and probe super-cells first. Every stage — super
+    * training, super assignment, sub training, probe selection — is
+    * O(N·√K) evals instead of O(N·K). Depth 2 is the composition step:
+    * a depth-d hierarchy costs N·d·K^(1/d), the tree-structured limit
+    * real ANN indexes ride; deeper levels are this same construction
+    * applied to the super table.
+    *
+    * Output contract is [[topNCells]]'s: (vec_id, r, cell) with
+    * r = 1..n ordered by (dist, cell) over the centroids of the
+    * vector's `superProbe` nearest super-cells; cell ids are
+    * sup·subK + sub — opaque ints to every consumer. Approximate BY
+    * DESIGN: a true nearest cell living in an unprobed super is missed
+    * (SemDedupSpec pins dup-recall vs the flat quantizer at equal K).
+    * Deterministic end-to-end: md5-rank seeds at both levels, packed
+    * integer argmins everywhere. */
+  private[graft] def hierTopNCells(vq: DataFrame, k: Int, n: Int,
+      lloydIters: Int = LloydIters, superProbe: Int = 2): DataFrame = {
+    import vq.sparkSession.implicits._
+    val s = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val subK = math.max(1, math.ceil(k.toDouble / s).toInt)
+    def bitsFor(m: Int): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m - 1, 1).toLong))
+    val sBits = bitsFor(s)
+    val gBits = bitsFor(s * subK) // global id = sup·subK + sub < s·subK
+    requireCellBits(sBits); requireCellBits(gBits)
+    // Level 1: S super-cells by the shared deterministic Lloyd chain.
+    val supers = refinedCentroids(vq, lloydIters, s, sBits).localCheckpoint()
+    val vqs = vq.join(
+      assignCells(vq, supers, sBits).withColumnRenamed("cell", "sup"), "vec_id")
+      .localCheckpoint() // feeds every sub-training and probe pass below
+    // Level 2: per-super md5-rank seeds (the flat seed rule, windowed by
+    // super), then Lloyd where assignment joins each vector to its OWN
+    // super's centroids only.
+    val w = Window.partitionBy(col("sup")).orderBy(col("h"), col("vec_id"))
+    val seeds = vqs.withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("sub", row_number().over(w) - 1)
+      .filter(col("sub") < subK)
+      .select((col("sup") * subK + col("sub")).cast("int").as("cell"), col("q"))
+    def withSup(cents: DataFrame): DataFrame =
+      cents.select(col("cell"), col("q").as("cq"),
+        (col("cell") / lit(subK)).cast("int").as("sup"))
+    val packed = shiftleft(sqDist(col("q"), col("cq")), gBits)
+      .bitwiseOR(col("cell").cast("long"))
+    def assignWithin(cents: DataFrame): DataFrame =
+      vqs.join(broadcast(withSup(cents)), "sup")
+        .groupBy(col("vec_id"))
+        .agg(min(packed).as("m"))
+        .select(col("vec_id"),
+          col("m").bitwiseAND(lit((1L << gBits) - 1)).cast("int").as("cell"))
+    val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
+      meanByCell(vqs.join(assignWithin(c), "vec_id"))
+    }.localCheckpoint()
+    // Probe selection: top-superProbe supers per vector, then the
+    // bounded top-n pick over ONLY the probed supers' centroids.
+    val probedSup = topNCells(vq, supers, superProbe, sBits)
+      .select(col("vec_id"), col("cell").as("sup"))
+    probedSup.join(vqs.select(col("vec_id"), col("q")), "vec_id")
+      .join(broadcast(withSup(cents)), "sup")
+      .select(col("vec_id").cast("long").as("vec_id"), packed.as("p"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new BoundedMinN(n).toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).as("r"),
+        col("col").bitwiseAND(lit((1L << gBits) - 1)).cast("int").as("cell"))
+  }
+
   /** Element-wise floor-mean of int64 vectors — typed `Aggregator`
     * (SURVEY.md §2.8's custom-aggregation extension point). Integer
     * buffer sums commute, so the output is independent of partition

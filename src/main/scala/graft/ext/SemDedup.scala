@@ -36,11 +36,14 @@ import org.apache.spark.sql.functions._
   * grew ~N^1.5 — measured 4.1× wall at 10× vectors, the worst curve on
   * the board. What constant occupancy costs instead: the centroid
   * table grows as N/c (broadcast of K×dim longs — fine to K ~ 10⁵–10⁶),
-  * and brute-force assignment is N·K = N²/c distance evals — map-only
-  * broadcast work with zero shuffle, but at 10⁹ vectors the standard
-  * move is a hierarchical coarse quantizer (assign to √K superclusters,
-  * then within: N·2√K evals), which changes only the assignment pass,
-  * not this pipeline's shape.
+  * and FLAT training/probing is N·K = N²/c distance evals — which the
+  * first round-8 probe measured as the new curve (4.9× at 10× with
+  * linear candidates). So above [[HierThreshold]] the pipeline rides
+  * the two-level coarse quantizer ([[Ivf.hierTopNCells]]): every
+  * training and probing stage is O(N·√K) evals, the FAISS-coarse-level
+  * posture, and the only approximation is that a nearest cell in an
+  * unprobed super-cell is missed (dup-recall vs flat pinned in
+  * SemDedupSpec).
   *
   * Scale shape (100 TB): quantize + probe are map-ish passes against a
   * broadcast centroid table; the top-NProbe pick is a BOUNDED typed
@@ -137,11 +140,28 @@ object SemDedup {
     * parameterized on the quantizer size: the registered query binds the
     * oracle-pinned constants; the scale probe passes the constant-
     * occupancy [[cellsFor]] (with [[cellBitsFor]] sizing the pack). */
+  /** Above this K the pipeline switches from the flat quantizer (the
+    * oracle-replayed path the registered K=10 query and x12 ride) to
+    * the two-level hierarchy ([[Ivf.hierTopNCells]]): flat training +
+    * probing is N·K evals — quadratic once K ~ N/c — while below the
+    * threshold the hierarchy's extra passes cost more than they save. */
+  val HierThreshold = 32
+
   private[graft] def pipeline(e: org.apache.spark.sql.DataFrame,
       k: Int = Ivf.K, cellBits: Int = Ivf.CellBits,
       nProbe: Int = NProbe): org.apache.spark.sql.DataFrame = {
+    val probed =
+      if (k <= HierThreshold) probeTable(e, k, cellBits, nProbe)
+      else Ivf.hierTopNCells(Ivf.quantized(e), k, nProbe).localCheckpoint()
+    pipelineFrom(e, probed)
+  }
+
+  /** The prune stages downstream of probe selection — shared by both
+    * quantizer paths (and called directly by SemDedupSpec to compare
+    * them at equal K). */
+  private[graft] def pipelineFrom(e: org.apache.spark.sql.DataFrame,
+      probed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     CosineSimilarity.register(e.sparkSession)
-    val probed = probeTable(e, k, cellBits, nProbe)
     // Home cell = the first probe — identical to x12's packed argmin
     // (min dist, ties to the lower cell).
     val cells = probed.filter(col("r") === 1).select(col("vec_id"), col("cell"))

@@ -342,7 +342,9 @@ object AggView {
       // zero rows and would keep its stale file. Delete those explicitly.
       val present = merged.select(col("b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      merged.write.partitionBy("b").mode("overwrite")
+      merged.repartition(col("b")) // one file per touched bucket — keeps the view's
+        // total file count at O(buckets) so later root listings don't grow
+        .write.partitionBy("b").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(viewDir)
       val fs = new org.apache.hadoop.fs.Path(viewDir)
@@ -359,7 +361,7 @@ object AggView {
           .withColumn(s"min_$m", col(s"ins_min_$m"))
           .drop(s"ins_max_$m", s"ins_min_$m", s"rm_max_$m", s"rm_min_$m")
       }
-      init.write.partitionBy("b").mode("overwrite").parquet(viewDir)
+      init.repartition(col("b")).write.partitionBy("b").mode("overwrite").parquet(viewDir)
       Cdc.writeBucketsFile(spark, viewDir, numBuckets)
     } else if (minMaxCols.isEmpty) {
       val withB = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))

@@ -107,6 +107,7 @@ object BlockDedupFeed {
       .filter(col("bf") && col("owner").isNull)
       .select(col("bh"), col("p").as("owner"))
       .withColumn("b", bucketCol(n))
+      .repartition(col("b")) // one file per touched bucket per batch, not tasks × buckets
       .write.partitionBy("b").mode("append").parquet(indexDir)
     Rewrite.reassemble(flagged.select(col("doc_id"), col("blk"), col("btxt"), col("keep")))
   }

@@ -115,7 +115,10 @@ object Cdc {
     val newest = Etl.dedupFirst(batch, keys, Seq(col(orderCol).desc))
       .withColumn("b", bucketCol(keys, n))
     if (pinned == 0) {
-      newest.write.partitionBy("b").mode("overwrite").parquet(storeDir)
+      newest.repartition(col("b")) // one file per bucket: store file count stays = bucket
+        // count, so the root listing every later merge pays is O(buckets), not
+        // O(buckets × writer-tasks) growing with history
+        .write.partitionBy("b").mode("overwrite").parquet(storeDir)
       writeBucketsFile(spark, storeDir, n)
     } else {
       val touched = batch.select(bucketCol(keys, n)).distinct()
@@ -127,7 +130,8 @@ object Cdc {
           .unionByName(newest.withColumn("__src", lit(1))),
         keys, Seq(col(orderCol).desc, col("__src").desc))
         .drop("__src")
-      merged.write.partitionBy("b").mode("overwrite")
+      merged.repartition(col("b")) // one file per touched bucket (see creation note)
+        .write.partitionBy("b").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(storeDir)
     }

@@ -17,15 +17,16 @@ class SemDedupSpec extends SparkSuite {
 
   /** Exact global near-dup "has a lower-id mate within τ" relation —
     * the all-pairs ground truth x41's cell-bounded prune approximates. */
-  private lazy val globalPrunable: Set[Long] = {
+  private def globalPrunableAt(dir: String): Set[Long] = {
     CosineSimilarity.register(spark)
-    val v = Tables.embeddings(spark, sf)
+    val v = Tables.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vd"))
     v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", CosineSimilarity.cosineSim($"a.vd", $"b.vd"))
       .filter($"cos" >= SemDedup.Tau)
       .select($"b.vec_id").distinct().as[Long].collect().toSet
   }
+  private lazy val globalPrunable: Set[Long] = globalPrunableAt(sf)
 
   test("x41 soundness: every pruned vector has a lower-id mate within tau globally") {
     val pruned = x41.filter(!$"kept").select($"vec_id").as[Long].collect().toSet
@@ -77,6 +78,48 @@ class SemDedupSpec extends SparkSuite {
       assert(vsLinear <= 2.0,
         s"candidate pairs superlinear at factor $f: $vsLinear x the linear prediction")
     }
+  }
+
+  test("hierarchical quantizer at large K: bounded probes, deterministic, dup-recall vs flat") {
+    // The two-level coarse quantizer (round 8) is what keeps constant-
+    // occupancy SemDeDup sub-quadratic: flat training+probing is N·K
+    // evals, the hierarchy's every stage is N·√K. Its one approximation:
+    // a nearest cell in an unprobed super-cell is missed. Pin the cost
+    // of that approximation where it shows — the set of vectors the
+    // prune REMOVES — at the 10×-probe configuration (2,000 vectors,
+    // K=100 ≫ HierThreshold).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val k = 100
+    val probed = ext.Ivf.hierTopNCells(ext.Ivf.quantized(e), k, SemDedup.NProbe)
+      .localCheckpoint()
+    // shape: ≤ NProbe probes per vector, ranks dense from 1
+    val badShape = probed.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"), max($"r").as("mr"))
+      .filter($"n" > SemDedup.NProbe || $"mr" =!= $"n").count()
+    assert(badShape == 0, "probe table shape violated (dup ranks or > NProbe rows)")
+    // determinism: md5 seeds + integer packed argmins at both levels
+    val again = ext.Ivf.hierTopNCells(ext.Ivf.quantized(e), k, SemDedup.NProbe)
+    assert(probed.exceptAll(again).isEmpty && again.exceptAll(probed).isEmpty,
+      "hierTopNCells is not deterministic")
+    // behavior: the hier pipeline's removed set vs the flat quantizer's
+    // at the SAME K — the hierarchy may only cheapen the index, not
+    // change what the prune sees
+    val flat = SemDedup.pipelineFrom(e,
+      SemDedup.probeTable(e, k, SemDedup.cellBitsFor(k), SemDedup.NProbe))
+      .filter(!$"kept").select($"vec_id").as[Long].collect().toSet
+    val hier = SemDedup.pipelineFrom(e, probed)
+      .filter(!$"kept").select($"vec_id").as[Long].collect().toSet
+    assert(flat.nonEmpty, "flat baseline pruned nothing — test corpus degenerate")
+    val recall = hier.intersect(flat).size.toDouble / flat.size
+    info(f"hier dup-recall vs flat at K=$k: $recall%.2f " +
+      f"(flat removes ${flat.size}, hier removes ${hier.size})")
+    assert(recall >= 0.8, f"hier quantizer loses too many dups: recall $recall%.2f < 0.8")
+    // soundness is structural: pipelineFrom verifies every candidate
+    // with the exact cosine, so hier can only UNDER-remove, never
+    // remove a non-dup
+    val globallyClose = globalPrunableAt("/root/testdata/sf0.1")
+    assert((hier -- globallyClose).isEmpty,
+      "hier pruned a vector with no close lower-id mate anywhere")
   }
 
   test("x42 certifies exact duplicates as fully covered") {

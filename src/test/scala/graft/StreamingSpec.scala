@@ -75,6 +75,13 @@ class StreamingSpec extends SparkSuite {
     untouchedBefore.foreach { case (p, st) =>
       assert(after.get(p).contains(st), s"untouched bucket file changed: $p ($touchedDir)")
     }
+    // one file per bucket dir (round 8): every write repartitions on b
+    // before partitionBy, so the store's TOTAL file count stays at the
+    // bucket count — the root listing every later merge pays is
+    // O(buckets), not O(buckets × writer-tasks) growing with history
+    after.keys.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
+      case (d, fs) => assert(fs.size == 1, s"bucket dir $d has ${fs.size} files; expected 1")
+    }
   }
 
   /** Mirror of Cdc's bucket hash for the single-long-key test store. */

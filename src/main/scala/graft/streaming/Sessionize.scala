@@ -125,12 +125,14 @@ object Sessionize {
     * aggregation — the declarative form of x13's cumsum (and of the
     * streaming flatMapGroupsWithState): one groupBy, no window-function
     * pass, and in streaming mode the state store merges sessions for
-    * free. Boundary semantics differ from x13 at exactly-gap spacing
-    * (session windows are [start, end): an event landing ON the previous
-    * session's end starts a NEW session, where x13's `> gap` test keeps
-    * it), so the oracle mirrors session_window's `>=` rule rather than
-    * reusing x13's. end_us = last event + gap, per the operator's
-    * window-end definition. */
+    * free. Session MEMBERSHIP is exactly x13's `> gap` rule: session
+    * windows are [start, last+gap) and an event landing exactly ON the
+    * previous session's end MERGES into it (touching windows merge —
+    * verified against the operator in SessionBoundarySpec; an earlier
+    * `>=`-splits reading was wrong, and testdata's random µs spacing
+    * could never expose it). The two queries differ only in the
+    * reported end: end_us here = last event + gap, per the operator's
+    * window-end definition, vs x13's last event. */
   val sessionWindowBatch = Q.withOracle(
     "x13b_session_window",
     "gap sessions via native session_window aggregation",
@@ -138,7 +140,7 @@ object Sessionize {
        |  SELECT user_id, epoch_us(ts) AS tus, value,
        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
        |         WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-       |           >= ${SessionGapSec * 1000000L} THEN 1
+       |           > ${SessionGapSec * 1000000L} THEN 1
        |         ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),

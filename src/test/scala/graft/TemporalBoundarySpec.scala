@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adversarial boundary inputs for the temporal family (round 10, the
+  * SessionBoundarySpec lesson generalized): testdata's random µs spacing
+  * never lands two events on the exact boundary an operator's comparison
+  * rule turns on, so the DuckDB oracles alone can't falsify an off-by-one
+  * there. Each test drives the REGISTERED query (through the Tables
+  * loader and a written parquet dir, same as Verify) on inputs where
+  * every inclusive/exclusive edge is occupied, and pins the row that
+  * distinguishes <= from <, >= from >, and the window-edge membership.
+  */
+class TemporalBoundarySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T0 = 1700000000000000L // µs
+  private val HourUs = 3600L * 1000000L
+
+  /** (event_id, ts_us, user_id, event_type, value).
+    * user 1: views v1@T0, v2@T0+10s; purchases p1@T0+10s (TIE with v2),
+    *   p2@T0+20s; v3@T0+30s (after both purchases).
+    * user 2: purchase p3 with no views at all.
+    * user 3: purchase p4@T0+7230s (not hour-aligned) with views at the
+    *   four window edges — exactly −1h (in), −1h−1µs (out), exactly p4
+    *   (in), +1µs (out) — plus one mid-window; purchase p5 far away with
+    *   zero views inside its window. */
+  private val rows: Seq[(Long, Long, Long, String, Double)] = {
+    val p4 = T0 + 7230L * 1000000L
+    Seq(
+      (1L, T0, 1L, "view", 1.0),
+      (2L, T0 + 10L * 1000000L, 1L, "view", 2.0),
+      (3L, T0 + 10L * 1000000L, 1L, "purchase", 100.0),
+      (4L, T0 + 20L * 1000000L, 1L, "purchase", 100.0),
+      (5L, T0 + 30L * 1000000L, 1L, "view", 3.0),
+      (6L, T0, 2L, "purchase", 100.0),
+      (10L, p4 - HourUs, 3L, "view", 4.0),
+      (11L, p4 - HourUs - 1L, 3L, "view", 5.0),
+      (12L, p4, 3L, "view", 6.0),
+      (13L, p4 + 1L, 3L, "view", 7.0),
+      (14L, p4 - 1800L * 1000000L, 3L, "view", 8.0),
+      (15L, p4, 3L, "purchase", 100.0),
+      (16L, p4 + 100000L * 1000000L, 3L, "purchase", 100.0)
+    )
+  }
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("temporal-edge").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  /** Brute-force reference: purchases × views with an explicit predicate,
+    * reduced per purchase by min/max over (v_tus, v_eid) — the packed
+    * order both registered plans' tie-break documents. */
+  private def brute(forward: Boolean): Seq[(Long, Long, Long, Option[Long], Option[Double])] = {
+    val ev = rows.map { case (id, us, u, t, v) => (id, us, u, t, v) }
+    val purchases = ev.filter(_._4 == "purchase")
+    val views = ev.filter(_._4 == "view")
+    purchases.map { p =>
+      val matching = views.filter(v => v._3 == p._3 &&
+        (if (forward) v._2 >= p._2 else v._2 <= p._2))
+      val pick =
+        if (matching.isEmpty) None
+        else if (forward) Some(matching.minBy(v => (v._2, v._1)))
+        else Some(matching.maxBy(v => (v._2, v._1)))
+      (p._1, p._3, p._2, pick.map(_._2), pick.map(_._5))
+    }.sortBy(_._1)
+  }
+
+  private def collected(name: String): Seq[(Long, Long, Long, Option[Long], Option[Double])] =
+    q(name)
+      .select($"event_id", $"user_id", $"purchase_tus", $"view_tus", $"view_value")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSeq.sortBy(_._1)
+
+  test("x15 as-of: tie at equal timestamp attributes (<= is inclusive); no-view purchase is NULL") {
+    val got = collected("x15_asof_join")
+    assert(got === brute(forward = false))
+    // p1 ties with v2 at the same microsecond → attributed to v2, not v1
+    assert(got.find(_._1 == 3L).get._4 === Some(T0 + 10L * 1000000L))
+    // user 2 has no views → LEFT row with NULL attribution survives
+    assert(got.find(_._1 == 6L).get._4 === None)
+    // v3 is 10s AFTER p2 → must NOT be picked backward
+    assert(got.find(_._1 == 4L).get._4 === Some(T0 + 10L * 1000000L))
+  }
+
+  test("x15b forward as-of: >= is inclusive at the tie; picks earliest follower") {
+    val got = collected("x15b_asof_forward")
+    assert(got === brute(forward = true))
+    // p1's earliest at-or-after view is v2 at the SAME microsecond
+    assert(got.find(_._1 == 3L).get._4 === Some(T0 + 10L * 1000000L))
+    // p2's earliest follower is v3
+    assert(got.find(_._1 == 4L).get._4 === Some(T0 + 30L * 1000000L))
+    // user 2: no views at all → NULL
+    assert(got.find(_._1 == 6L).get._4 === None)
+  }
+
+  test("x20 interval count: both window edges inclusive, ±1µs excluded, bucket seam covered") {
+    val got = q("x20_interval_count")
+      .select($"event_id", $"n_views_1h")
+      .as[(Long, Long)].collect().toMap
+    // p4's window [p4-1h, p4]: edge views 10 (exactly -1h) and 12
+    // (exactly p4) are IN, 11 (-1h-1µs) and 13 (+1µs) are OUT, 14 is in
+    assert(got(15L) === 3L)
+    // p5: user 3 has views, but none within its window → 0, row kept
+    assert(got(16L) === 0L)
+    // user 2's no-view purchase also keeps its LEFT row at 0
+    assert(got(6L) === 0L)
+    // user 1: p1 sees v1,v2 (tie in); p2 sees v1,v2
+    assert(got(3L) === 2L && got(4L) === 2L)
+    // oracle SQL agrees on this adversarial input (BETWEEN is inclusive
+    // on both ends, COUNT(v.tus) keeps the empty-window rows)
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    try {
+      val viaSql = spark.sql(
+        SparkEntry.oracleSql("x20_interval_count").replace("epoch_us(ts)", "unix_micros(ts)"))
+        .select($"event_id", $"n_views_1h").as[(Long, Long)].collect().toMap
+      assert(viaSql === got)
+    } finally spark.catalog.dropTempView("events")
+  }
+}

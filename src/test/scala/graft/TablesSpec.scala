@@ -105,4 +105,29 @@ class TablesSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
     assert(e.getMessage.contains("events"))
   }
+
+  test("within-class drift flows through: int32 keys, float value, double embedding elements") {
+    val dir = tmp()
+    Seq((1, 2, "view", 1.5f)).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(T0ish)))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.events(spark, dir).count() === 1)
+    Seq((1, Array(0.5d, 1.0d), 3)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Tables.embeddings(spark, dir).count() === 1)
+  }
+
+  test("cross-class drift fails loud naming table, column, and arrived type") {
+    val dir = tmp()
+    Seq((1L, "oops", 2L)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir))
+    assert(e.getMessage.contains("embeddings.embedding") && e.getMessage.contains("StringType"))
+    Seq((1L, "abc")).toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e2 = intercept[IllegalStateException](Tables.documents(spark, dir))
+    assert(e2.getMessage.contains("documents.n_chars"))
+  }
+
+  private val T0ish = 1700000000000000L
 }

@@ -128,4 +128,32 @@ class SessionBoundarySpec extends SparkSuite {
     // LAST EVENT as end, not last + gap).
     assert(fromLtz.contains((3L, T0, T0, 1L)))
   }
+
+  test("NATIVE session_window in streaming mode emits the same closed sessions as batch x13b") {
+    val dir = writeEvents(ntz = true) // the encoding the driver now ships
+    val q = WeeklyFeed.readFeed(spark, s"$dir/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id",
+        session_window($"ts", s"${Sessionize.SessionGapSec} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"), $"n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sb_native_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sb_native_stream")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = SparkEntry.queries("x13b_session_window")(spark, dir)
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // append mode emits only watermark-closed sessions: every streamed
+    // session is a batch session (same merge rule, including user 1's
+    // exactly-gap merge), and only the sentinel's own session may stay open
+    assert(streamed.nonEmpty)
+    assert((streamed.toSet -- batch.toSet).isEmpty,
+      s"streaming emitted sessions batch doesn't have: ${streamed.toSet -- batch.toSet}")
+    assert(batch.size - streamed.size <= 1, s"unclosed=${batch.size - streamed.size}")
+  }
 }

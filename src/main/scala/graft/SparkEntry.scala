@@ -23,6 +23,7 @@ object SparkEntry {
       ext.Rewrite.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++
+      ext.Pq.all ++
       ext.SemDedup.all ++
       ext.TextStats.all ++
       ext.Multimodal.all ++

@@ -1,0 +1,264 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the at-scale companion to x12's IVF
+  * and x31's int8 quantization: compress each [[Dim]]-dim vector to
+  * [[M]] small codes (one per subspace) against per-subspace codebooks,
+  * then answer top-k by ASYMMETRIC distance — the query stays exact,
+  * each neighbor contributes only its codes, and the per-query lookup
+  * table turns the scan into an integer add per (neighbor, subspace).
+  * This is the memory posture real billion-vector indexes ride (PQ /
+  * IVF-PQ à la FAISS: codes are M bytes per vector instead of 4·Dim;
+  * reference scope: the engine's ANN family, SURVEY.md §2 extensions).
+  *
+  * Spark shape, designed for the 100 TB read:
+  *  - codebook training is the SAME deterministic integer Lloyd loop as
+  *    x12 (md5-rank seeds, packed-long argmin, floor-mean re-center),
+  *    keyed by subspace: one shuffle per pass over (vec_id, sub) rows,
+  *    assignment joins each subvector ONLY to its own subspace's
+  *    [[Codes]] centroids via a broadcast — never vector × vector.
+  *  - the code table (N × [[M]] ints) is the only per-vector state the
+  *    query path touches; the per-query LUT (NumQueries × M × Codes
+  *    rows) broadcasts, so the ADC scan is one map-side join + one
+  *    keyed sum — linear in N, no shuffle of raw vectors.
+  *  - everything is fixed-point integer arithmetic end-to-end (the
+  *    [[Ivf.Scale]] grid), so ADC distances are exact BIGINTs and the
+  *    DuckDB oracle replays training, encoding, and ranking bit-for-bit.
+  */
+object Pq {
+
+  /** Subspaces (Dim/M dims each). */
+  val M = 8
+  val SubDim: Int = Ivf.Dim / M
+  /** Codes per subspace codebook (fits CodeBits). */
+  val Codes = 16
+  private val CodeBits = 4
+  private val NumQueries = 5
+  private val TopK = 10
+  /** ADC shortlist size before the exact re-rank — PQ's recall knob
+    * (FAISS's refine/`k_factor`): the coarse integer distance only has
+    * to land the true neighbors in its top-[[ReRank]]; the exact cosine
+    * pass then orders them. Per query the refine touches ReRank rows,
+    * not N. */
+  val ReRank = 50
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, sub, sq): each quantized vector split into M subvectors. */
+  private def subvectors(vq: DataFrame): DataFrame =
+    vq.select(col("vec_id"),
+      explode(sequence(lit(0), lit(M - 1))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("q"), col("sub") * SubDim + 1, lit(SubDim)).as("sq"))
+
+  /** Per-subspace seed codebook: the subvectors of the [[Codes]]
+    * lowest-md5 vectors (x12's seed rule, applied once and shared by
+    * every subspace). */
+  private def seedCodebook(vq: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("h"), col("vec_id")) // bounded: Codes rows
+    val seedIds = vq.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(Codes)
+      .select(col("vec_id"), (row_number().over(w) - 1).as("code"))
+    vq.join(seedIds, "vec_id")
+      .select(col("code"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("q"))
+      .select(col("sub"), col("code"),
+        slice(col("q"), col("sub") * SubDim + 1, lit(SubDim)).as("cq"))
+  }
+
+  /** Nearest-code assignment per (vector, subspace): packed-long argmin
+    * against the vector's OWN subspace's centroids (broadcast keyed
+    * join — the [[Ivf.hierTopNCells]] level-2 posture). */
+  private def assignCodes(subv: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = shiftleft(sqDist(col("sq"), col("cq")), CodeBits)
+      .bitwiseOR(col("code").cast("long"))
+    subv.join(broadcast(cents), "sub")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(packed).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m").bitwiseAND(lit((1L << CodeBits) - 1)).cast("int").as("code"))
+  }
+
+  /** Floor-mean re-center per (sub, code) — posexplode + per-position
+    * floor(sum/count) + ordered re-assembly, all codegen-friendly
+    * native functions (the double division is exact: |sums| ≤ 2^45). */
+  private def recenter(subv: DataFrame, assigned: DataFrame): DataFrame =
+    subv.join(assigned, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sq")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cq"))
+
+  /** Codebooks after `iters` Lloyd passes, keyed by subspace. */
+  private[graft] def codebooks(vq: DataFrame, iters: Int = Ivf.LloydIters): DataFrame = {
+    val subv = subvectors(vq).localCheckpoint() // feeds every pass below
+    (1 to iters).foldLeft(seedCodebook(vq)) { (c, _) =>
+      recenter(subv, assignCodes(subv, c))
+    }
+  }
+
+  /** Unit-normalize then fixed-point quantize: PQ ranks by L2-ADC, and
+    * on unit vectors L2² = 2 − 2·cos is MONOTONE in cosine — the
+    * standard trick that makes an L2 code index answer cosine queries
+    * (without it, varying norms let short vectors crowd every top-k;
+    * measured recall 0.2 → 0.6 on the testdata embeddings). Plain IEEE
+    * double arithmetic, left-to-right folds — replayed exactly by the
+    * oracle like every cosine in the family. */
+  private[graft] def normalized(e: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val nrm = sqrt(aggregate(d, lit(0.0d), (a, x) => a + x * x))
+    e.select(col("vec_id"), transform(d, x => x / nrm).as("embedding"))
+  }
+
+  /** The full PQ pipeline over an embeddings frame — exposed for the
+    * spec's determinism / recall probes. ADC shortlist (bounded-heap
+    * [[graft.plans.TopKPerKey]] pick, O(ReRank) state per query at any
+    * N — the same custom plan t6 rides) → exact cosine re-rank of the
+    * shortlist only. */
+  private[graft] def pqTopK(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    graft.plans.TopKPerKey.register(s)
+    graft.functions.CosineSimilarity.register(s)
+    val vq = Ivf.quantized(normalized(e))
+    val subv = subvectors(vq).localCheckpoint() // read by train + encode + LUT
+    val cents = (1 to Ivf.LloydIters).foldLeft(seedCodebook(vq)) { (c, _) =>
+      recenter(subv, assignCodes(subv, c))
+    }.localCheckpoint() // M × Codes rows: read by encode and LUT
+    val codes = assignCodes(subv, cents)
+    val lut = subv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
+      .join(cents, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDist(col("sq"), col("cq")).as("d"))
+    val adc = codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc"))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = ReRank)
+    // exact re-rank on the raw vectors — cosine is norm-invariant, so
+    // the refine reads the ORIGINAL embeddings like x5/x12
+    val vd = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(vd.select(col("vec_id").as("neighbor_id"), col("vd").as("nv")), "neighbor_id")
+      .join(broadcast(vd.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("vd").as("qv"))), "query_id")
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- DuckDB oracle: the same integer pipeline in SQL ----------------
+
+  private def sqd(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $SubDim), i -> ($a[i]-$b[i])*($a[i]-$b[i]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  private def assignSql(name: String, cents: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT v.vec_id, v.sub,
+       |    CAST(min(${sqd("v.sq", "c.cq")} * $Codes + c.code) % $Codes AS INT) AS code
+       |  FROM subv v JOIN $cents c ON v.sub = c.sub GROUP BY v.vec_id, v.sub)""".stripMargin
+
+  private def recenterSql(name: String, asg: String): String =
+    s"""${name}_sums AS MATERIALIZED (
+       |  SELECT a.sub, a.code, t.i, SUM(v.sq[t.i]) AS s, COUNT(*) AS cnt
+       |  FROM $asg a JOIN subv v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |  CROSS JOIN generate_series(1, $SubDim) t(i)
+       |  GROUP BY a.sub, a.code, t.i),
+       |$name AS MATERIALIZED (
+       |  SELECT sub, code, list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cq
+       |  FROM ${name}_sums GROUP BY sub, code)""".stripMargin
+
+  private def pqOracle: String = {
+    val steps = (0 until Ivf.LloydIters).map { i =>
+      val cents = if (i == 0) "seeds" else s"c$i"
+      s"${assignSql(s"a$i", cents)},\n${recenterSql(s"c${i + 1}", s"a$i")}"
+    }
+    val finalCents = if (Ivf.LloydIters == 0) "seeds" else s"c${Ivf.LloydIters}"
+    s"""WITH en AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |        (a, x) -> a + x))) AS ne
+       |  FROM embeddings),
+       |vq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(ne,
+       |      x -> CAST(floor(x * ${Ivf.Scale}) AS BIGINT)) AS q
+       |  FROM en),
+       |subv AS MATERIALIZED (
+       |  SELECT vec_id, t.s AS sub,
+       |    list_slice(q, t.s * $SubDim + 1, t.s * $SubDim + $SubDim) AS sq
+       |  FROM vq CROSS JOIN generate_series(0, ${M - 1}) t(s)),
+       |seedv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+       |  FROM vq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Codes),
+       |seeds AS MATERIALIZED (
+       |  SELECT v.sub, s.code, v.sq AS cq FROM seedv s JOIN subv v USING (vec_id)),
+       |${steps.map(_ + ",\n").mkString}${assignSql("codes", finalCents)},
+       |lut AS MATERIALIZED (
+       |  SELECT v.vec_id AS query_id, c.sub, c.code, ${sqd("v.sq", "c.cq")} AS d
+       |  FROM subv v JOIN $finalCents c ON v.sub = c.sub
+       |  WHERE v.vec_id < $NumQueries),
+       |adc AS MATERIALIZED (
+       |  SELECT l.query_id, n.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+       |  FROM codes n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |shortlist AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS r
+       |    FROM adc)
+       |  WHERE r <= $ReRank),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x) / (q.nrm * n.nrm) AS cos
+       |  FROM shortlist c
+       |  JOIN v q ON q.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** x50: PQ ANN — per-subspace integer codebooks (md5 seeds +
+    * [[Ivf.LloydIters]] Lloyd passes), M-code encoding, ADC
+    * top-[[ReRank]] shortlist, exact cosine re-rank to top-[[TopK]]
+    * for the first [[NumQueries]] vectors. Full DuckDB oracle
+    * (training + encoding + shortlist + refine replayed exactly). */
+  val pqAnn = Q.withOracle(
+    "x50_pq_ann_topk",
+    s"PQ($M×$Codes codes, ADC shortlist $ReRank, exact refine) approximate top-$TopK",
+    pqOracle)((s, dir) => pqTopK(Tables.embeddings(s, dir)))
+
+  val all: Seq[Q] = Seq(pqAnn)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** x50 product quantization — structure, determinism, and usefulness.
+  * Oracle-exactness (training + encoding + ADC ranking replayed in
+  * DuckDB) is carried by the CORRECTNESS row; these pin what the oracle
+  * can't: partitioning-independence and recall against the exact scan.
+  */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+
+  test("every vector encodes to exactly M codes, each inside the codebook") {
+    val vq = ext.Ivf.quantized(e)
+    val out = ext.Pq.pqTopK(e) // forces the full pipeline once
+    assert(out.count() > 0)
+    val cents = ext.Pq.codebooks(vq)
+    // M codebooks of ≤ Codes entries each, SubDim-wide centroids
+    val perSub = cents.groupBy($"sub").count().as[(Int, Long)].collect().toMap
+    assert(perSub.keySet === (0 until ext.Pq.M).toSet)
+    assert(perSub.values.forall(_ <= ext.Pq.Codes))
+    assert(cents.select(size($"cq")).distinct().as[Int].collect().toSeq === Seq(ext.Pq.SubDim))
+  }
+
+  test("PQ top-k is invariant under input repartitioning (packed argmin, floor-mean)") {
+    val a = ext.Pq.pqTopK(e).collect().toSeq
+    val b = ext.Pq.pqTopK(e.repartition(7, $"vec_id")).collect().toSeq
+    assert(a === b)
+  }
+
+  test("ADC recall: PQ top-10 finds most of the exact cosine top-5 per query") {
+    val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .filter($"query_id" < 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = ext.Pq.pqTopK(e)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"recall@${ext.Pq.ReRank}-refine = $recall%.3f")
+    // the ADC shortlist only has to LAND the true neighbors in its
+    // top-ReRank; the exact refine orders them — floor pinned just
+    // under the measured 0.68, in family with x12's 0.6 pin
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}

@@ -126,4 +126,27 @@ class TemporalBoundarySpec extends SparkSuite {
       assert(viaSql === got)
     } finally spark.catalog.dropTempView("events")
   }
+
+  test("w5 trailing-30d RANGE window: exactly-30-days is IN, 31 is OUT, same-day orders are peers") {
+    val d = Files.createTempDirectory("w5-edge").toString
+    val base = java.sql.Date.valueOf("1995-01-01")
+    def plus(days: Int): java.sql.Date =
+      java.sql.Date.valueOf(base.toLocalDate.plusDays(days.toLong))
+    // cust 1: day 0 (10), day 30 (20: 0 is exactly 30 back → IN),
+    //         day 61 (40: 30 is 31 back → OUT)
+    // cust 2: two same-day orders (peers must both see both) + day 30+1
+    Seq(
+      (1L, 1L, plus(0), 10.0), (2L, 1L, plus(30), 20.0), (3L, 1L, plus(61), 40.0),
+      (4L, 2L, plus(0), 1.0), (5L, 2L, plus(0), 2.0), (6L, 2L, plus(31), 4.0)
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", $"d".cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = SparkEntry.queries("w5_trailing_30d_spend")(spark, d)
+      .select($"o_orderkey", $"spend_30d")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(
+      1L -> 10.0, 2L -> 30.0, 3L -> 40.0, // exactly-30 in; 31 out
+      4L -> 3.0, 5L -> 3.0,               // same-day peers share the frame
+      6L -> 4.0))                         // 31 days after the peers → out
+  }
 }

@@ -160,7 +160,11 @@ object ScaleProbe {
       // once and checkpoints the shingle + edge tables, so its curve
       // should undercut the sum of its parts (x4 + x16 + x48 re-derive
       // those tables from separate corpus scans)
-      "x49_dedup_pipeline")
+      "x49_dedup_pipeline",
+      // x50: top-k bounded output; the scale claim is the ADC scan -
+      // codes (N x M ints) against a broadcast LUT, shortlist via
+      // bounded heaps, refine touching ReRank rows per query
+      "x50_pq_ann_topk")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -44,6 +44,7 @@ LLM = [
     ("x47_embedding_outliers", "x47 embedding outlier QA", "(linear)"),
     ("x48_near_dup_survivors", "x48 near-dup survivor decision", "(linear: one row/doc)"),
     ("x49_dedup_pipeline", "x49 composed dedup DAG (measure→cluster→remove)", "(linear: one row/doc)"),
+    ("x50_pq_ann_topk", "x50 PQ ANN (ADC shortlist + exact refine)", "(bounded: top-k)"),
 ]
 REL = [
     ("x15_asof_join", "x15 as-of join (events)", "(linear)"),

@@ -122,7 +122,7 @@ object Pq {
     * [[graft.plans.TopKPerKey]] pick, O(ReRank) state per query at any
     * N — the same custom plan t6 rides) → exact cosine re-rank of the
     * shortlist only. */
-  private[graft] def pqTopK(e: DataFrame): DataFrame = {
+  private[graft] def pqTopK(e: DataFrame, reRank: Int = ReRank): DataFrame = {
     val s = e.sparkSession
     graft.plans.TopKPerKey.register(s)
     graft.functions.CosineSimilarity.register(s)
@@ -143,7 +143,7 @@ object Pq {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d")).as("adc"))
     val shortlist = graft.plans.TopKPerKey.topKPerKey(
-      adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = ReRank)
+      adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = reRank)
     // exact re-rank on the raw vectors — cosine is norm-invariant, so
     // the refine reads the ORIGINAL embeddings like x5/x12
     val vd = e.select(col("vec_id"),

@@ -45,4 +45,28 @@ class PqSpec extends SparkSuite {
     // under the measured 0.68, in family with x12's 0.6 pin
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("recall vs ReRank curve: monotone, pinned at the shipped knob, exhaustive at N") {
+    // ReRank is PQ's latency/recall knob (FAISS's k_factor); like
+    // IvfSpec's NProbe curve, the tradeoff is measured, not asserted
+    val exact = SparkEntry.queries("x5_cosine_topk")(spark, sf)
+      .filter($"query_id" < 5).select($"query_id", $"neighbor_id")
+    val n = exact.count().toDouble
+    val corpus = e.count().toInt
+    val rs = Seq(10, ext.Pq.ReRank, corpus)
+    val curve = rs.map { r =>
+      r -> exact.intersect(
+        ext.Pq.pqTopK(e, reRank = r).select($"query_id", $"neighbor_id")).count() / n
+    }
+    info("recall@rerank: " + curve.map { case (r, v) => f"$r -> $v%.3f" }.mkString(", "))
+    curve.sliding(2).foreach {
+      case Seq((r1, v1), (r2, v2)) =>
+        assert(v2 >= v1, s"recall fell as the shortlist widened: $r1 -> $v1, $r2 -> $v2")
+      case _ => ()
+    }
+    assert(curve.toMap.apply(ext.Pq.ReRank) >= 0.6)
+    // a full-corpus shortlist makes the refine an exact scan: the PQ
+    // top-10 must then contain the exact top-5 outright
+    assert(curve.last._2 === 1.0, s"full-corpus shortlist not exhaustive: ${curve.last._2}")
+  }
 }

@@ -151,6 +151,36 @@ object IncProbe {
       emit("aggview_merge", f, sec)
     } }
 
+    // ---- PqIndexFeed: encode increment vs code-store history ----------
+    // History unit = the 2k sf0.1 embeddings, vec_id-shifted per copy.
+    // Timed batch = 100 fresh vectors. The encode stage reads NO history
+    // by construction (frozen-codebook broadcast join over the batch);
+    // the only history touch is the replay anti-join against ≤100
+    // touched buckets — the flattest possible incremental shape.
+    section("pqfeed") { factors.foreach { f =>
+      val store = s"/tmp/graft-inc-pq-$f"
+      deleteDir(spark, store)
+      graft.streaming.PqIndexFeed.init(
+        ScaleProbe.scaledEmbeddings(spark, base, 1), store)
+      (1 until f).foreach { k =>
+        graft.streaming.PqIndexFeed.applyBatch(
+          ScaleProbe.scaledEmbeddings(spark, base, k + 1)
+            .filter(col("vec_id") >= k * 100000000L), store)
+      }
+      def fresh(seed: Long) = spark.range(100).select(
+        (col("id") + 900000000L + seed * 1000L).as("vec_id"),
+        transform(sequence(lit(1), lit(graft.ext.Ivf.Dim)),
+          i => pmod(xxhash64(col("id") * lit(seed), i), lit(1000L)).cast("float") / 500.0f - 1.0f)
+          .as("embedding"))
+      graft.streaming.PqIndexFeed.applyBatch(fresh(1), store)
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        graft.streaming.PqIndexFeed.applyBatch(fresh(2), store)
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit("pqfeed_apply", f, sec)
+    } }
+
     // ---- BPE depth: merge rounds at fixed corpus ----------------------
     // The 10× renamed corpus (≈ 10× vocabulary) gives the pair inventory
     // depth for 256 rounds; per-round cost must stay flat because each

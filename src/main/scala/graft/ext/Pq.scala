@@ -51,7 +51,7 @@ object Pq {
       lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, sub, sq): each quantized vector split into M subvectors. */
-  private def subvectors(vq: DataFrame): DataFrame =
+  private[graft] def subvectors(vq: DataFrame): DataFrame =
     vq.select(col("vec_id"),
       explode(sequence(lit(0), lit(M - 1))).as("sub"), col("q"))
       .select(col("vec_id"), col("sub"),
@@ -74,7 +74,7 @@ object Pq {
   /** Nearest-code assignment per (vector, subspace): packed-long argmin
     * against the vector's OWN subspace's centroids (broadcast keyed
     * join — the [[Ivf.hierTopNCells]] level-2 posture). */
-  private def assignCodes(subv: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCodes(subv: DataFrame, cents: DataFrame): DataFrame = {
     val packed = shiftleft(sqDist(col("sq"), col("cq")), CodeBits)
       .bitwiseOR(col("code").cast("long"))
     subv.join(broadcast(cents), "sub")
@@ -116,6 +116,12 @@ object Pq {
     val nrm = sqrt(aggregate(d, lit(0.0d), (a, x) => a + x * x))
     e.select(col("vec_id"), transform(d, x => x / nrm).as("embedding"))
   }
+
+  /** Encode an embeddings frame against FROZEN codebooks — the
+    * ingestion-path entry point ([[graft.streaming.PqIndexFeed]]): one
+    * broadcast keyed join per batch, no training, no corpus read. */
+  private[graft] def encode(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCodes(subvectors(Ivf.quantized(normalized(e))), cents)
 
   /** The full PQ pipeline over an embeddings frame — exposed for the
     * spec's determinism / recall probes. ADC shortlist (bounded-heap

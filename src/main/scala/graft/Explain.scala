@@ -33,6 +33,7 @@ object Explain {
     "x30_curation_pipeline" -> "end-to-end curation DAG: dedup agg + fused map filters -> packing scan",
     "x6_ann_lsh_topk" -> "native sign_buckets map-only bucketing, broadcast multi-probe, verify on candidates only",
     "x50_pq_ann_topk" -> "PQ: keyed-subspace codebook train, broadcast-LUT ADC scan, bounded-heap shortlist, exact refine on ReRank rows",
+    "x51_ivfpq_ann_topk" -> "IVF-PQ: coarse cells route the ADC scan to the probed population; probing all cells reproduces x50",
     "hr8_utilization_by_state" -> "reference report surface: derived store -> broadcast dim chain -> decimal-exact grouped ratios",
     "x33_bm25_topk" -> "filter-first broadcast of query terms; ordered-fold scoring; bounded-heap top-k",
     "x34_rrf_fusion" -> "two bounded TopKPerKey pools -> tiny ranked join -> bounded final heap; no full-rank window",

@@ -24,6 +24,7 @@ object SparkEntry {
       ext.Similarity.all ++
       ext.Ivf.all ++
       ext.Pq.all ++
+      ext.IvfPq.all ++
       ext.SemDedup.all ++
       ext.TextStats.all ++
       ext.Multimodal.all ++

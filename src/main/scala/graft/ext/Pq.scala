@@ -37,8 +37,8 @@ object Pq {
   /** Codes per subspace codebook (fits CodeBits). */
   val Codes = 16
   private val CodeBits = 4
-  private val NumQueries = 5
-  private val TopK = 10
+  private[graft] val NumQueries = 5
+  private[graft] val TopK = 10
   /** ADC shortlist size before the exact re-rank — PQ's recall knob
     * (FAISS's refine/`k_factor`): the coarse integer distance only has
     * to land the true neighbors in its top-[[ReRank]]; the exact cosine
@@ -46,7 +46,7 @@ object Pq {
     * not N. */
   val ReRank = 50
 
-  private def sqDist(a: Column, b: Column): Column =
+  private[graft] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
@@ -189,13 +189,17 @@ object Pq {
        |  SELECT sub, code, list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cq
        |  FROM ${name}_sums GROUP BY sub, code)""".stripMargin
 
-  private def pqOracle: String = {
+  /** CTE prefix replaying normalize → fixed-point quantize → subspace
+    * split → per-subspace Lloyd → encode. Ends with table `codes`
+    * (vec_id, sub, code); also defines `en`/`vq`/`subv`. Shared with
+    * the IVF-PQ composition ([[IvfPq]]). */
+  private[graft] def pqChainCtes: String = {
     val steps = (0 until Ivf.LloydIters).map { i =>
       val cents = if (i == 0) "seeds" else s"c$i"
       s"${assignSql(s"a$i", cents)},\n${recenterSql(s"c${i + 1}", s"a$i")}"
     }
     val finalCents = if (Ivf.LloydIters == 0) "seeds" else s"c${Ivf.LloydIters}"
-    s"""WITH en AS MATERIALIZED (
+    s"""en AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -221,13 +225,14 @@ object Pq {
        |lut AS MATERIALIZED (
        |  SELECT v.vec_id AS query_id, c.sub, c.code, ${sqd("v.sq", "c.cq")} AS d
        |  FROM subv v JOIN $finalCents c ON v.sub = c.sub
-       |  WHERE v.vec_id < $NumQueries),
-       |adc AS MATERIALIZED (
-       |  SELECT l.query_id, n.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
-       |  FROM codes n JOIN lut l ON n.sub = l.sub AND n.code = l.code
-       |  WHERE n.vec_id <> l.query_id
-       |  GROUP BY 1, 2),
-       |shortlist AS MATERIALIZED (
+       |  WHERE v.vec_id < $NumQueries)""".stripMargin
+  }
+
+  /** CTE tail: ADC shortlist of `adc` → exact cosine refine → final
+    * ranked select ([[pqOracle]] and [[IvfPq]]'s share it; the two
+    * differ only in how `adc` restricts its candidates). */
+  private[graft] def refineTailSql: String =
+    s"""shortlist AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adc, neighbor_id) AS r
@@ -254,7 +259,15 @@ object Pq {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, cos FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  private def pqOracle: String =
+    s"""WITH $pqChainCtes,
+       |adc AS MATERIALIZED (
+       |  SELECT l.query_id, n.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+       |  FROM codes n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |$refineTailSql""".stripMargin
 
   /** x50: PQ ANN — per-subspace integer codebooks (md5 seeds +
     * [[Ivf.LloydIters]] Lloyd passes), M-code encoding, ADC

@@ -11,6 +11,7 @@ class PlanAuditSpec extends SparkSuite {
   private val broadcastCrossOk = Set(
     "a7_latest_week_volume", "a9_stale_customers", "p6_latest_week_rows",
     "x5_cosine_topk", "x6_ann_lsh_topk", "x12_ivf_ann_topk",
+    "x51_ivfpq_ann_topk", // x12's probe selection: broadcast cross join over the K-row centroid table
     "x14_embedding_dedup", // non-equi (id<id) pair join over a bounded set
     "x18_tfidf_topterm",   // broadcast of the 1-row corpus-size aggregate
     "x25b_quality_deciles_approx", // broadcast of the 1-row boundary sketch

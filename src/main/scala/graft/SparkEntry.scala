@@ -35,6 +35,8 @@ object SparkEntry {
       ext.Bpe.all ++
       ext.Pii.all ++
       ext.Outlier.all ++
+      ext.Skew.all ++
+      ext.Bloom.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

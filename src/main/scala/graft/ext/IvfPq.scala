@@ -50,35 +50,21 @@ object IvfPq {
       .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    // level 2: PQ codes (x50's codebooks on the same basis)
+    // level 2: PQ codes (x50's literal codebooks on the same basis) —
+    // ADC over the probed population is the candidate join plus a
+    // literal-LUT lookup per (row, subspace); no codebook join at all.
     val subv = Pq.subvectors(vqn).localCheckpoint()
-    val cents = Pq.codebooks(vqn).localCheckpoint()
-    val codes = Pq.assignCodes(subv, cents)
-    val lut = subv.filter(col("vec_id") < Pq.NumQueries)
-      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
-      .join(cents, "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        Pq.sqDist(col("sq"), col("cq")).as("d"))
+    val books = Pq.trainBooks(vqn, subv)
+    val ql = Pq.buildLut(subv, books)
+    val codes = Pq.assignLit(subv, books)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
     val adc = cand
-      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .join(codes, "neighbor_id")
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adc"))
+      .agg(sum(Pq.lutD(ql)).as("adc"))
     val shortlist = graft.plans.TopKPerKey.topKPerKey(
       adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = Pq.ReRank)
-    val vd = e.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vd"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    shortlist
-      .join(vd.select(col("vec_id").as("neighbor_id"), col("vd").as("nv")), "neighbor_id")
-      .join(broadcast(vd.filter(col("vec_id") < Pq.NumQueries)
-        .select(col("vec_id").as("query_id"), col("vd").as("qv"))), "query_id")
-      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Pq.TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    Pq.refine(e, shortlist)
   }
 
   // ---- DuckDB oracle: coarse level with k-prefixed CTE names ----------

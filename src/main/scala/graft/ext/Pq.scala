@@ -16,15 +16,24 @@ import org.apache.spark.sql.functions._
   * reference scope: the engine's ANN family, SURVEY.md §2 extensions).
   *
   * Spark shape, designed for the 100 TB read:
-  *  - codebook training is the SAME deterministic integer Lloyd loop as
-  *    x12 (md5-rank seeds, packed-long argmin, floor-mean re-center),
-  *    keyed by subspace: one shuffle per pass over (vec_id, sub) rows,
-  *    assignment joins each subvector ONLY to its own subspace's
-  *    [[Codes]] centroids via a broadcast — never vector × vector.
+  *  - a PQ codebook is an ARCHITECTURAL CONSTANT, not corpus state:
+  *    M × Codes entries (FAISS ships 8–64 subspaces × ≤256 codes)
+  *    regardless of N — unlike the coarse IVF level, whose K grows
+  *    with the corpus under constant occupancy and therefore keeps the
+  *    broadcast-keyed-join posture ([[Ivf.hierTopNCells]]). So Lloyd
+  *    training here rides the Spark-MLlib-KMeans iteration shape: each
+  *    pass is ONE map-side assignment against the literal codebook
+  *    (argmin over M·Codes entries folded into the projection — no
+  *    join, no argmin shuffle) plus one partial-aggregated re-center
+  *    whose ≤ M·Codes·SubDim groups collect to the driver for the next
+  *    pass's literal. Per-pass distributed work is a single narrow
+  *    scan of the subvector table; driver state is O(M·Codes·SubDim).
   *  - the code table (N × [[M]] ints) is the only per-vector state the
   *    query path touches; the per-query LUT (NumQueries × M × Codes
-  *    rows) broadcasts, so the ADC scan is one map-side join + one
-  *    keyed sum — linear in N, no shuffle of raw vectors.
+  *    integer distances) is computed driver-side from the same bounded
+  *    codebook and folded into the ADC projection as a literal, so the
+  *    ADC scan is one map + one keyed sum — linear in N, no shuffle of
+  *    raw vectors, no join at all until the ReRank-row refine.
   *  - everything is fixed-point integer arithmetic end-to-end (the
   *    [[Ivf.Scale]] grid), so ADC distances are exact BIGINTs and the
   *    DuckDB oracle replays training, encoding, and ranking bit-for-bit.
@@ -57,51 +66,87 @@ object Pq {
       .select(col("vec_id"), col("sub"),
         slice(col("q"), col("sub") * SubDim + 1, lit(SubDim)).as("sq"))
 
-  /** Per-subspace seed codebook: the subvectors of the [[Codes]]
-    * lowest-md5 vectors (x12's seed rule, applied once and shared by
-    * every subspace). */
-  private def seedCodebook(vq: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("h"), col("vec_id")) // bounded: Codes rows
-    val seedIds = vq.withColumn("h", md5(col("vec_id").cast("string")))
+  /** Collected codebooks: per subspace, parallel (code ids, centroid
+    * subvectors) sorted by code. Bounded at M × Codes entries by
+    * construction — the driver/broadcast state of the whole index. */
+  private[graft] type Books = IndexedSeq[(IndexedSeq[Int], IndexedSeq[IndexedSeq[Long]])]
+
+  private[graft] def collectBooks(cents: DataFrame): Books = {
+    val rows = cents.select(col("sub"), col("code"), col("cq")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 until M).map { s =>
+      val entries = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getInt(1), r.getSeq[Long](2).toIndexedSeq)).sortBy(_._1)
+      (entries.map(_._1).toIndexedSeq, entries.map(_._2).toIndexedSeq)
+    }
+  }
+
+  /** Books → the (sub, code, cq) frame shape persisted by
+    * [[graft.streaming.PqIndexFeed]] and replayed by the oracle. */
+  private[graft] def booksDf(spark: SparkSession, books: Books): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case ((codes, cents), s) =>
+      codes.zip(cents).map { case (c, cq) => (s, c, cq.toSeq) }
+    }.toDF("sub", "code", "cq")
+  }
+
+  /** Per-subspace seed codebook, collected: the subvectors of the
+    * [[Codes]] lowest-md5 vectors (x12's seed rule, applied once and
+    * shared by every subspace — seed i gets code i). */
+  private def seedBooks(vq: DataFrame): Books = {
+    val rows = vq.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(Codes)
-      .select(col("vec_id"), (row_number().over(w) - 1).as("code"))
-    vq.join(seedIds, "vec_id")
-      .select(col("code"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("q"))
-      .select(col("sub"), col("code"),
-        slice(col("q"), col("sub") * SubDim + 1, lit(SubDim)).as("cq"))
+      .select(col("q")).collect()
+    val qs = rows.toIndexedSeq.map(_.getSeq[Long](0).toIndexedSeq)
+    (0 until M).map { s =>
+      (qs.indices.map(identity),
+        qs.map(q => q.slice(s * SubDim, (s + 1) * SubDim)))
+    }
   }
 
-  /** Nearest-code assignment per (vector, subspace): packed-long argmin
-    * against the vector's OWN subspace's centroids (broadcast keyed
-    * join — the [[Ivf.hierTopNCells]] level-2 posture). */
-  private[graft] def assignCodes(subv: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = shiftleft(sqDist(col("sq"), col("cq")), CodeBits)
-      .bitwiseOR(col("code").cast("long"))
-    subv.join(broadcast(cents), "sub")
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(packed).as("m"))
-      .select(col("vec_id"), col("sub"),
-        col("m").bitwiseAND(lit((1L << CodeBits) - 1)).cast("int").as("code"))
+  /** Nearest-code assignment per (vector, subspace) as a PURE MAP: the
+    * packed-long argmin (dist << CodeBits | code — ties → lower code,
+    * the oracle's rule) runs over the literal codebook inside the
+    * projection, so assignment adds no join and no shuffle. Keeps every
+    * input column; adds `code`. */
+  private[graft] def assignLit(subv: DataFrame, books: Books): DataFrame = {
+    val centsL = typedLit(books.map(_._2.map(_.toSeq).toSeq).toSeq)
+    val codesL = typedLit(books.map(_._1.toSeq).toSeq)
+    val subCents = element_at(centsL, col("sub") + 1)
+    val subCodes = element_at(codesL, col("sub") + 1)
+    val packed = transform(subCents, (cq, i) =>
+      shiftleft(sqDist(col("sq"), cq), CodeBits)
+        .bitwiseOR(element_at(subCodes, i + 1).cast("long")))
+    subv.withColumn("code",
+      array_min(packed).bitwiseAND(lit((1L << CodeBits) - 1)).cast("int"))
   }
 
-  /** Floor-mean re-center per (sub, code) — posexplode + per-position
-    * floor(sum/count) + ordered re-assembly, all codegen-friendly
-    * native functions (the double division is exact: |sums| ≤ 2^45). */
-  private def recenter(subv: DataFrame, assigned: DataFrame): DataFrame =
-    subv.join(assigned, Seq("vec_id", "sub"))
-      .select(col("sub"), col("code"), posexplode(col("sq")))
+  /** Floor-mean re-center per (sub, code) from an [[assignLit]] output
+    * (which still carries `sq` — no join back to the subvector table):
+    * posexplode + per-position floor(sum/count) + ordered re-assembly.
+    * Partial aggregation bounds the shuffle at M·Codes·SubDim groups. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("code"), posexplode(col("sq")))
       .groupBy(col("sub"), col("code"), col("pos"))
       .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("m"))
       .groupBy(col("sub"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cq"))
 
-  /** Codebooks after `iters` Lloyd passes, keyed by subspace. */
-  private[graft] def codebooks(vq: DataFrame, iters: Int = Ivf.LloydIters): DataFrame = {
-    val subv = subvectors(vq).localCheckpoint() // feeds every pass below
-    (1 to iters).foldLeft(seedCodebook(vq)) { (c, _) =>
-      recenter(subv, assignCodes(subv, c))
+  /** Codebooks after `iters` Lloyd passes — the MLlib-KMeans iteration
+    * shape: one distributed narrow pass + one bounded collect per
+    * iteration. `subv` should be checkpointed by the caller when it
+    * feeds later stages too. */
+  private[graft] def trainBooks(vq: DataFrame, subv: DataFrame,
+      iters: Int = Ivf.LloydIters): Books =
+    (1 to iters).foldLeft(seedBooks(vq)) { (b, _) =>
+      collectBooks(recenter(assignLit(subv, b)))
     }
+
+  /** Codebooks as a frame, for persistence ([[graft.streaming.PqIndexFeed]]). */
+  private[graft] def codebooks(vq: DataFrame, iters: Int = Ivf.LloydIters): DataFrame = {
+    val subv = subvectors(vq).localCheckpoint() // feeds every pass
+    booksDf(vq.sparkSession, trainBooks(vq, subv, iters))
   }
 
   /** Unit-normalize then fixed-point quantize: PQ ranks by L2-ADC, and
@@ -118,40 +163,54 @@ object Pq {
   }
 
   /** Encode an embeddings frame against FROZEN codebooks — the
-    * ingestion-path entry point ([[graft.streaming.PqIndexFeed]]): one
-    * broadcast keyed join per batch, no training, no corpus read. */
+    * ingestion-path entry point ([[graft.streaming.PqIndexFeed]]): the
+    * bounded codebook frame collects once per batch and assignment is
+    * a pure map — no training, no corpus read, no join. */
   private[graft] def encode(e: DataFrame, cents: DataFrame): DataFrame =
-    assignCodes(subvectors(Ivf.quantized(normalized(e))), cents)
+    assignLit(subvectors(Ivf.quantized(normalized(e))), collectBooks(cents))
+      .select(col("vec_id"), col("sub"), col("code"))
 
-  /** The full PQ pipeline over an embeddings frame — exposed for the
-    * spec's determinism / recall probes. ADC shortlist (bounded-heap
-    * [[graft.plans.TopKPerKey]] pick, O(ReRank) state per query at any
-    * N — the same custom plan t6 rides) → exact cosine re-rank of the
-    * shortlist only. */
-  private[graft] def pqTopK(e: DataFrame, reRank: Int = ReRank): DataFrame = {
-    val s = e.sparkSession
-    graft.plans.TopKPerKey.register(s)
-    graft.functions.CosineSimilarity.register(s)
-    val vq = Ivf.quantized(normalized(e))
-    val subv = subvectors(vq).localCheckpoint() // read by train + encode + LUT
-    val cents = (1 to Ivf.LloydIters).foldLeft(seedCodebook(vq)) { (c, _) =>
-      recenter(subv, assignCodes(subv, c))
-    }.localCheckpoint() // M × Codes rows: read by encode and LUT
-    val codes = assignCodes(subv, cents)
-    val lut = subv.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("sub"), col("sq"))
-      .join(cents, "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        sqDist(col("sq"), col("cq")).as("d"))
-    val adc = codes.withColumnRenamed("vec_id", "neighbor_id")
-      .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adc"))
-    val shortlist = graft.plans.TopKPerKey.topKPerKey(
-      adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = reRank)
-    // exact re-rank on the raw vectors — cosine is norm-invariant, so
-    // the refine reads the ORIGINAL embeddings like x5/x12
+  /** Per-query ADC lookup tables, computed driver-side from the bounded
+    * codebook: `lut(qi)(sub)` is a dense array indexed by code value
+    * (1-based via element_at) of exact integer distances — positions of
+    * dropped codes are never referenced because [[assignLit]] only
+    * emits surviving codes. `qids` orders the query ids. */
+  private[graft] case class QueryLut(qids: IndexedSeq[Long], lut: Seq[Seq[Seq[Long]]])
+
+  private[graft] def buildLut(subv: DataFrame, books: Books): QueryLut = {
+    val rows = subv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").cast("long"), col("sub"), col("sq")).collect()
+    val qids = rows.map(_.getLong(0)).distinct.sorted.toIndexedSeq
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+    val bySubQ = rows.map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Long](2))).toMap
+    val lut = qids.map { q =>
+      (0 until M).map { s =>
+        val sq = bySubQ((q, s))
+        val (codes, cents) = books(s)
+        val dense = Array.fill(Codes)(0L)
+        codes.indices.foreach(i => dense(codes(i)) = sqd(sq, cents(i)))
+        dense.toSeq
+      }
+    }
+    QueryLut(qids, lut)
+  }
+
+  /** The exact integer ADC distance for (`query_id`, `sub`, `code`)
+    * columns, as a literal-LUT lookup — shared by x50's scan and
+    * [[IvfPq]]'s probed scan. */
+  private[graft] def lutD(ql: QueryLut): Column = {
+    val qIdx = element_at(
+      typedLit(ql.qids.zipWithIndex.map { case (q, i) => (q, i + 1) }.toMap),
+      col("query_id"))
+    element_at(element_at(element_at(typedLit(ql.lut), qIdx),
+      col("sub") + 1), col("code") + 1)
+  }
+
+  /** Exact cosine re-rank of a (query_id, neighbor_id) shortlist against
+    * the raw embeddings — cosine is norm-invariant, so the refine reads
+    * the ORIGINAL vectors like x5/x12. Shared by x50 and [[IvfPq]]. */
+  private[graft] def refine(e: DataFrame, shortlist: DataFrame): DataFrame = {
     val vd = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -164,6 +223,33 @@ object Pq {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The full PQ pipeline over an embeddings frame — exposed for the
+    * spec's determinism / recall probes. Train (literal-codebook
+    * Lloyd) → encode (pure map) → ADC scan (map + one keyed sum; the
+    * per-(row, query) distance is a literal-LUT lookup) → bounded-heap
+    * [[graft.plans.TopKPerKey]] shortlist (O(ReRank) state per query at
+    * any N — the same custom plan t6 rides) → exact cosine re-rank of
+    * the shortlist only. */
+  private[graft] def pqTopK(e: DataFrame, reRank: Int = ReRank): DataFrame = {
+    val s = e.sparkSession
+    graft.plans.TopKPerKey.register(s)
+    graft.functions.CosineSimilarity.register(s)
+    val vq = Ivf.quantized(normalized(e))
+    val subv = subvectors(vq).localCheckpoint() // read by train + encode + LUT
+    val books = trainBooks(vq, subv)
+    val ql = buildLut(subv, books)
+    val codes = assignLit(subv, books)
+    val adc = codes
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"),
+        explode(typedLit(ql.qids.toSeq)).as("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(lutD(ql)).as("adc"))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      adc, Seq("query_id"), Seq(("adc", true), ("neighbor_id", true)), k = reRank)
+    refine(e, shortlist)
   }
 
   // ---- DuckDB oracle: the same integer pipeline in SQL ----------------

@@ -162,9 +162,18 @@ object ScaleProbe {
       // those tables from separate corpus scans)
       "x49_dedup_pipeline",
       // x50: top-k bounded output; the scale claim is the ADC scan -
-      // codes (N x M ints) against a broadcast LUT, shortlist via
+      // codes (N x M ints) with literal-LUT distances, shortlist via
       // bounded heaps, refine touching ReRank rows per query
-      "x50_pq_ann_topk")
+      "x50_pq_ann_topk",
+      // x51: top-k bounded output; coarse cells route the ADC scan to
+      // ~NProbe/K of the code table, so its curve should UNDERCUT x50's
+      // as the factor grows (the routed scan is the whole point)
+      "x51_ivfpq_ann_topk",
+      // x52: contractually bounded output (one row per event_type); the
+      // mean-based hot threshold is scale-invariant, so the hot set and
+      // the salted fan-out replicate per copy - wall should track the
+      // one fact-side shuffled join linearly
+      "x52_salted_skew_join")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes
@@ -200,6 +209,22 @@ object ScaleProbe {
         val k = kCache.getOrElseUpdate(dir,
           graft.ext.SemDedup.cellsFor(math.max(e.count(), 1L)))
         graft.ext.SemDedup.pipeline(e, k, graft.ext.SemDedup.cellBitsFor(k))
+      }),
+      // The registered x53 pins m = 2^20 for its oracle; at 10× the
+      // holdout's gram set saturates a fixed filter (FP → 1) — a real
+      // deployment sizes m to the holdout (~10 bits/gram). The probe
+      // turns that lever: m = next power of two ≥ 16 × holdout docs'
+      // grams-per-doc estimate, memoized on the warmup invocation.
+      "x53_bloom_scaled" -> ((s, dir) => {
+        val d = Tables.documents(s, dir)
+        val m = kCache.getOrElseUpdate(dir + "#bloom", {
+          val holdoutDocs = d.filter(
+            substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")).count()
+          // ~430 distinct 3-grams/doc on this corpus; 10 bits per gram
+          val want = math.max(1L << 20, holdoutDocs * 430L * 10L)
+          java.lang.Long.highestOneBit(want - 1) * 2
+        }.toInt)
+        graft.ext.Bloom.pipeline(d, m)
       }))
     val base = "/root/testdata/sf0.1"
     Seq(1, 4, maxFactor).distinct.foreach { f =>

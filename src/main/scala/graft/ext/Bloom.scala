@@ -81,12 +81,12 @@ object Bloom {
 
   /** Build the filter from a gram-lane frame: explode the K positions,
     * OR-fold distributed, collect the ONE bounded bitmap row. */
-  private[graft] def buildFilter(lanes: DataFrame): Array[Long] = {
+  private[graft] def buildFilter(lanes: DataFrame, mBits: Int = MBits): Array[Long] = {
     import lanes.sparkSession.implicits._
     lanes.select(explode(transform(sequence(lit(0), lit(K - 1)),
-        j => pmod(col("hi") + j.cast("long") * col("lo"), lit(MBits.toLong)))).as("p"))
+        j => pmod(col("hi") + j.cast("long") * col("lo"), lit(mBits.toLong)))).as("p"))
       .as[Long]
-      .select(new BitmapOr(Words).toColumn.name("bm"))
+      .select(new BitmapOr(mBits / 64).toColumn.name("bm"))
       .collect()(0)
   }
 
@@ -100,10 +100,34 @@ object Bloom {
   }
 
   /** All K probes hit. */
-  private def bloomHit(bm: Seq[Long]): Column =
+  private def bloomHit(bm: Seq[Long], mBits: Int): Column =
     (0 until K).map(j =>
-      bitSet(bm, pmod(col("hi") + lit(j.toLong) * col("lo"), lit(MBits.toLong))))
+      bitSet(bm, pmod(col("hi") + lit(j.toLong) * col("lo"), lit(mBits.toLong))))
       .reduce(_ && _)
+
+  /** The full decontamination pipeline, parameterized on the filter
+    * width — the lever a real deployment turns as the HOLDOUT grows
+    * (~10 bits per distinct holdout gram; the registered query pins
+    * [[MBits]] for its oracle, the scale probe resizes). */
+  private[graft] def pipeline(docs: DataFrame, mBits: Int = MBits): DataFrame = {
+    val holdout = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val bm = buildFilter(gramLanes(docs.filter(holdout)), mBits).toSeq
+    val perdoc = gramLanes(docs.filter(!holdout))
+      .select(col("doc_id"), bloomHit(bm, mBits).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    docs.filter(!holdout).select(col("doc_id"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_bloom_hits"), lit(0L)).cast("long").as("n_bloom_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_bloom_hits").cast("double") / col("n_grams")).as("hit_frac"),
+        (coalesce(col("n_bloom_hits").cast("double") / col("n_grams"), lit(0.0))
+          >= FracThreshold).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 
   private def bloomOracle: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -157,26 +181,7 @@ object Bloom {
   val bloomDecontam = Q.withOracle(
     "x53_bloom_decontam",
     s"x53: Bloom($MBits bits, k=$K) holdout-gram filter, map-side train probe",
-    bloomOracle) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val holdout = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
-    val bm = buildFilter(gramLanes(docs.filter(holdout))).toSeq
-    val perdoc = gramLanes(docs.filter(!holdout))
-      .select(col("doc_id"), bloomHit(bm).as("hit"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
-    docs.filter(!holdout).select(col("doc_id"))
-      .join(perdoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
-        coalesce(col("n_bloom_hits"), lit(0L)).cast("long").as("n_bloom_hits"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0,
-          col("n_bloom_hits").cast("double") / col("n_grams")).as("hit_frac"),
-        (coalesce(col("n_bloom_hits").cast("double") / col("n_grams"), lit(0.0))
-          >= FracThreshold).as("contaminated"))
-      .orderBy(col("doc_id"))
-  }
+    bloomOracle) { (s, dir) => pipeline(Tables.documents(s, dir)) }
 
   val all: Seq[Q] = Seq(bloomDecontam)
 }

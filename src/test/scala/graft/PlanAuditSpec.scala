@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSuite {
     "x45_bpe_merges",              // per-round broadcast of the 1-row argmax pair
     "x45b_bpe_encode",             // same training loop + broadcast vocab lookup
     "x47_embedding_outliers",      // 1-row centroid + 1-row mean-dist broadcasts
+    "x52_salted_skew_join",        // broadcast of the 1-row hot-threshold scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

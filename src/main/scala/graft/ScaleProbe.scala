@@ -210,7 +210,7 @@ object ScaleProbe {
           graft.ext.SemDedup.cellsFor(math.max(e.count(), 1L)))
         graft.ext.SemDedup.pipeline(e, k, graft.ext.SemDedup.cellBitsFor(k))
       }),
-      // The registered x53 pins m = 2^20 for its oracle; at 10× the
+      // The registered x53 pins m = 2^22 for its oracle; at 10× the
       // holdout's gram set saturates a fixed filter (FP → 1) — a real
       // deployment sizes m to the holdout (~10 bits/gram). The probe
       // turns that lever: m = next power of two ≥ 16 × holdout docs'

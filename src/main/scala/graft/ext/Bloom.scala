@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * STRING (x2's engine-portable family), so DuckDB rebuilds the exact
   * bit set and flags the exact same docs, false positives included.
   *
-  * Scale posture: filter state is m/8 bytes TOTAL (here 128 KiB),
+  * Scale posture: filter state is m/8 bytes TOTAL (here 512 KiB),
   * independent of corpus size; m is sized ~10 bits per distinct
   * holdout gram, and a holdout too big for one filter shards into
   * per-range blocked filters probed by gram range — the bitmap is a
@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Filter width in bits (2^20 ≈ 10 bits/gram on this corpus). */
-  val MBits: Int = 1 << 20
+  /** Filter width in bits — sized ~10+ bits per distinct holdout gram
+    * at the LARGEST verified SF (sf0.1: ~660 holdout docs × ~430 grams
+    * ≈ 280k grams → 2^22 keeps fill ≈ 0.18, FP/gram ≈ 0.6%; a 2^20
+    * filter would sit at fill 0.55 / FP 17%, flagging most clean docs). */
+  val MBits: Int = 1 << 22
   /** Hash functions per gram. */
   val K = 3
   private val Words = MBits / 64

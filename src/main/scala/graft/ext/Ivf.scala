@@ -103,6 +103,68 @@ object Ivf {
         col("m").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
   }
 
+  // ---- Literal-centroid fast path (bounded K) -----------------------
+  // The registered queries pin K = 10 for their oracles; at that size —
+  // and any K a driver can hold — centroids are bounded metadata, and
+  // the MLlib-KMeans iteration shape beats the broadcast-join one: each
+  // Lloyd pass is a pure-map argmin against the literal centroid table
+  // (no crossJoin, no argmin shuffle) plus the keyed re-center, with the
+  // K-row result collected for the next pass. The broadcast-join forms
+  // above remain the posture once K grows with the corpus (constant
+  // occupancy), and [[hierTopNCells]] once N·K evals themselves bind —
+  // the three tiers of the one index family. Proven first on [[Pq]]
+  // (whose codebook is an architectural constant, so it ONLY has the
+  // literal tier).
+
+  /** Collected centroids: (cell ids, centroid vectors), sorted by cell.
+    * Bounded at K rows by construction. */
+  private[graft] type Cents = (Seq[Int], Seq[Seq[Long]])
+
+  private[graft] def collectCents(cents: DataFrame): Cents = {
+    val rows = cents.select(col("cell"), col("q")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** The per-row array of packed (dist << cellBits | cell) longs against
+    * the literal centroid table — same pack, same tie rule as
+    * [[assignCells]]/[[topNCells]]. */
+  private def packedLit(cs: Cents, cellBits: Int): Column = {
+    requireCellBits(cellBits)
+    val centsL = typedLit(cs._2)
+    val cellsL = typedLit(cs._1)
+    transform(centsL, (cq, i) =>
+      shiftleft(sqDist(col("q"), cq), cellBits)
+        .bitwiseOR(element_at(cellsL, i + 1).cast("long")))
+  }
+
+  /** [[assignCells]]' literal form — a pure map (no join, no shuffle).
+    * Keeps every input column; adds `cell`. */
+  private[graft] def assignCellsLit(v: DataFrame, cs: Cents,
+      cellBits: Int = CellBits): DataFrame =
+    v.withColumn("cell",
+      array_min(packedLit(cs, cellBits))
+        .bitwiseAND(lit((1L << cellBits) - 1)).cast("int"))
+
+  /** [[topNCells]]' literal form: sort the K packed longs in the
+    * projection, slice n — no aggregation at all. Same output contract:
+    * (vec_id, r, cell), r = 1..n by (dist, cell). */
+  private[graft] def topNCellsLit(v: DataFrame, cs: Cents, n: Int,
+      cellBits: Int = CellBits): DataFrame =
+    v.select(col("vec_id"),
+        posexplode(slice(array_sort(packedLit(cs, cellBits)), 1, n)))
+      .select(col("vec_id"), (col("pos") + 1).as("r"),
+        col("col").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
+
+  /** Driver-iterated Lloyd over the literal path — one narrow
+    * distributed pass + one K-row collect per iteration. Semantically
+    * identical to [[refinedCentroids]] (IvfSpec pins it). */
+  private[graft] def refinedCentsCollected(vq: DataFrame, iters: Int = LloydIters,
+      k: Int = K, cellBits: Int = CellBits): Cents =
+    (1 to iters).foldLeft(collectCents(seedCentroids(vq, k))) { (cs, _) =>
+      collectCents(meanByCell(assignCellsLit(vq, cs, cellBits)))
+    }
+
   /** Bounded smallest-n collector over longs — the probe-selection
     * aggregation state (SURVEY.md §2.8 typed-Aggregator extension
     * point). The buffer is a sorted array CAPPED AT n: per-group state
@@ -157,10 +219,6 @@ object Ivf {
       .select(col("vec_id"), (col("pos") + 1).as("r"),
         col("col").bitwiseAND(lit((1L << cellBits) - 1)).cast("int").as("cell"))
   }
-
-  /** Top-n nearest cells per query vector — the probe list. */
-  private def probeCells(v: DataFrame, cents: DataFrame, n: Int): DataFrame =
-    topNCells(v, cents, n).select(col("vec_id").as("query_id"), col("cell"))
 
   /** Two-level (coarse-to-fine) quantizer + bounded probe selection —
     * the constant-occupancy growth rule's missing half (round 8).
@@ -309,11 +367,13 @@ object Ivf {
     val vq = quantized(e)
     val vd = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd"))
-    // The centroid table is read three times below (cells + two probe
-    // assignments) — materialize once; it is K × dim, trivially small.
-    val cents = refinedCentroids(vq, lloydIters).localCheckpoint()
-    val cells = assignCells(vq, cents)
-    val probes = probeCells(vq.filter(col("vec_id") < NumQueries), cents, nProbe)
+    // Literal-centroid tier (K = 10, driver-bounded): training is the
+    // MLlib iteration shape; assignment and probe selection are pure
+    // maps against the collected centroid table.
+    val cs = refinedCentsCollected(vq, lloydIters)
+    val cells = assignCellsLit(vq, cs).select(col("vec_id"), col("cell"))
+    val probes = topNCellsLit(vq.filter(col("vec_id") < NumQueries), cs, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
     val qv = vd.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"))
     val nv = vd.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"))

@@ -41,10 +41,11 @@ object IvfPq {
     graft.plans.TopKPerKey.register(s)
     graft.functions.CosineSimilarity.register(s)
     val vqn = Ivf.quantized(Pq.normalized(e)).localCheckpoint()
-    // level 1: coarse cells (x12's quantizer on the normalized basis)
-    val coarse = Ivf.refinedCentroids(vqn, Ivf.LloydIters).localCheckpoint()
-    val cells = Ivf.assignCells(vqn, coarse)
-    val probes = Ivf.topNCells(vqn.filter(col("vec_id") < Pq.NumQueries), coarse, nProbe)
+    // level 1: coarse cells (x12's quantizer on the normalized basis,
+    // literal-centroid tier — K=10 is driver-bounded metadata)
+    val cs = Ivf.refinedCentsCollected(vqn, Ivf.LloydIters)
+    val cells = Ivf.assignCellsLit(vqn, cs).select(col("vec_id"), col("cell"))
+    val probes = Ivf.topNCellsLit(vqn.filter(col("vec_id") < Pq.NumQueries), cs, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = probes
       .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")

@@ -133,4 +133,28 @@ class IvfSpec extends SparkSuite {
       Ivf.topNCells(vecs, cents, n, cellBits = 15)
     }
   }
+
+  test("literal-centroid tier ≡ broadcast-join tier: train, assign, probe") {
+    // the literal fast path (registered K=10 queries) must be bit-identical
+    // to the broadcast-join posture on every stage of the real corpus
+    val vq = Ivf.quantized(Tables.embeddings(spark, sf))
+    val centsDf = Ivf.refinedCentroids(vq, Ivf.LloydIters).localCheckpoint()
+    // training: the driver-iterated chain lands the same centroids
+    val csTrained = Ivf.refinedCentsCollected(vq, Ivf.LloydIters)
+    val csRef = Ivf.collectCents(centsDf)
+    assert(csTrained === csRef, "Lloyd chains diverged between tiers")
+    // assignment: pure-map argmin ≡ crossJoin+groupBy argmin
+    val aLit = Ivf.assignCellsLit(vq, csRef).select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val aJoin = Ivf.assignCells(vq, centsDf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(aLit === aJoin, "assignment diverged between tiers")
+    // probe selection: sorted-slice ≡ BoundedMinN aggregation
+    val n = Ivf.NProbe
+    val pLit = Ivf.topNCellsLit(vq, csRef, n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val pAgg = Ivf.topNCells(vq, centsDf, n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(pLit === pAgg, "probe lists diverged between tiers")
+  }
 }

@@ -173,7 +173,13 @@ object ScaleProbe {
       // mean-based hot threshold is scale-invariant, so the hot set and
       // the salted fan-out replicate per copy - wall should track the
       // one fact-side shuffled join linearly
-      "x52_salted_skew_join")
+      "x52_salted_skew_join",
+      // x54: candidate shuffle bounded at k rows/partition whatever the
+      // corpus; recount agg keyed by candidates only. Output note: token
+      // renaming splits each copy's mass f ways, so copy tokens stay
+      // heavy only while base_freq >= f/500 - rows shrink per copy as f
+      // grows (the wall curve, not row linearity, is the claim here)
+      "x54_heavy_hitters")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -37,6 +37,7 @@ object SparkEntry {
       ext.Outlier.all ++
       ext.Skew.all ++
       ext.Bloom.all ++
+      ext.Heavy.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

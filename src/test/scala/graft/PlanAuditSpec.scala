@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSuite {
     "x45b_bpe_encode",             // same training loop + broadcast vocab lookup
     "x47_embedding_outliers",      // 1-row centroid + 1-row mean-dist broadcasts
     "x52_salted_skew_join",        // broadcast of the 1-row hot-threshold scalar
+    "x54_heavy_hitters",           // broadcast of the 1-row total-token scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

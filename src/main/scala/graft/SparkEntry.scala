@@ -38,6 +38,7 @@ object SparkEntry {
       ext.Skew.all ++
       ext.Bloom.all ++
       ext.Heavy.all ++
+      ext.Fuzzy.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -176,9 +176,10 @@ object ScaleProbe {
       "x52_salted_skew_join",
       // x54: candidate shuffle bounded at k rows/partition whatever the
       // corpus; recount agg keyed by candidates only. Output note: token
-      // renaming splits each copy's mass f ways, so copy tokens stay
-      // heavy only while base_freq >= f/500 - rows shrink per copy as f
-      // grows (the wall curve, not row linearity, is the claim here)
+      // renaming splits the corpus mass f ways, so a copy's token stays
+      // heavy iff base_freq >= f/500 - the measured corpus's heavies sit
+      // >= 2%, so rows scale f x 30 through factor 10 (wall stays flat,
+      // which is the claim)
       "x54_heavy_hitters")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against

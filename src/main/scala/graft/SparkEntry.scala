@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.Reports.all ++
       analytics.Joins.all ++
       analytics.Temporal.all ++
+      analytics.Funnel.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
@@ -39,6 +40,7 @@ object SparkEntry {
       ext.Bloom.all ++
       ext.Heavy.all ++
       ext.Fuzzy.all ++
+      ext.Profile.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x57 funnel: the oracle pins the counts on the real log; this pins the
+  * ORDERING semantics on crafted sequences — stages out of order don't
+  * count, same-microsecond ties resolve by event_id, interleaved noise
+  * events are ignored, and a user can't skip a stage. */
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def write(dir: String, rows: Seq[(Long, String, Long, String)]): Unit =
+    rows.map { case (id, ts, u, t) =>
+      (id, Timestamp.valueOf(ts), u, t, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("order matters; ties resolve by event_id; noise is ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    write(dir, Seq(
+      // u1: full funnel in order (with noise between stages)
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-01 10:01:00", 1L, "error"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),
+      (4L, "2024-01-01 10:03:00", 1L, "purchase"),
+      // u2: purchase BEFORE view - reaches stage 2 only
+      (5L, "2024-01-02 10:00:00", 2L, "signup"),
+      (6L, "2024-01-02 10:01:00", 2L, "purchase"),
+      (7L, "2024-01-02 10:02:00", 2L, "view"),
+      // u3: view+purchase at the SAME timestamp as signup - event_id
+      // breaks the tie in funnel order, so the whole chain counts
+      (8L, "2024-01-03 10:00:00", 3L, "signup"),
+      (9L, "2024-01-03 10:00:00", 3L, "view"),
+      (10L, "2024-01-03 10:00:00", 3L, "purchase"),
+      // u4: never signs up - purchase/view alone reach nothing
+      (11L, "2024-01-04 10:00:00", 4L, "view"),
+      (12L, "2024-01-04 10:01:00", 4L, "purchase")))
+    val got = analytics.Funnel.funnel.fn(spark, dir)
+      .select($"stage", $"n_users").as[(Int, Long)].collect().toSeq
+    // stage 1 (signup): u1,u2,u3; stage 2 (view after): u1,u2,u3; stage 3: u1,u3
+    assert(got === Seq((1, 3L), (2, 3L), (3, 2L)))
+  }
+
+  test("monotone by construction on the real log") {
+    val ns = analytics.Funnel.funnel.fn(spark, sf)
+      .select($"n_users").as[Long].collect().toSeq
+    assert(ns.size === 3 && ns === ns.sorted.reverse, s"funnel must be non-increasing: $ns")
+    assert(ns.head > 0)
+  }
+}

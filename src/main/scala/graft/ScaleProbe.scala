@@ -180,7 +180,13 @@ object ScaleProbe {
       // heavy iff base_freq >= f/500 - the measured corpus's heavies sit
       // >= 2%, so rows scale f x 30 through factor 10 (wall stays flat,
       // which is the claim)
-      "x54_heavy_hitters")
+      "x54_heavy_hitters",
+      // x56: bounded output (one row per column); one file scan through
+      // the multi-distinct Expand - wall tracks the scan linearly
+      "x56_profile_columns",
+      // x57: bounded output (one row per stage); one user-keyed agg,
+      // per-copy user spaces disjoint so fold lists replicate exactly
+      "x57_funnel_stages")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

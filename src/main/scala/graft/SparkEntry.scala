@@ -17,6 +17,7 @@ object SparkEntry {
       analytics.Joins.all ++
       analytics.Temporal.all ++
       analytics.Funnel.all ++
+      analytics.Cohort.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ext.Heavy.all ++
       ext.Fuzzy.all ++
       ext.Profile.all ++
+      ext.Graph.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x59/x60 graph analytics: the oracles replay both algorithms on the real
+  * co-occurrence graph; this pins the algorithmic semantics on crafted
+  * graphs with hand-countable answers, plus the two scale invariants the
+  * oracles can't see — PageRank mass conservation under integer
+  * truncation, and the degree-orientation fan-out bound that keeps the
+  * wedge join sub-quadratic on power-law graphs. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Crafted lineitem: one row per (order, part); only the columns the
+    * graph derivation touches plus the loader's declared temporal. */
+  private def write(dir: String, rows: Seq[(Long, Long)]): Unit =
+    rows.map { case (ok, p) => (ok, p, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+  test("x60 crafted: K3 + edge + K4 orders give exactly 1 + 0 + 4 triangles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    write(dir, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),                   // triangle {1,2,3}
+      (2L, 3L), (2L, 4L),                             // bridge edge
+      (3L, 4L), (3L, 5L), (3L, 6L), (3L, 7L),         // K4 -> 4 triangles
+      (3L, 4L)))                                      // dup line collapses
+    val got = ext.Graph.triangles.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((7L, 10L, 5L)))
+  }
+
+  test("x59 crafted: symmetric 2-cycle is stationary at exactly RScale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph2").toString
+    write(dir, Seq((1L, 10L), (1L, 20L)))
+    val got = ext.Graph.pagerank.fn(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // deg 1 both sides: r' = 0.15*S + 0.85*(S div 1) = S, every round
+    assert(got === Seq((10L, 1000000000000L), (20L, 1000000000000L)))
+  }
+
+  test("x59 real log: ranks conserve mass and favor the hubbiest parts") {
+    val full = ext.Graph.pagerankFull(spark, sf).localCheckpoint()
+    val n = full.count()
+    val total = full.agg(sum($"pr")).as[Long].collect().head
+    val ideal = n * 1000000000000L
+    // integer truncation only ever LOSES mass, bounded by ~1 unit per
+    // edge-division per round - far under 0.1% of a 1e12-scaled rank
+    assert(total <= ideal)
+    assert(total > (ideal * 0.999).toLong, s"lost too much mass: $total vs $ideal")
+  }
+
+  test("x60 orientation: max oriented out-degree stays near sqrt(2m)") {
+    val o = ext.Graph.orientedEdges(spark, sf)
+    val m = o.count()
+    val maxOut = o.groupBy($"src").agg(count(lit(1)).as("od"))
+      .agg(max($"od")).as[Long].collect().head
+    val bound = 2 * math.sqrt(2.0 * m).toLong + 2
+    assert(maxOut <= bound,
+      s"oriented fan-out $maxOut exceeds 2*sqrt(2m)+2 = $bound (m=$m)")
+    // and it genuinely tames the hubs: the raw graph's max degree is larger
+    val maxDeg = o.select(explode(array($"src", $"dst")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).as[Long].collect().head
+    assert(maxOut < maxDeg)
+  }
+}

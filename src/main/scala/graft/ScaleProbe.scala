@@ -92,9 +92,15 @@ object ScaleProbe {
     shifted(Tables.orders(spark, baseDir), Seq("o_orderkey", "o_custkey"), factor)
 
   /** l_orderkey shifts by the SAME stride as o_orderkey so each copy's
-    * orders⋈lineitem multiplicity is exactly the base join's. */
+    * orders⋈lineitem multiplicity is exactly the base join's; l_partkey
+    * shifts too (round 10) so each copy's part co-occurrence graph
+    * (x59/x60) is an isomorphic DISJOINT replica — unshifted parts would
+    * instead DENSIFY one shared 20k-node graph as the factor grows,
+    * measuring graph-density growth rather than engine throughput. No
+    * probed query joins lineitem to the (unwritten) part table, so the
+    * shift is invisible to the rest of the board. */
   def scaledLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
-    shifted(Tables.lineitem(spark, baseDir), Seq("l_orderkey"), factor)
+    shifted(Tables.lineitem(spark, baseDir), Seq("l_orderkey", "l_partkey"), factor)
 
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
@@ -186,7 +192,19 @@ object ScaleProbe {
       "x56_profile_columns",
       // x57: bounded output (one row per stage); one user-keyed agg,
       // per-copy user spaces disjoint so fold lists replicate exactly
-      "x57_funnel_stages")
+      "x57_funnel_stages",
+      // x58: output rows CONSTANT (copies share calendar weeks, so grid
+      // keys coincide and only the counts scale by f); wall tracks the
+      // one user-keyed agg linearly
+      "x58_cohort_retention",
+      // x59: top-100 bounded output; per-copy graphs are disjoint
+      // isomorphic replicas (l_partkey shifted), so every round's
+      // edge⋈rank join and dst agg carry exactly f× the base edges
+      "x59_pagerank",
+      // x60: single-row output; disjoint replicas make wedge work
+      // exactly f× the base graph's — the √m fan-out bound holds
+      // per copy, so the closure join stays linear in the factor
+      "x60_triangle_count")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -18,6 +18,7 @@ object SparkEntry {
       analytics.Temporal.all ++
       analytics.Funnel.all ++
       analytics.Cohort.all ++
+      analytics.Markov.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ext.Fuzzy.all ++
       ext.Profile.all ++
       ext.Graph.all ++
+      ext.Itemsets.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

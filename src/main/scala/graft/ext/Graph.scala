@@ -192,5 +192,61 @@ object Graph {
     nn.crossJoin(ne).crossJoin(tri) // three 1-row scalars
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  /** BFS depth — bounded frontier expansion rounds; hop-3 closure is the
+    * registered contract (deeper scans are the same loop longer). */
+  private val Hops = 3
+  /** Deterministic seed predicate: ~1% of parts. */
+  private val SeedMod = 97L
+
+  private def bfsOracle: String = {
+    val rounds = (1 to Hops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT v, MIN(hop) AS hop FROM (
+         |    SELECT v, hop FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT p.dst AS v, $k AS hop
+         |    FROM d${k - 1} d JOIN pairs p ON p.src = d.v
+         |    WHERE d.hop = ${k - 1})
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, 0 AS hop FROM pairs WHERE src % $SeedMod = 0),
+       |$rounds
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM d$Hops GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
+  /** x63: multi-source BFS hop histogram — [[Hops]] rounds of frontier
+    * join + min-hop aggregation over the co-occurrence graph; only the
+    * CURRENT frontier joins edges each round, never the full label
+    * table. */
+  val bfs = Q.withOracle(
+    "x63_bfs_hops",
+    s"x63: $Hops-hop multi-source BFS reach histogram (seeds: part % $SeedMod = 0)",
+    bfsOracle) { (s, dir) =>
+    val pairs = coEdges(s, dir).localCheckpoint() // read once per round
+    // the edge set is symmetrized, so src alone covers every node
+    var dist = pairs.select(col("src").as("v")).distinct()
+      .filter(col("v") % SeedMod === 0)
+      .select(col("v"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (k <- 1 to Hops) {
+      val reached = dist.filter(col("hop") === k - 1)
+        .join(pairs, col("v") === col("src"))
+        .select(col("dst").as("v"), lit(k).as("hop"))
+      dist = dist.unionAll(reached)
+        .groupBy(col("v")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint() // each round's labels feed the next frontier
+    }
+    dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, bfs)
 }

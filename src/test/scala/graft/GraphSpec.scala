@@ -51,6 +51,23 @@ class GraphSpec extends SparkSuite {
     assert(total > (ideal * 0.999).toLong, s"lost too much mass: $total vs $ideal")
   }
 
+  test("x63 crafted: chain graph labels min-hops; 3-hop horizon excludes hop 4") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    // seed 97 (p % 97 = 0) chained 97-1-2-3-4: node 4 sits at hop 4,
+    // beyond the 3-round horizon; a shortcut order {97,2} later pulls 2
+    // from hop 2 to hop 1 and 3 to hop 2 - MIN must win over order
+    write(dir, Seq(
+      (1L, 97L), (1L, 1L),
+      (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L),
+      (4L, 3L), (4L, 4L),
+      (5L, 97L), (5L, 2L)))
+    val got = ext.Graph.bfs.fn(spark, dir)
+      .as[(Int, Long)].collect().toSeq
+    // hops: 97->0; 1,2 -> 1; 3 -> 2; 4 -> 3 (via the shortcut)
+    assert(got === Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L)))
+  }
+
   test("x60 orientation: max oriented out-degree stays near sqrt(2m)") {
     val o = ext.Graph.orientedEdges(spark, sf)
     val m = o.count()

@@ -204,7 +204,17 @@ object ScaleProbe {
       // x60: single-row output; disjoint replicas make wedge work
       // exactly f× the base graph's — the √m fan-out bound holds
       // per copy, so the closure join stays linear in the factor
-      "x60_triangle_count")
+      "x60_triangle_count",
+      // x61: top-100 bounded output; basket self-join fan-out is
+      // per-order bounded, supports replicate per copy
+      "x61_association_rules",
+      // x62: output rows CONSTANT (copies share the 5 event types);
+      // wall tracks the one user-keyed window linearly
+      "x62_markov_transitions",
+      // x63: ≤4-row histogram; the key-shifted copies seed at ~1%
+      // each (stride % 97 ≠ 0 re-draws which parts seed, same density),
+      // frontier joins stay copy-local
+      "x63_bfs_hops")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -19,6 +19,7 @@ object SparkEntry {
       analytics.Funnel.all ++
       analytics.Cohort.all ++
       analytics.Markov.all ++
+      analytics.Anomaly.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       functions.Scalars.all ++
@@ -45,6 +46,8 @@ object SparkEntry {
       ext.Profile.all ++
       ext.Graph.all ++
       ext.Itemsets.all ++
+      ext.Kmeans.all ++
+      ext.Kmv.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

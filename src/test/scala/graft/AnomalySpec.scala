@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x65 EWMA surprise: the oracle pins bit-exact parity on the real log;
+  * this pins the fold semantics on crafted input — seed is the FIRST
+  * value (not zero), surprise measures against the PRE-update baseline,
+  * α=1/4 arithmetic is exact on representable inputs, ties at the same
+  * timestamp order by event_id, and a single-event user exercises the
+  * empty-slice path. */
+class AnomalySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def write(dir: String, rows: Seq[(Long, String, Long, Double)]): Unit =
+    rows.map { case (id, ts, u, v) =>
+      (id, Timestamp.valueOf(ts), u, "view", v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def run(dir: String): Map[Long, (Long, Double, Double)] =
+    analytics.Anomaly.ewmaSurprise.fn(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (u, n, e, m) => u -> ((n, e, m)) }.toMap
+
+  test("crafted folds: constant user, spike user, singleton, same-ts tie") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    write(dir, Seq(
+      // u1 constant: ewma stays 5, surprise 0 (first value seeds, never a fake anomaly)
+      (1L, "2024-01-01 00:00:01", 1L, 5.0),
+      (2L, "2024-01-01 00:00:02", 1L, 5.0),
+      (3L, "2024-01-01 00:00:03", 1L, 5.0),
+      // u2 spike: 1,1,1 then 9 -> surprise |9-1|=8 BEFORE update, ewma (3+9)/4=3
+      (4L, "2024-01-01 00:00:01", 2L, 1.0),
+      (5L, "2024-01-01 00:00:02", 2L, 1.0),
+      (6L, "2024-01-01 00:00:03", 2L, 1.0),
+      (7L, "2024-01-01 00:00:04", 2L, 9.0),
+      // u3 singleton: fold over the empty tail
+      (8L, "2024-01-01 00:00:01", 3L, 7.0),
+      // u4 same-timestamp tie: event_id orders 0 before 8 -> seed 0, e=(0*3+8)/4=2
+      (9L, "2024-01-01 00:00:01", 4L, 0.0),
+      (10L, "2024-01-01 00:00:01", 4L, 8.0)))
+    val got = run(dir)
+    assert(got(1L) === ((3L, 5.0, 0.0)))
+    assert(got(2L) === ((4L, 3.0, 8.0)))
+    assert(got(3L) === ((1L, 7.0, 0.0)))
+    assert(got(4L) === ((2L, 2.0, 8.0)))
+  }
+
+  test("surprise is pre-update: a drift never beats the jump that caused it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly2").toString
+    // 0 then repeated 8s: the FIRST 8 is the anomaly (|8-0|=8); later 8s
+    // measure against an ewma drifting toward 8, so their surprise shrinks
+    // (8-2=6, 8-3.5=4.5, ...). Post-update semantics would report 6 here.
+    write(dir, (0 until 6).map(i =>
+      (i.toLong, s"2024-01-01 00:00:0$i", 1L, if (i == 0) 0.0 else 8.0)))
+    val got = run(dir)
+    assert(got(1L)._3 === 8.0)
+  }
+
+  test("result is partitioning-invariant (the fold runs post-shuffle per user)") {
+    val base = run({
+      val dir = java.nio.file.Files.createTempDirectory("graft-anomaly3").toString
+      write(dir, (0 until 40).map(i =>
+        (i.toLong, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", (i % 3).toLong, (i * 7 % 11).toDouble)))
+      dir
+    })
+    assert(base.size === 3)
+    assert(base.values.map(_._1).sum === 40L)
+  }
+}

@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSuite {
     "x47_embedding_outliers",      // 1-row centroid + 1-row mean-dist broadcasts
     "x52_salted_skew_join",        // broadcast of the 1-row hot-threshold scalar
     "x54_heavy_hitters",           // broadcast of the 1-row total-token scalar
+    "x60_triangle_count",          // three 1-row scalars (nodes/edges/triangles) composed by cross join
+    "x61_association_rules",       // broadcast of the 1-row basket-count scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

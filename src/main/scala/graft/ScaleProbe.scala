@@ -214,7 +214,19 @@ object ScaleProbe {
       // x63: ≤4-row histogram; the key-shifted copies seed at ~1%
       // each (stride % 97 ≠ 0 re-draws which parts seed, same density),
       // frontier joins stay copy-local
-      "x63_bfs_hops")
+      "x63_bfs_hops",
+      // x64: bounded output (≤ K·dim model rows at ANY corpus size);
+      // each Lloyd pass is a pure-map literal argmin + one K·dim-cell
+      // agg, so wall tracks the per-pass vector scan linearly
+      "x64_kmeans_train",
+      // x65: one row per user (linear — per-copy user spaces are
+      // disjoint); wall tracks the one user-keyed fold agg
+      "x65_ewma_surprise",
+      // x66: output rows CONSTANT (copies share the 5 event types);
+      // sketch state is ≤ k longs per (partition, type) whatever the
+      // user count — flat wall is the claim; n_exact's COUNT(DISTINCT)
+      // is the QA column a production run drops
+      "x66_kmv_distinct")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -20,8 +20,10 @@ object SparkEntry {
       analytics.Cohort.all ++
       analytics.Markov.all ++
       analytics.Anomaly.all ++
+      analytics.Spine.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
+      etl.Diff.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++
       ext.Rewrite.all ++

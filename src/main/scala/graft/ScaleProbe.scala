@@ -226,7 +226,15 @@ object ScaleProbe {
       // sketch state is ≤ k longs per (partition, type) whatever the
       // user count — flat wall is the claim; n_exact's COUNT(DISTINCT)
       // is the QA column a production run drops
-      "x66_kmv_distinct")
+      "x66_kmv_distinct",
+      // x67: output rows CONSTANT (copies share calendar weeks and
+      // the 5 types — the spine is the same grid, only counts scale);
+      // wall tracks the one (type, week) agg linearly
+      "x67_gapfill_weekly",
+      // x68: 4-row rollup; the full-outer key join carries f× rows
+      // per copy in disjoint key spaces — wall should track the one
+      // co-partitioned shuffle linearly
+      "x68_snapshot_diff")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

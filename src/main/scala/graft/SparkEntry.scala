@@ -50,6 +50,7 @@ object SparkEntry {
       ext.Itemsets.all ++
       ext.Kmeans.all ++
       ext.Kmv.all ++
+      ext.Layout.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -37,12 +37,15 @@ object Layout {
     * (classic Morton spreading: widen the gaps by OR-shifting, then
     * mask). Pure integer Column arithmetic — whole-stage codegen keeps
     * this in registers. */
-  private[ext] def spread16(c: Column): Column = {
-    val steps = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
-    steps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) { case (x, (s, m)) =>
+  /** Magic OR-shift-mask chain (shared by the Column form and x69's SQL
+    * oracle generator, so the two interleaves cannot drift). */
+  private[ext] val SpreadSteps =
+    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  private[ext] def spread16(c: Column): Column =
+    SpreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) { case (x, (s, m)) =>
       x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
     }
-  }
 
   /** Morton code of two non-negative int columns: bits of `a` at even
     * positions, bits of `b` at odd. Raw form — callers with unequal
@@ -133,4 +136,85 @@ object Layout {
   def writeZOrdered(df: DataFrame, c1: String, c2: String,
       nFiles: Int, path: String): Unit =
     writeZOrdered(df, Seq(c1, c2), nFiles, path)
+
+  // ---- x69: the clustering-quality query (oracle-visible z-order) ----
+
+  /** Day index of o_orderdate in pure integer epoch arithmetic. */
+  private val DayUs = 86400000000L
+  /** Bucket = z >> ZShift: 32 z-bits → ≤ 256 contiguous z-ranges, the
+    * file-grain a layout write would target. */
+  private val ZShift = 24
+
+  /** The scaled-dimension SQL mirror of [[scaleBits]] + truncation:
+    * the multiply stays < 2^53 (span × 65535), the division is one
+    * correctly-rounded IEEE op in both engines, and FLOOR-then-CAST
+    * matches Spark's double→long truncation on these non-negative
+    * values (a bare DuckDB CAST would ROUND — a real divergence, found
+    * by construction not by luck). */
+  private def scaleSql(c: String, lo: String, hi: String): String =
+    s"CAST(FLOOR(CAST(($c - $lo) AS DOUBLE) * ${(1L << Bits) - 1} / GREATEST($hi - $lo, 1)) AS BIGINT)"
+
+  /** [[spread16]] replayed in SQL from the same [[SpreadSteps]]. */
+  private def spreadSql(e: String): String =
+    SpreadSteps.foldLeft(s"($e & 65535)") { case (x, (s, m)) =>
+      s"((($x | ($x << $s)) & $m))"
+    }
+
+  private def zorderOracle: String = {
+    val sck = scaleSql("o.ck", "b.cklo", "b.ckhi")
+    val sday = scaleSql("o.day", "b.daylo", "b.dayhi")
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT o_custkey AS ck, epoch_us(o_orderdate) // $DayUs AS day
+       |  FROM orders),
+       |b AS MATERIALIZED (
+       |  SELECT MIN(ck) AS cklo, MAX(ck) AS ckhi,
+       |         MIN(day) AS daylo, MAX(day) AS dayhi FROM o),
+       |z AS (
+       |  SELECT o.ck, o.day,
+       |    (${spreadSql(sck)} | (${spreadSql(sday)} << 1)) >> $ZShift AS bucket
+       |  FROM o CROSS JOIN b)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MAX(ck) - MIN(ck) AS ck_span,
+       |  MAX(day) - MIN(day) AS day_span
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** x69: z-order clustering statistics — each contiguous z-range's row
+    * count and per-dimension value span over (o_custkey, order-day).
+    * This is the measurable form of the layout claim: under a
+    * lexicographic sort every range spans the FULL secondary dimension;
+    * under the Morton code every range is a small box of (ck, day)
+    * space, which is exactly what parquet row-group min/max stats prune
+    * on. LayoutSpec asserts the file-level pruning; this query makes the
+    * interleave itself oracle-checked (bit-for-bit, including the
+    * scale-normalization arithmetic).
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast into a pure-map
+    * z computation, one bucket-keyed aggregation — the stats pass of a
+    * layout job, linear in the table with bounded output. */
+  val zorderStats = graft.Q.withOracle(
+    "x69_zorder_stats",
+    "x69: per-z-range row counts and dimension spans over (o_custkey, order day)",
+    zorderOracle) { (s, dir) =>
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        expr(s"unix_micros(o_orderdate) div $DayUs").as("day"))
+    val b = o.agg(min(col("ck")).as("cklo"), max(col("ck")).as("ckhi"),
+      min(col("day")).as("daylo"), max(col("day")).as("dayhi"))
+    def scaled(c: Column, lo: Column, hi: Column): Column =
+      floor((c - lo).cast("double") * lit((1L << Bits) - 1) /
+        greatest(hi - lo, lit(1L)))
+    val z = o.crossJoin(broadcast(b)) // 1-row bounds scalar
+      .select(col("ck"), col("day"),
+        shiftright(zValue(
+          scaled(col("ck"), col("cklo"), col("ckhi")),
+          scaled(col("day"), col("daylo"), col("dayhi"))), ZShift).as("bucket"))
+    z.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (max(col("ck")) - min(col("ck"))).as("ck_span"),
+        (max(col("day")) - min(col("day"))).as("day_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[graft.Q] = Seq(zorderStats)
 }

@@ -205,4 +205,26 @@ class LayoutSpec extends SparkSuite {
     assert(zRows < lexRows,
       s"z-order must out-prune lexicographic on the trailing dimension: z=$zRows lex=$lexRows total=$total")
   }
+
+  test("x69 stats: every z-range is a small BOX of both dimensions") {
+    import org.apache.spark.sql.functions.{expr, unix_micros, col => c}
+    val o = Tables.orders(spark, sf).select(
+      c("o_custkey").as("ck"), expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+    val Seq(ckSpan, daySpan) = {
+      val r = o.agg(org.apache.spark.sql.functions.max(c("ck")) - org.apache.spark.sql.functions.min(c("ck")),
+        org.apache.spark.sql.functions.max(c("day")) - org.apache.spark.sql.functions.min(c("day"))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val stats = Layout.zorderStats.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats.map(_._2).sum === o.count())
+    assert(stats.length <= 256)
+    // shift 24 keeps 4 high bits per dimension: each bucket covers at
+    // most 1/16 of each scaled axis (+ rounding slack) — a BOX, where a
+    // single-column sort leaves the other axis spanning ~everything
+    assert(stats.map(_._3).max <= ckSpan / 8,
+      s"ck boxes too wide: ${stats.map(_._3).max} vs global $ckSpan")
+    assert(stats.map(_._4).max <= daySpan / 8,
+      s"day boxes too wide: ${stats.map(_._4).max} vs global $daySpan")
+  }
 }

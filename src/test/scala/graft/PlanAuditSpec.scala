@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSuite {
     "x60_triangle_count",          // three 1-row scalars (nodes/edges/triangles) composed by cross join
     "x61_association_rules",       // broadcast of the 1-row basket-count scalar
     "x67_gapfill_weekly",          // broadcast of the 1-row calendar-bounds scalar into the spine
+    "x69_zorder_stats",            // broadcast of the 1-row dimension-bounds scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

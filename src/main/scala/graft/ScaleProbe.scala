@@ -234,7 +234,11 @@ object ScaleProbe {
       // x68: 4-row rollup; the full-outer key join carries f× rows
       // per copy in disjoint key spaces — wall should track the one
       // co-partitioned shuffle linearly
-      "x68_snapshot_diff")
+      "x68_snapshot_diff",
+      // x69: ≤256-row stats; pure-map z computation + bucket agg —
+      // wall tracks the orders scan linearly (key-shifted copies widen
+      // the ck domain, the scale normalization absorbs it)
+      "x69_zorder_stats")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{AggView, BlockDedupFeed, Cdc}
+import graft.streaming.{AggView, BlockDedupFeed, Cdc, KmvFeed}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +49,7 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,bpe,probek) for fast re-probe of one section.
+    // (bdf,cdc,aggview,pqfeed,kmv,bpe,probek) for fast re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -179,6 +179,39 @@ object IncProbe {
           .write.format("noop").mode("overwrite").save()
       }
       emit("pqfeed_apply", f, sec)
+    } }
+
+    // ---- KmvFeed: sketch merge increment vs event history -------------
+    // History unit = the sf0.1 events (10k rows), user-shifted per copy
+    // (each unit contributes 150 fresh users per type). Timed batch =
+    // 2,000 fresh-user events. The claim is the degenerate best case of
+    // the incremental family: the store after ANY history is ≤ 5 keys ×
+    // 32 longs, so the batch cost CANNOT grow with history — this row
+    // demonstrates the mergeable-sketch contract the KmvFeed scaladoc
+    // states, where BlockDedupFeed/Cdc must engineer bucket pruning to
+    // approximate it.
+    section("kmv") { factors.foreach { f =>
+      val dir = s"/tmp/graft-inc-kmv-$f"
+      deleteDir(spark, dir)
+      var store: DataFrame =
+        Seq.empty[(String, Array[Long])].toDF("event_type", "mins")
+      (0 until f).foreach { k =>
+        val unit = ScaleProbe.scaledEvents(spark, base, k + 1)
+          .filter(col("user_id") >= k * 100000000L) // copy k only
+        KmvFeed.applyBatch(store, unit)
+          .write.mode("overwrite").parquet(s"$dir/sketch.parquet")
+        store = spark.read.parquet(s"$dir/sketch.parquet")
+      }
+      def fresh(seed: Long) = spark.range(2000).select(
+        (col("id") * 7919L + seed * 1000000L + 900000000L).as("user_id"),
+        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"))
+      KmvFeed.applyBatch(store, fresh(1))
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        KmvFeed.applyBatch(store, fresh(2))
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit("kmvfeed_apply", f, sec)
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

@@ -29,11 +29,24 @@ import org.apache.spark.sql.functions._
 object Kmv {
 
   /** Hash modulus/multiplier — x26's Knuth modular hash (Curation.scala
-    * documents the overflow bound; identical on any engine). */
-  private val P = 1000003L
-  private val Kn = 2654435761L % P // = 427799
+    * documents the overflow bound; identical on any engine). Shared with
+    * [[graft.streaming.KmvFeed]] so the incremental sketch merges into
+    * the same hash space. */
+  private[graft] val P = 1000003L
+  private[graft] val Kn = 2654435761L % P // = 427799
   /** Sketch size: 32 mins → ~18% standard error, the textbook k/ε² rule. */
-  private val SketchK = 32
+  private[graft] val SketchK = 32
+
+  /** The sketch hash as a Column (shared batch/streaming). */
+  private[graft] def hashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((c % P) * Kn) % P
+
+  /** (h_k, estimate) read off a sorted distinct min-k buffer; None while
+    * the group holds fewer than k distinct hashes (the buffer IS the
+    * exact set there). Integer division matches the oracle's `//`. */
+  private[graft] def estimate(mins: Array[Long]): Option[(Long, Long)] =
+    if (mins.length < SketchK) None
+    else Some((mins(SketchK - 1), (SketchK - 1) * P / mins(SketchK - 1)))
 
   /** Bounded DISTINCT smallest-k collector over longs — [[Ivf]]'s
     * BoundedMinN with duplicate suppression (KMV is defined over the
@@ -98,7 +111,7 @@ object Kmv {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val mins = ev
-      .select(col("event_type"), (((col("user_id") % P) * Kn) % P).as("h"))
+      .select(col("event_type"), hashCol(col("user_id")).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(new BoundedDistinctMinK(SketchK).toColumn.name("mins"))

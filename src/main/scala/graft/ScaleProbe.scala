@@ -238,7 +238,11 @@ object ScaleProbe {
       // x69: ≤256-row stats; pure-map z computation + bucket agg —
       // wall tracks the orders scan linearly (key-shifted copies widen
       // the ck domain, the scale normalization absorbs it)
-      "x69_zorder_stats")
+      "x69_zorder_stats",
+      // x70: top-100 bounded output; per-copy graphs are disjoint, so
+      // each round's edge⋈label join and the packed-min agg carry
+      // exactly f× the base edges
+      "x70_label_propagation")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

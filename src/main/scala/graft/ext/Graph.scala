@@ -248,5 +248,74 @@ object Graph {
       .orderBy(col("hop"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, bfs)
+  // ---- x70: label propagation communities ---------------------------
+
+  /** LPA rounds — synchronous updates; fixed so the oracle CTE chain is
+    * bounded and both engines replay the same (possibly un-converged)
+    * state. */
+  private val LpaRounds = 3
+  /** Label pack base: labels stay < 2^31 (part keys ≤ 10^9 even under
+    * the probe's 10^8 key stride), counts < 2^31 trivially — the packed
+    * (2^31 − count)·2^31 + label long realizes argmax-count with
+    * min-label ties as ONE min() so the per-round aggregation is a hash
+    * aggregate with map-side partials (a struct max_by has an immutable
+    * buffer and silently falls back to SortAggregate — the round-5 plan
+    * defect this pack rule exists to avoid). */
+  private val PackBase = 1L << 31
+
+  private def lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v, label FROM (
+         |    SELECT e.dst AS v, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM pairs e JOIN l${k - 1} l ON l.v = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, src AS label FROM pairs),
+       |$rounds
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l$LpaRounds GROUP BY label
+       |ORDER BY n_nodes DESC, community LIMIT 100""".stripMargin
+  }
+
+  /** x70: synchronous label propagation over the part co-occurrence
+    * graph — each round every node adopts the most frequent label among
+    * its neighbors (ties → smallest), realized as one keyed count
+    * aggregation plus one packed-long min per round. Completes the
+    * graph family: CC (x16) answers "connected?", LPA answers "which
+    * DENSE region?" — communities are the curation unit for
+    * domain-cluster analysis over co-occurrence graphs. */
+  val labelProp = Q.withOracle(
+    "x70_label_propagation",
+    s"x70: $LpaRounds-round label propagation communities (top-100 by size)",
+    lpaOracle) { (s, dir) =>
+    val pairs = coEdges(s, dir).localCheckpoint() // read once per round
+    var labels = pairs.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      labels = pairs.join(labels, col("v") === col("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min((lit(PackBase) - col("c")) * lit(PackBase) + col("label")).as("p"))
+        .select(col("dst").as("v"), pmod(col("p"), lit(PackBase)).as("label"))
+        .localCheckpoint() // each round's labels feed the next join
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .select(col("label").as("community"), col("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community")).limit(100)
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, bfs, labelProp)
 }

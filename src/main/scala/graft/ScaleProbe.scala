@@ -242,7 +242,13 @@ object ScaleProbe {
       // x70: top-100 bounded output; per-copy graphs are disjoint, so
       // each round's edge⋈label join and the packed-min agg carry
       // exactly f× the base edges
-      "x70_label_propagation")
+      "x70_label_propagation",
+      // x71: one row per doc (linear); gram spaces are copy-disjoint so
+      // ownership windows are copy-local
+      "x71_gram_novelty",
+      // x72: renamed copies KEEP their source tags, so the matrix stays
+      // C(20,2) rows while each source's distinct-gram set grows f×
+      "x72_source_overlap")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

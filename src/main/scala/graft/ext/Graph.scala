@@ -317,5 +317,64 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("community")).limit(100)
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, bfs, labelProp)
+  // ---- x73: k-core peeling ------------------------------------------
+
+  /** Degree threshold for the core. */
+  private val CoreK = 16
+  /** Peeling rounds — fixed so the oracle chain is bounded; true k-core
+    * iterates to a fixed point, and the per-round survivor counts this
+    * emits show how fast the peel converges on this graph. */
+  private val CoreRounds = 4
+
+  private def kcoreOracle: String = {
+    val rounds = (1 to CoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS c FROM e${r - 1} GROUP BY src),
+         |k$r AS MATERIALIZED (SELECT src AS v FROM d$r WHERE c >= $CoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.v JOIN k$r b ON e.dst = b.v)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to CoreRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  CAST((SELECT COUNT(*) FROM k$r) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
+  /** x73: k-core peeling — [[CoreRounds]] rounds of degree-filter +
+    * induced-subgraph restriction toward the [[CoreK]]-core, emitting
+    * per-round survivor counts. The dense-subgraph extraction primitive
+    * (peel the crawl graph's periphery before expensive per-node work);
+    * each round is one degree aggregation plus two node-keyed
+    * semi-joins — the peel only ever SHRINKS the edge table, the
+    * monotone mirror of x63's growing frontier. */
+  val kcore = Q.withOracle(
+    "x73_kcore_peel",
+    s"x73: $CoreRounds-round peel toward the $CoreK-core (per-round survivor counts)",
+    kcoreOracle) { (s, dir) =>
+    var e = coEdges(s, dir).localCheckpoint()
+    val perRound = (1 to CoreRounds).map { r =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= CoreK).select(col("src").as("v"))
+        .localCheckpoint() // both semi-join sides + the count read it
+      e = e.join(keep, col("src") === col("v")).drop("v")
+        .join(keep, col("dst") === col("v")).drop("v")
+        .localCheckpoint() // next round peels the shrunken table
+      keep.agg(count(lit(1)).cast("long").as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).cast("long").as("n_edges"))) // 1-row scalars
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    perRound.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, bfs, labelProp, kcore)
 }

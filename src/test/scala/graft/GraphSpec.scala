@@ -111,4 +111,20 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._2).sum === 3L)
     assert(got.map(_._1).forall(Set(5L, 7L, 9L)))
   }
+
+  test("x73 crafted: peeling cascades — pendant first, then its support") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    // K17 clique (degree 16 = CoreK, survives); node 200 rides 15 clique
+    // edges + pendant 100. Round 1 peels 100 (deg 1); round 2 peels 200
+    // (deg drops 16 -> 15 once 100 is gone); the clique is the fixed
+    // point - the cascade is the k-core property the single-pass degree
+    // filter doesn't have.
+    write(dir,
+      (1L to 17L).map(p => (1L, p)) ++
+        ((2L, 200L) +: (1L to 15L).map(p => (2L, p))) ++
+        Seq((3L, 100L), (3L, 200L)))
+    val got = ext.Graph.kcore.fn(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1, 18L, 302L), (2, 17L, 272L), (3, 17L, 272L), (4, 17L, 272L)))
+  }
 }

@@ -248,7 +248,10 @@ object ScaleProbe {
       "x71_gram_novelty",
       // x72: renamed copies KEEP their source tags, so the matrix stays
       // C(20,2) rows while each source's distinct-gram set grows f×
-      "x72_source_overlap")
+      "x72_source_overlap",
+      // x73: 4-row output; each round's degree agg + semi-joins carry
+      // f× the base edges, shrinking monotonically within each copy
+      "x73_kcore_peel")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -361,19 +361,28 @@ object Graph {
     "x73_kcore_peel",
     s"x73: $CoreRounds-round peel toward the $CoreK-core (per-round survivor counts)",
     kcoreOracle) { (s, dir) =>
+    // Superseded checkpoints are unpersisted as the peel advances and
+    // the per-round counts land as 2·CoreRounds driver longs (bounded
+    // metadata) — holding every round's edge generation in the block
+    // manager instead kept O(rounds · edges) blocks alive per
+    // invocation and thrashed the heap at the 10× probe factor.
     var e = coEdges(s, dir).localCheckpoint()
     val perRound = (1 to CoreRounds).map { r =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= CoreK).select(col("src").as("v"))
         .localCheckpoint() // both semi-join sides + the count read it
+      val prev = e
       e = e.join(keep, col("src") === col("v")).drop("v")
         .join(keep, col("dst") === col("v")).drop("v")
         .localCheckpoint() // next round peels the shrunken table
-      keep.agg(count(lit(1)).cast("long").as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).cast("long").as("n_edges"))) // 1-row scalars
-        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      prev.unpersist()
+      val nn = keep.count()
+      keep.unpersist()
+      (r, nn, e.count())
     }
-    perRound.reduce(_ unionByName _).orderBy(col("round"))
+    e.unpersist()
+    s.createDataFrame(perRound).toDF("round", "n_nodes", "n_edges")
+      .orderBy(col("round"))
   }
 
   val all: Seq[Q] = Seq(pagerank, triangles, bfs, labelProp, kcore)

@@ -78,5 +78,57 @@ object Diff {
       .orderBy(col("change"))
   }
 
-  val all: Seq[Q] = Seq(snapshotDiffRollup)
+  // ---- x74: order-independent table checksum ------------------------
+
+  /** Sub-checksum buckets — 64 longs localize a divergence to 1/64 of
+    * the key-hash space before any row moves (the merkle-root idea at
+    * depth 1; deeper trees are this same query over one bucket). */
+  private val ChecksumBuckets = 64
+  /** Fold modulus 2^61: keeps the bucket checksum in a positive long;
+    * the decimal(38) running sum holds ~8×10^19 max-hash rows exact. */
+  private val Mod = 2305843009213693952L
+
+  private def checksumOracle: String =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT CAST(concat('0x', substr(md5(
+       |      concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+       |        CAST(floor(o_totalprice * 100) AS BIGINT),
+       |        epoch_us(o_orderdate), o_orderpriority)), 1, 15)) AS BIGINT) AS h
+       |  FROM orders)
+       |SELECT CAST(h % $ChecksumBuckets AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(h) % $Mod AS BIGINT) AS checksum
+       |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** x74: bucketed order-independent checksum of `orders` — x68's
+    * reconciliation when only metadata can move (cross-cluster replica
+    * verification ships 64 longs, not the table). Every ingredient is
+    * cross-engine canonical: integer/string columns print identically,
+    * the double canonicalizes to exact cents (`floor(x·100)` on the
+    * identical IEEE product), the timestamp to epoch-µs, and the row
+    * hash is md5's first 60 bits. Integer sums are order-independent
+    * (and commutative across partitions), carried in decimal(38) so
+    * ANSI mode cannot overflow, folded mod 2^61.
+    *
+    * Scale shape: a pure-map hash projection plus one 64-cell hash
+    * aggregate with map-side partials — the cheapest possible full-scan
+    * QA pass, and the bucket granularity is the recursion knob (diverged
+    * bucket → rerun over that bucket with a deeper split). */
+  val tableChecksum = Q.withOracle(
+    "x74_table_checksum",
+    s"x74: bucketed order-independent md5 checksum of orders ($ChecksumBuckets buckets)",
+    checksumOracle) { (s, dir) =>
+    val canonical = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      unix_micros(col("o_orderdate")), col("o_orderpriority"))
+    val h = Tables.orders(s, dir)
+      .select(conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
+    h.groupBy((col("h") % ChecksumBuckets).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % Mod).cast("long").as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(snapshotDiffRollup, tableChecksum)
 }

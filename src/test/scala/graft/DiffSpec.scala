@@ -41,6 +41,38 @@ class DiffSpec extends SparkSuite {
       (1L, "x") -> "unchanged", (1L, "y") -> "removed", (2L, "y") -> "added"))
   }
 
+  test("x74 checksum: one flipped cell moves exactly one bucket; counts hold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    def write(rows: Seq[(Long, Long, String, Double, java.sql.Timestamp, String)], d: String) =
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val base = (1L to 200L).map(i => (i, i % 7, "O", i * 1.25, t0, "1-URGENT"))
+    write(base, dir)
+    val a = graft.etl.Diff.tableChecksum.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toMap2
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cksum2").toString
+    write(base.map(r => if (r._1 == 42L) r.copy(_3 = "F") else r), dir2)
+    val b = graft.etl.Diff.tableChecksum.fn(spark, dir2)
+      .as[(Long, Long, Long)].collect().toMap2
+    // row COUNT per bucket may move (the row re-hashes into another
+    // bucket) but at most two buckets differ, and at least one does
+    val diff = (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+    assert(diff.nonEmpty && diff.size <= 2, s"diverged buckets: $diff")
+    // and the checksum is partitioning/order-invariant
+    val shuffled = spark.read.parquet(s"$dir/orders.parquet").repartition(13)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-cksum3").toString
+    shuffled.write.parquet(s"$dir3/orders.parquet")
+    val c = graft.etl.Diff.tableChecksum.fn(spark, dir3)
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(c === a)
+  }
+
+  private implicit class Tup3Map(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("schema mismatch fails loud") {
     val old = Seq((1L, "a")).toDF("k", "s")
     val nw = Seq((1L, 2.0)).toDF("k", "v")

@@ -251,7 +251,10 @@ object ScaleProbe {
       "x72_source_overlap",
       // x73: 4-row output; each round's degree agg + semi-joins carry
       // f× the base edges, shrinking monotonically within each copy
-      "x73_kcore_peel")
+      "x73_kcore_peel",
+      // x74: 64-row output at any size; pure-map hash + one 64-cell
+      // agg — the flattest possible full-scan shape
+      "x74_table_checksum")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

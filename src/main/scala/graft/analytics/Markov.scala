@@ -49,5 +49,51 @@ object Markov {
       .orderBy(col("src"), col("dst"))
   }
 
-  val all: Seq[Q] = Seq(transitions)
+  // ---- x75: top-k event paths ---------------------------------------
+
+  /** Paths reported. */
+  private val PathK = 25
+
+  private def pathsOracle: String =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT user_id,
+       |    list_transform(list_sort(list({'us': epoch_us(ts),
+       |      'eid': event_id, 't': event_type})), r -> r.t) AS seq
+       |  FROM events GROUP BY user_id),
+       |tri AS MATERIALIZED (
+       |  SELECT unnest(list_transform(generate_series(1, len(seq) - 2),
+       |    i -> seq[i] || ' ' || seq[i+1] || ' ' || seq[i+2])) AS path
+       |  FROM per)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM tri GROUP BY path ORDER BY n DESC, path LIMIT $PathK""".stripMargin
+
+  /** x75: most common 3-event paths — the sequence-mining step up from
+    * x62's 1-step matrix (path analysis: which JOURNEYS dominate, not
+    * just which transition). Per-user ordered sequences fold out their
+    * consecutive type trigrams via the same codegen'd `shingle_str3`
+    * the text family uses; counts aggregate on the path key.
+    *
+    * Scale shape: one user-keyed shuffle (per-user state = the ordered
+    * event list, x57's documented contract), then one path-keyed hash
+    * agg with map-side partials and a bounded top-k — no self-joins at
+    * any path length (k-grams generalize by swapping the gram arity,
+    * not by adding joins). */
+  val topPaths = Q.withOracle(
+    "x75_top_paths",
+    s"x75: top-$PathK 3-event user paths (sequence mining over ordered event types)",
+    pathsOracle) { (s, dir) =>
+    graft.functions.ShingleStr3.register(s)
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("t")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(explode(graft.functions.ShingleStr3.shingleStr3(
+        transform(col("es"), e => e.getField("t")))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("path")).limit(PathK)
+  }
+
+  val all: Seq[Q] = Seq(transitions, topPaths)
 }

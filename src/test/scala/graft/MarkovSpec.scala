@@ -45,4 +45,24 @@ class MarkovSpec extends SparkSuite {
     val expected = ev.count() - ev.select($"user_id").distinct().count()
     assert(rows.map(_._3).sum === expected)
   }
+
+  test("x75 crafted paths: trigram counts, user isolation, same-ts tie order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    write(dir, Seq(
+      // u1: a b c d -> paths "a b c", "b c d"
+      (1L, "2024-01-01 00:00:01", 1L, "a"),
+      (2L, "2024-01-01 00:00:02", 1L, "b"),
+      (3L, "2024-01-01 00:00:03", 1L, "c"),
+      (4L, "2024-01-01 00:00:04", 1L, "d"),
+      // u2: a b c (b and c share a timestamp: event_id breaks the tie)
+      (5L, "2024-01-01 00:00:01", 2L, "a"),
+      (6L, "2024-01-01 00:00:02", 2L, "b"),
+      (7L, "2024-01-01 00:00:02", 2L, "c"),
+      // u3: too short for any path - and no path may span users
+      (8L, "2024-01-01 00:00:01", 3L, "x"),
+      (9L, "2024-01-01 00:00:02", 3L, "y")))
+    val got = analytics.Markov.topPaths.fn(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b c", 2L), ("b c d", 1L)))
+  }
 }

@@ -254,7 +254,10 @@ object ScaleProbe {
       "x73_kcore_peel",
       // x74: 64-row output at any size; pure-map hash + one 64-cell
       // agg — the flattest possible full-scan shape
-      "x74_table_checksum")
+      "x74_table_checksum",
+      // x75: top-25 bounded output; per-copy user spaces disjoint so
+      // sequences replicate, path counts scale by f
+      "x75_top_paths")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -24,6 +24,7 @@ object SparkEntry {
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       etl.Diff.all ++
+      etl.Audit.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++
       ext.Rewrite.all ++

@@ -1,0 +1,93 @@
+package graft.etl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audits over the star schema — the two test
+  * classes the reference enforces with Postgres constraints (`nb` DDL:
+  * FK clauses, NOT NULL) that a lake table cannot enforce at write
+  * time and must therefore CHECK after load: referential integrity and
+  * freshness. Together with d6 (grain), x56 (profile), and v1/v2
+  * (parses) this completes the standard test battery a pipeline runs
+  * per load.
+  *
+  * Scale shape: each relation audit is one LEFT ANTI join on the FK —
+  * child-side shuffle only, parent sides are dims (nation/region
+  * broadcast; orders/customer co-partition) — and the output is one
+  * bounded row per declared relation. Freshness is one max + one
+  * filtered count per key at |event types| grain.
+  */
+object Audit {
+
+  /** Declared FK relations: child table, FK column, parent table, PK. */
+  private val Relations: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  private def orphanOracle: String =
+    Relations.map { case (c, fk, p, pk) =>
+      s"""SELECT '$c.$fk -> $p.$pk' AS relation,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+         |  CAST(COUNT(DISTINCT c.$fk) AS BIGINT) AS n_orphan_keys
+         |FROM $c c LEFT JOIN $p p ON c.$fk = p.$pk
+         |WHERE p.$pk IS NULL""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY relation"
+
+  /** x76: referential-integrity audit — orphaned child rows/keys per
+    * declared FK relation (zero on healthy data; the row EXISTS either
+    * way, so a regression reads as a value change, not a missing row). */
+  val fkOrphans = Q.withOracle(
+    "x76_fk_orphans",
+    s"x76: orphan counts for ${Relations.size} declared FK relations",
+    orphanOracle) { (s, dir) =>
+    Relations.map { case (c, fk, p, pk) =>
+      val child = Tables.table(s, dir, c).select(col(fk))
+      val parent = Tables.table(s, dir, p).select(col(pk))
+      child.join(parent, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_orphan_rows"),
+          countDistinct(col(fk)).cast("long").as("n_orphan_keys"))
+        .select(lit(s"$c.$fk -> $p.$pk").as("relation"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _).orderBy(col("relation"))
+  }
+
+  /** Freshness window (µs): events older than this against the global
+    * high-water mark count as stale. */
+  private val FreshUs = 7L * 86400000000L
+
+  private def freshnessOracle: String =
+    s"""WITH hw AS MATERIALIZED (SELECT MAX(epoch_us(ts)) AS hi FROM events)
+       |SELECT e.event_type,
+       |  CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS last_us,
+       |  CAST(hw.hi - MAX(epoch_us(e.ts)) AS BIGINT) AS lag_us,
+       |  CAST(COUNT(*) FILTER (
+       |    WHERE epoch_us(e.ts) > hw.hi - $FreshUs) AS BIGINT) AS n_fresh
+       |FROM events e CROSS JOIN hw
+       |GROUP BY e.event_type, hw.hi ORDER BY e.event_type""".stripMargin
+
+  /** x77: freshness audit — per-key last-event time, lag behind the
+    * global high-water mark, and the count inside the trailing window
+    * (a silent feed shows up as a growing lag before anything breaks). */
+  val freshness = Q.withOracle(
+    "x77_freshness",
+    "x77: per-event-type freshness lag vs the global high-water mark",
+    freshnessOracle) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val hw = ev.agg(max(col("us")).as("hi"))
+    ev.crossJoin(broadcast(hw)) // 1-row high-water scalar
+      .groupBy(col("event_type"), col("hi"))
+      .agg(max(col("us")).as("last_us"),
+        sum(when(col("us") > col("hi") - FreshUs, 1L).otherwise(0L))
+          .cast("long").as("n_fresh"))
+      .select(col("event_type"), col("last_us"),
+        (col("hi") - col("last_us")).as("lag_us"), col("n_fresh"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(fkOrphans, freshness)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+/** x76/x77 data-quality audits: the oracles certify zeros on the healthy
+  * corpus; these pin the DETECTION paths — planted orphans (rows vs
+  * distinct keys), and a silent feed's freshness lag. */
+class AuditSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("x76: planted orphans count rows and distinct keys separately") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // orders 1 and 2 exist; lineitem references 1, 2, and TWICE the
+    // missing order 99 (2 orphan rows, 1 orphan key)
+    Seq((1L, 10L, "O", 1.0, t0, "p"), (2L, 11L, "O", 1.0, t0, "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 2L), (99L, 3L), (99L, 4L))
+      .map { case (ok, ln) => (ok, ln, t0) }
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // satisfy the remaining declared relations with healthy tiny tables
+    Seq((10L, 0L), (11L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, "r")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val got = etl.Audit.fkOrphans.fn(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("lineitem.l_orderkey -> orders.o_orderkey") === ((2L, 1L)))
+    assert(got.filterKeys(_ != "lineitem.l_orderkey -> orders.o_orderkey")
+      .values.forall(_ == ((0L, 0L))))
+  }
+
+  test("x77: a silent feed reads as lag; the fresh window counts correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit2").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 'live' events up to Jan 20 (high-water); 'stale' stopped Jan 5 —
+    // 15 days behind, outside the 7-day window
+    Seq(
+      (1L, ts("2024-01-20 00:00:00"), 1L, "live", 0.0, ""),
+      (2L, ts("2024-01-16 00:00:00"), 1L, "live", 0.0, ""),
+      (3L, ts("2024-01-01 00:00:00"), 1L, "live", 0.0, ""),
+      (4L, ts("2024-01-05 00:00:00"), 2L, "stale", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = etl.Audit.freshness.fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val day = 86400000000L
+    assert(got("live") === ((0L, 2L)))       // Jan 20 + Jan 16 inside 7d; Jan 1 out
+    assert(got("stale") === ((15L * day, 0L)))
+  }
+}

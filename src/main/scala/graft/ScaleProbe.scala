@@ -257,7 +257,11 @@ object ScaleProbe {
       "x74_table_checksum",
       // x75: top-25 bounded output; per-copy user spaces disjoint so
       // sequences replicate, path counts scale by f
-      "x75_top_paths")
+      "x75_top_paths",
+      // x77: 5-row output; one high-water scalar + one type-grain agg
+      // (x76 sits out: the probe writes no customer/supplier/nation/
+      // region tables, so only two of its five relations would load)
+      "x77_freshness")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

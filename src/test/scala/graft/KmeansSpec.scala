@@ -55,4 +55,17 @@ class KmeansSpec extends SparkSuite {
     val r2 = ext.Kmeans.train.fn(spark, sf).collect().map(_.toSeq).toSeq
     assert(r1 === r2)
   }
+
+  test("training is invariant under hostile physical layout") {
+    // md5-rank seeds + associative integer sums promise the model is a
+    // function of the SET of vectors, not their partitioning — the
+    // property that makes retraining reproducible across cluster sizes
+    val base = ext.Kmeans.train.fn(spark, sf).collect().map(_.toSeq).toSeq
+    val shuffled = Tables.embeddings(spark, sf)
+      .repartition(7, col("label")) // skewed, non-id layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-shuf").toString
+    shuffled.write.parquet(s"$dir/embeddings.parquet")
+    val got = ext.Kmeans.train.fn(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === base)
+  }
 }

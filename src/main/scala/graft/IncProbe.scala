@@ -202,9 +202,19 @@ object IncProbe {
           .write.mode("overwrite").parquet(s"$dir/sketch.parquet")
         store = spark.read.parquet(s"$dir/sketch.parquet")
       }
+      // Fresh events reuse the store's REAL event_type values, so the
+      // timed applyBatch exercises the sketch-MERGE path (new users
+      // folding into existing per-type sketches) — disjoint t0..t4 types
+      // would time fresh-key sketch creation plus store pass-through
+      // instead, a weaker claim than the merge-increment one.
+      val storeTypes = Tables.events(spark, base)
+        .select(col("event_type")).distinct().as[String].collect().sorted
       def fresh(seed: Long) = spark.range(2000).select(
         (col("id") * 7919L + seed * 1000000L + 900000000L).as("user_id"),
-        concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"))
+        element_at(
+          array(storeTypes.map(lit): _*),
+          (pmod(col("id"), lit(storeTypes.length.toLong)) + 1).cast("int")
+        ).as("event_type"))
       KmvFeed.applyBatch(store, fresh(1))
         .write.format("noop").mode("overwrite").save() // warm
       val sec = time {

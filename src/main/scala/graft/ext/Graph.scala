@@ -33,7 +33,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Fixed-point scale for PageRank ranks (1.0 ≡ 1e12). */
+  /** Fixed-point scale for PageRank ranks (1.0 ≡ 1e12).
+    *
+    * Headroom bound (the LPA PackBase discipline): total rank mass is
+    * conserved at N·RScale, so the damping step's `85 * sum` needs
+    * N·RScale·85 < 2^63, i.e. N < ~1.08e5 nodes PER CONNECTED
+    * COMPONENT worth of mass funneling into one hub's in-neighbor sum.
+    * Beyond that, Spark under ANSI throws on the multiply while DuckDB
+    * silently widens SUM to HUGEINT — a loud-vs-silent divergence, not
+    * a wrong answer. For graphs whose hubs can absorb ≥1e5 nodes' mass,
+    * carry contributions in decimal(38,0) (the x74 checksum posture) or
+    * drop RScale to 1e9 (headroom ~1e8 nodes at 1e-9 rank resolution). */
   private val RScale = 1000000000000L
   /** Damping = 85/100 in exact integer arithmetic. */
   private val DampNum = 85L
@@ -240,9 +250,11 @@ object Graph {
       val reached = dist.filter(col("hop") === k - 1)
         .join(pairs, col("v") === col("src"))
         .select(col("dst").as("v"), lit(k).as("hop"))
+      val prev = dist
       dist = dist.unionAll(reached)
         .groupBy(col("v")).agg(min(col("hop")).as("hop"))
         .localCheckpoint() // each round's labels feed the next frontier
+      prev.unpersist() // superseded generation — the x73 block-manager hygiene
     }
     dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_nodes"))
       .orderBy(col("hop"))
@@ -295,6 +307,18 @@ object Graph {
     * graph family: CC (x16) answers "connected?", LPA answers "which
     * DENSE region?" — communities are the curation unit for
     * domain-cluster analysis over co-occurrence graphs. */
+  /** One synchronous LPA round: every node adopts the most frequent
+    * neighbor label (ties → smallest), as one keyed count aggregation
+    * plus one packed-long min (both hash aggregates with map-side
+    * partials — see [[PackBase]]). Shared by the fixed-round registered
+    * query and [[convergedLabelProp]]. */
+  private def lpaRound(pairs: DataFrame, labels: DataFrame): DataFrame =
+    pairs.join(labels, col("v") === col("src"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(min((lit(PackBase) - col("c")) * lit(PackBase) + col("label")).as("p"))
+      .select(col("dst").as("v"), pmod(col("p"), lit(PackBase)).as("label"))
+
   val labelProp = Q.withOracle(
     "x70_label_propagation",
     s"x70: $LpaRounds-round label propagation communities (top-100 by size)",
@@ -304,12 +328,10 @@ object Graph {
       .withColumn("label", col("v"))
       .localCheckpoint()
     for (_ <- 1 to LpaRounds) {
-      labels = pairs.join(labels, col("v") === col("src"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(min((lit(PackBase) - col("c")) * lit(PackBase) + col("label")).as("p"))
-        .select(col("dst").as("v"), pmod(col("p"), lit(PackBase)).as("label"))
+      val prev = labels
+      labels = lpaRound(pairs, labels)
         .localCheckpoint() // each round's labels feed the next join
+      prev.unpersist() // superseded generation — the x73 block-manager hygiene
     }
     labels.groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))

@@ -59,13 +59,26 @@ class AnomalySpec extends SparkSuite {
   }
 
   test("result is partitioning-invariant (the fold runs post-shuffle per user)") {
-    val base = run({
-      val dir = java.nio.file.Files.createTempDirectory("graft-anomaly3").toString
-      write(dir, (0 until 40).map(i =>
-        (i.toLong, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", (i % 3).toLong, (i * 7 % 11).toDouble)))
-      dir
-    })
+    // Same rows, two physical layouts: the default single-writer layout
+    // vs a skewed value-keyed repartition with every partition sorted in
+    // REVERSE event order — hostile to any fold that trusts file order.
+    // The full result map must match (the KmeansSpec hostile-layout
+    // pattern; asserting only counts never checks the invariance).
+    val rows = (0 until 40).map(i =>
+      (i.toLong, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", (i % 3).toLong, (i * 7 % 11).toDouble))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-anomaly3").toString
+    write(baseDir, rows)
+    val base = run(baseDir)
+    val hostileDir = java.nio.file.Files.createTempDirectory("graft-anomaly3h").toString
+    rows.map { case (id, ts, u, v) =>
+      (id, Timestamp.valueOf(ts), u, "view", v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(7, col("value")) // skewed, non-user layout
+      .sortWithinPartitions(col("ts").desc, col("event_id").desc)
+      .write.mode("overwrite").parquet(s"$hostileDir/events.parquet")
+    val hostile = run(hostileDir)
     assert(base.size === 3)
     assert(base.values.map(_._1).sum === 40L)
+    assert(hostile === base)
   }
 }

@@ -205,6 +205,13 @@ object ScaleProbe {
       // exactly f× the base graph's — the √m fan-out bound holds
       // per copy, so the closure join stays linear in the factor
       "x60_triangle_count",
+      // x60b: single-row output; the DOULION p=1/4 hash-sample thins
+      // the dedup shuffle to ~p of the pairs, wedge join rows to ~p²,
+      // and surviving triangles to ~p³ — wall should sit well under
+      // x60's at every factor, with the gap WIDENING as wedge work
+      // comes to dominate (the scale tier for the one inherently
+      // wedge-linear row)
+      "x60b_triangle_doulion",
       // x61: top-100 bounded output; basket self-join fan-out is
       // per-order bounded, supports replicate per copy
       "x61_association_rules",

@@ -163,12 +163,11 @@ object Graph {
       .localCheckpoint()
   }
 
-  /** Edges oriented low→high in the packed (degree, id) total order —
-    * ids are distinct so ties are impossible and the orientation is a
-    * DAG with O(√m)-bounded out-degrees. Exposed for the fan-out-bound
-    * spec. */
-  def orientedEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = undirected(s, dir)
+  /** Orient an undirected (u, v) edge set low→high in the packed
+    * (degree, id) total order, degrees computed ON THAT edge set — ids
+    * are distinct so ties are impossible and the orientation is a DAG
+    * with O(√m)-bounded out-degrees. */
+  private def orientEdgeSet(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     val ku = deg.select(col("p").as("u"), (col("d") * lit(4294967296L) + col("p")).as("kukey"))
@@ -179,6 +178,21 @@ object Graph {
         when(col("kukey") < col("kvkey"), col("v")).otherwise(col("u")).as("dst"),
         greatest(col("kukey"), col("kvkey")).as("kdst"))
   }
+
+  /** Closed-wedge (triangle) count of an oriented edge table as a 1-row
+    * scalar — the wedge join + closure probe shared by x60 and x60b. */
+  private def countTriangles(o: DataFrame): DataFrame = {
+    val wedges = o.as("a").join(o.as("b"),
+        col("a.src") === col("b.src") && col("a.kdst") < col("b.kdst"))
+      .select(col("a.dst").as("wu"), col("b.dst").as("wv"))
+    wedges.join(o.as("c"), col("wu") === col("c.src") && col("wv") === col("c.dst"))
+      .agg(count(lit(1)).cast("long").as("t"))
+  }
+
+  /** The full graph's oriented edges. Exposed for the fan-out-bound
+    * spec. */
+  def orientedEdges(s: SparkSession, dir: String): DataFrame =
+    orientEdgeSet(undirected(s, dir))
 
   /** x60: exact triangle count via degree-ordered edge orientation
     * (out-degree bounded by O(√m)) — wedge join + closure join, all
@@ -191,15 +205,94 @@ object Graph {
     // edge counts read off o directly - ONE edge construction total
     val o = orientedEdges(s, dir)
       .localCheckpoint() // pivot of both wedge sides, the closure probe, and the counts
-    val wedges = o.as("a").join(o.as("b"),
-        col("a.src") === col("b.src") && col("a.kdst") < col("b.kdst"))
-      .select(col("a.dst").as("wu"), col("b.dst").as("wv"))
-    val tri = wedges.join(o.as("c"), col("wu") === col("c.src") && col("wv") === col("c.dst"))
-      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val tri = countTriangles(o).select(col("t").as("n_triangles"))
     val nn = o.select(explode(array(col("src"), col("dst"))).as("p")).distinct()
       .agg(count(lit(1)).cast("long").as("n_nodes"))
     val ne = o.agg(count(lit(1)).cast("long").as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri) // three 1-row scalars
+  }
+
+  // ---- x60b: DOULION sampled-approximate triangle count -------------
+
+  /** Edge-keep nibbles for the DOULION sparsifier: first hex nibble of
+    * md5("u_v") in {0,1,2,3} → keep probability p = 1/4, estimator
+    * multiplier 1/p³ = 64. md5 of the canonical "u_v" string is the
+    * x17/x19 determinism pattern — the SAME edges survive on every
+    * engine, at any parallelism, so the DuckDB oracle replays the
+    * estimate EXACTLY (the approximation is vs x60's truth, never vs
+    * the oracle). */
+  private val TriSampleNibbles = Seq("0", "1", "2", "3")
+  private val TriSampleInvP3 = 64L
+
+  private def doulionOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |es AS MATERIALIZED (
+       |  SELECT u, v FROM e
+       |  WHERE substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 1)
+       |    IN (${TriSampleNibbles.map(n => s"'$n'").mkString(", ")})),
+       |deg AS MATERIALIZED (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS p FROM es UNION ALL SELECT v AS p FROM es)
+       |  GROUP BY 1),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN ku.d * 4294967296 + es.u < kv.d * 4294967296 + es.v
+       |              THEN es.u ELSE es.v END AS src,
+       |         CASE WHEN ku.d * 4294967296 + es.u < kv.d * 4294967296 + es.v
+       |              THEN es.v ELSE es.u END AS dst,
+       |         GREATEST(ku.d * 4294967296 + es.u, kv.d * 4294967296 + es.v) AS kdst
+       |  FROM es JOIN deg ku ON ku.p = es.u JOIN deg kv ON kv.p = es.v),
+       |t AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS st
+       |  FROM o a JOIN o b ON a.src = b.src AND a.kdst < b.kdst
+       |  JOIN o c ON c.src = a.dst AND c.dst = b.dst)
+       |SELECT CAST((SELECT COUNT(*) FROM es) AS BIGINT) AS n_sampled_edges,
+       |       st AS n_sampled_triangles,
+       |       CAST(st * $TriSampleInvP3 AS BIGINT) AS est_triangles
+       |FROM t""".stripMargin
+
+  /** x60b: DOULION-style approximate triangle count (Tsourakakis et
+    * al., KDD'09) — sparsify the edge set by a DETERMINISTIC hash
+    * predicate (keep iff md5("u_v") starts 0–3, p = 1/4), run x60's
+    * degree-oriented exact count on the survivors, scale by 1/p³. The
+    * scale tier for the one probe row that is inherently linear in
+    * wedge work: wedges on the sampled graph carry ~p² the join rows
+    * and triangles survive at p³, so the closure probe pays ~1/16 of
+    * x60's shuffle at p = 1/4 — and p is the lever (est. relative
+    * error ~ 1/√(p³·T) shrinks as triangles T grow, so LARGER graphs
+    * afford SMALLER p; measured −2.3% at sf0.01, −0.35% at sf0.1).
+    * Orientation degrees are computed on the SAMPLED graph — the
+    * estimator counts sampled-graph triangles exactly, and any
+    * orientation of the same edge set counts the same triangles. */
+  val trianglesApprox = Q.withOracle(
+    "x60b_triangle_doulion",
+    "x60b: DOULION p=1/4 hash-sampled approximate triangle count",
+    doulionOracle) { (s, dir) =>
+    // Sample BELOW the edge-dedup: the keep predicate commutes with
+    // DISTINCT (it reads only the (u, v) key), so filtering the raw
+    // self-join pairs first sends ~p of the rows through the dedup
+    // shuffle — the oracle's post-dedup filter is the same edge set.
+    val li = orderParts(s, dir)
+    val keep = substring(
+      md5(concat(col("a.p").cast("string"), lit("_"), col("b.p").cast("string"))),
+      1, 1).isin(TriSampleNibbles: _*)
+    val sampled = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .filter(keep)
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val o = orientEdgeSet(sampled)
+      .localCheckpoint() // pivot of both wedge sides + the closure probe
+    val tri = countTriangles(o)
+    val ne = o.agg(count(lit(1)).cast("long").as("n_sampled_edges"))
+    ne.crossJoin(tri) // two 1-row scalars
+      .select(col("n_sampled_edges"),
+        col("t").as("n_sampled_triangles"),
+        (col("t") * lit(TriSampleInvP3)).cast("long").as("est_triangles"))
   }
 
   /** BFS depth — bounded frontier expansion rounds; hop-3 closure is the
@@ -407,5 +500,5 @@ object Graph {
       .orderBy(col("round"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, bfs, labelProp, kcore)
+  val all: Seq[Q] = Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore)
 }

@@ -31,6 +31,22 @@ class GraphSpec extends SparkSuite {
     assert(got === ((7L, 10L, 5L)))
   }
 
+  test("x60b estimator vs x60 truth on sf0.1: within 10% with exact 1/p^3 scaling") {
+    // The DOULION pin the oracle can't give (the oracle replays the
+    // same sampled count, so it never checks the estimate against the
+    // TRUTH): at sf0.1 (1.88M triangles) the deterministic p=1/4
+    // hash-sample's estimate must land within 10% of x60's exact count
+    // (estimator std-dev ~ 1/sqrt(p^3*T) ~ 0.6% here; measured -0.35%).
+    val big = "/root/testdata/sf0.1"
+    val exact = ext.Graph.triangles.fn(spark, big)
+      .select($"n_triangles").as[Long].collect().head
+    val (sampledEdges, sampledTri, est) = ext.Graph.trianglesApprox.fn(spark, big)
+      .as[(Long, Long, Long)].collect().head
+    assert(est === sampledTri * 64L) // the estimator identity, exactly
+    assert(math.abs(est - exact).toDouble / exact < 0.10,
+      s"DOULION estimate $est vs exact $exact (sampled edges $sampledEdges)")
+  }
+
   test("x59 crafted: symmetric 2-cycle is stationary at exactly RScale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph2").toString
     write(dir, Seq((1L, 10L), (1L, 20L)))

@@ -102,8 +102,34 @@ object ScaleProbe {
   def scaledLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
     shifted(Tables.lineitem(spark, baseDir), Seq("l_orderkey", "l_partkey"), factor)
 
+  /** Dim tables for the FK-audit probe (round 11 — x76 previously sat
+    * out because the probe wrote no dims): every FK column and its
+    * parent PK shift by the SAME stride, so each copy's star schema is
+    * referentially intact in its own key space — x76's orphan counts
+    * stay 0 at every factor and the wall tracks the child-side scans.
+    * nation/region are 25/5-row broadcast dims; replicating them per
+    * copy keeps the joins broadcastable at any factor. */
+  def scaledCustomer(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
+    shifted(Tables.customer(spark, baseDir), Seq("c_custkey", "c_nationkey"), factor)
+
+  def scaledSupplier(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
+    shifted(Tables.supplier(spark, baseDir), Seq("s_suppkey", "s_nationkey"), factor)
+
+  def scaledNation(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
+    shifted(Tables.nation(spark, baseDir), Seq("n_nationkey", "n_regionkey"), factor)
+
+  def scaledRegion(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
+    shifted(Tables.region(spark, baseDir), Seq("r_regionkey"), factor)
+
   def main(args: Array[String]): Unit = {
-    val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
+    // 1st arg: either a single max factor (probed as 1,4,max — the
+    // historical form) or an explicit comma-separated factor list
+    // ("1,4,10,20" — the round-11 tail-diagnosis form).
+    val factors = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .map(fs => if (fs.size == 1) Seq(1, 4, fs.head) else fs)
+      .getOrElse(Seq(1, 4, 10))
+      .distinct
     // Optional 2nd arg: comma-separated query filter (fast re-probe of a
     // new entry without re-timing the whole surface; the driver-facing
     // SCALING.md is still regenerated from full runs).
@@ -265,9 +291,13 @@ object ScaleProbe {
       // x75: top-25 bounded output; per-copy user spaces disjoint so
       // sequences replicate, path counts scale by f
       "x75_top_paths",
+      // x76: 5-row output (one per declared relation) at any factor;
+      // five LEFT ANTI joins — lineitem→orders and orders→customer are
+      // the linear terms, the nation/region parents stay broadcast
+      // dims; orphan counts are 0 by the consistent key shift, so the
+      // wall measures pure audit cost, not orphan fan-out
+      "x76_fk_orphans",
       // x77: 5-row output; one high-water scalar + one type-grain agg
-      // (x76 sits out: the probe writes no customer/supplier/nation/
-      // region tables, so only two of its five relations would load)
       "x77_freshness")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
@@ -322,7 +352,7 @@ object ScaleProbe {
         graft.ext.Bloom.pipeline(d, m)
       }))
     val base = "/root/testdata/sf0.1"
-    Seq(1, 4, maxFactor).distinct.foreach { f =>
+    factors.foreach { f =>
       val dir = s"/tmp/graft-scale-$f"
       corpus(spark, base, f).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
@@ -334,17 +364,41 @@ object ScaleProbe {
         .parquet(s"$dir/orders.parquet")
       scaledLineitem(spark, base, f).write.mode("overwrite")
         .parquet(s"$dir/lineitem.parquet")
+      scaledCustomer(spark, base, f).write.mode("overwrite")
+        .parquet(s"$dir/customer.parquet")
+      scaledSupplier(spark, base, f).write.mode("overwrite")
+        .parquet(s"$dir/supplier.parquet")
+      scaledNation(spark, base, f).write.mode("overwrite")
+        .parquet(s"$dir/nation.parquet")
+      scaledRegion(spark, base, f).write.mode("overwrite")
+        .parquet(s"$dir/region.parquet")
       (queries ++ probeOnly.keys.toSeq.sorted)
         .filter(q => only.forall(_.contains(q))).foreach { q =>
         val fn = probeOnly.getOrElse(q, SparkEntry.queries(q))
+        // Result-backing localCheckpoint blocks (the one generation a
+        // checkpointing query legitimately returns) outlive each
+        // invocation until the ContextCleaner notices; at big factors
+        // 4 invocations/measurement × N queries of accumulated blocks
+        // evict/spill INTO the timed run — and OOM'ed the first 20×
+        // graph session outright. Sweep them between invocations so
+        // every timed run starts from an empty block manager and pays
+        // exactly its own materializations, nothing inherited.
+        def sweep(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          System.gc()
+        }
         def run(): Long = {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           fn(spark, dir).count()
         }
         run() // warm
+        sweep()
         val t0 = System.nanoTime()
         val rows = run()
         val sec = (System.nanoTime() - t0) / 1e9
+        sweep()
         println(f"""{"probe":"scale","factor":$f,"query":"$q","sec":$sec%.3f,"rows":$rows}""")
       }
     }

@@ -115,7 +115,16 @@ object Graph {
         .select(col("v"),
           (lit(RScale * 15 / 100) + expr(s"($DampNum * coalesce(m, 0L)) div 100")).as("r"))
     }
-    ranks.select(col("v").as("part"), col("r").as("pr"))
+    // Materialize the final ranks (N rows) and release the edge/degree
+    // checkpoints (E rows) they were built from: repeated invocations —
+    // a probe's warm+timed runs, a bench's reps — otherwise ACCUMULATE
+    // E-row block-manager generations per call, the storage-pressure
+    // tail the round-11 20× probe OOM'ed on. One N-row block per
+    // invocation remains for the ContextCleaner.
+    val out = ranks.select(col("v").as("part"), col("r").as("pr")).localCheckpoint()
+    pairs.unpersist()
+    deg.unpersist()
+    out
   }
 
   /** x59: K-round integer-fixed-point PageRank over the part
@@ -203,8 +212,10 @@ object Graph {
     triangleOracle) { (s, dir) =>
     // oriented edges are a bijection of the undirected set, so node and
     // edge counts read off o directly - ONE edge construction total
-    val o = orientedEdges(s, dir)
+    val e = undirected(s, dir)
+    val o = orientEdgeSet(e)
       .localCheckpoint() // pivot of both wedge sides, the closure probe, and the counts
+    e.unpersist() // o is materialized; keep ONE edge generation, not two
     val tri = countTriangles(o).select(col("t").as("n_triangles"))
     val nn = o.select(explode(array(col("src"), col("dst"))).as("p")).distinct()
       .agg(count(lit(1)).cast("long").as("n_nodes"))
@@ -285,8 +296,10 @@ object Graph {
       .filter(keep)
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
+      .localCheckpoint() // orientation reads it three times (degrees + both join sides)
     val o = orientEdgeSet(sampled)
       .localCheckpoint() // pivot of both wedge sides + the closure probe
+    sampled.unpersist() // o is materialized; keep ONE edge generation
     val tri = countTriangles(o)
     val ne = o.agg(count(lit(1)).cast("long").as("n_sampled_edges"))
     ne.crossJoin(tri) // two 1-row scalars
@@ -349,6 +362,7 @@ object Graph {
         .localCheckpoint() // each round's labels feed the next frontier
       prev.unpersist() // superseded generation — the x73 block-manager hygiene
     }
+    pairs.unpersist() // final dist is materialized; edges no longer needed
     dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_nodes"))
       .orderBy(col("hop"))
   }
@@ -426,10 +440,81 @@ object Graph {
         .localCheckpoint() // each round's labels feed the next join
       prev.unpersist() // superseded generation — the x73 block-manager hygiene
     }
+    pairs.unpersist() // final labels are materialized; edges no longer needed
     labels.groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))
       .select(col("label").as("community"), col("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community")).limit(100)
+  }
+
+  /** x70's production form: iterate [[lpaRound]] until labels are
+    * STABLE (no node changes) or `maxRounds`. The registered query pins
+    * a fixed round count so its oracle is a bounded CTE chain; a real
+    * pipeline runs to convergence — this is that form. Returns
+    * (label table, rounds applied); `rounds == maxRounds` with an
+    * unstable final state is possible (synchronous LPA can 2-cycle on
+    * bipartite structure — the classic oscillation; the cap is the
+    * documented defense, and disjoint-copy probes show rounds-to-
+    * convergence is a property of the graph STRUCTURE, not its size).
+    * Each round adds one (v-keyed) self-join + count to detect change —
+    * the stability check costs one more bounded aggregation, nothing
+    * corpus-shaped. Superseded label generations are unpersisted as the
+    * iteration advances (the x73 block-manager hygiene). */
+  def convergedLabelProp(s: SparkSession, dir: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val pairs = coEdges(s, dir).localCheckpoint()
+    var labels = pairs.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val next = lpaRound(pairs, labels).localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    pairs.unpersist()
+    (labels, rounds)
+  }
+
+  /** x73's production form: peel until the edge set is a FIXPOINT (a
+    * full round removes nothing — every surviving node has degree ≥ k
+    * in the survivor-induced subgraph, the true k-core) rather than a
+    * fixed round count. Monotone shrinkage guarantees termination;
+    * `maxRounds` is a pure safety net. Returns (core node table,
+    * rounds applied — including the final no-op round that PROVES the
+    * fixpoint). */
+  def kcoreFixpoint(s: SparkSession, dir: String, k: Int = CoreK,
+      maxRounds: Int = 1000): (DataFrame, Int) = {
+    // Node-centric like the registered x73 (edges checkpointed once,
+    // N-row alive sets per round); the peel is MONOTONE (k_r ⊆
+    // alive_{r-1} — a node outside the alive set has no induced edges
+    // and can never re-enter), so an unchanged alive COUNT proves an
+    // unchanged alive SET proves the fixpoint.
+    val e = coEdges(s, dir).localCheckpoint()
+    var alive: Option[DataFrame] = None
+    var aliveN = -1L // unknown until round 1 counts the full node set
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val deg = induced(e, alive).groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val prevN = if (aliveN >= 0) aliveN else deg.count() // alive_0 = all nodes
+      val keep = deg.filter(col("c") >= k).select(col("src").as("v"))
+        .localCheckpoint()
+      deg.unpersist()
+      val keptN = keep.count()
+      alive.foreach(_.unpersist())
+      alive = Some(keep)
+      stable = keptN == prevN
+      aliveN = keptN
+      rounds += 1
+    }
+    e.unpersist()
+    (alive.get, rounds)
   }
 
   // ---- x73: k-core peeling ------------------------------------------
@@ -465,37 +550,63 @@ object Graph {
        |SELECT * FROM ($out) ORDER BY round""".stripMargin
   }
 
+  /** The alive-restricted edge set: `e` when no peel has happened yet,
+    * otherwise edges with BOTH endpoints in the (small, AQE-broadcast)
+    * alive-node table. Lazy — the edge table is never rewritten. */
+  private def induced(e: DataFrame, alive: Option[DataFrame]): DataFrame =
+    alive match {
+      case None => e
+      case Some(a) =>
+        e.join(a, col("src") === col("v")).drop("v")
+          .join(a, col("dst") === col("v")).drop("v")
+    }
+
   /** x73: k-core peeling — [[CoreRounds]] rounds of degree-filter +
     * induced-subgraph restriction toward the [[CoreK]]-core, emitting
     * per-round survivor counts. The dense-subgraph extraction primitive
-    * (peel the crawl graph's periphery before expensive per-node work);
-    * each round is one degree aggregation plus two node-keyed
-    * semi-joins — the peel only ever SHRINKS the edge table, the
-    * monotone mirror of x63's growing frontier. */
+    * (peel the crawl graph's periphery before expensive per-node work).
+    *
+    * NODE-CENTRIC (round 11): the edge table is checkpointed ONCE and
+    * each round restricts it LAZILY through the current alive-node set;
+    * the only per-round materializations are the N-row degree and node
+    * tables. The round-10 form instead rewrote and localCheckpointed
+    * the (shrinking) EDGE table every round — at the 10×/20× probe
+    * factors those O(E)-row generations overflowed the storage pool
+    * and spilled inside the timed run, the one superlinear curve left
+    * on the graph board (84s/194s at 10×/20× vs x70's exactly-linear
+    * 37s/73s). Per round: two node-keyed semi-joins against a
+    * broadcastable alive set + ONE shuffle (the degree aggregation);
+    * |e_{r-1}| falls out of round r's degree sums, so only the final
+    * round pays one extra restriction pass for its edge count. At 100
+    * TB the edge table is the big READ-ONLY side and the alive set is
+    * the node-table fraction a cluster broadcasts — exactly the
+    * asymmetry this shape preserves. */
   val kcore = Q.withOracle(
     "x73_kcore_peel",
     s"x73: $CoreRounds-round peel toward the $CoreK-core (per-round survivor counts)",
     kcoreOracle) { (s, dir) =>
-    // Superseded checkpoints are unpersisted as the peel advances and
-    // the per-round counts land as 2·CoreRounds driver longs (bounded
-    // metadata) — holding every round's edge generation in the block
-    // manager instead kept O(rounds · edges) blocks alive per
-    // invocation and thrashed the heap at the 10× probe factor.
-    var e = coEdges(s, dir).localCheckpoint()
-    val perRound = (1 to CoreRounds).map { r =>
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= CoreK).select(col("src").as("v"))
-        .localCheckpoint() // both semi-join sides + the count read it
-      val prev = e
-      e = e.join(keep, col("src") === col("v")).drop("v")
-        .join(keep, col("dst") === col("v")).drop("v")
-        .localCheckpoint() // next round peels the shrunken table
-      prev.unpersist()
+    val e = coEdges(s, dir).localCheckpoint()
+    var alive: Option[DataFrame] = None
+    // iteration r yields (r, |k_r|, |e_{r-1}|): the degree table OVER
+    // e_{r-1} is both the round-r filter input and, summed, the
+    // previous round's edge count
+    val stats = (1 to CoreRounds).map { r =>
+      val deg = induced(e, alive).groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // N rows: read by the sum, the filter, and the count
+      val prevEdges = deg.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      val keep = deg.filter(col("c") >= CoreK).select(col("src").as("v"))
+        .localCheckpoint() // N rows: next round's broadcast side
+      deg.unpersist()
       val nn = keep.count()
-      keep.unpersist()
-      (r, nn, e.count())
+      alive.foreach(_.unpersist())
+      alive = Some(keep)
+      (r, nn, prevEdges)
     }
+    val lastEdges = induced(e, alive).count() // |e_CoreRounds|
+    alive.foreach(_.unpersist())
     e.unpersist()
+    val perRound = stats.zip(stats.drop(1).map(_._3) :+ lastEdges)
+      .map { case ((r, nn, _), ne) => (r, nn, ne) }
     s.createDataFrame(perRound).toDF("round", "n_nodes", "n_edges")
       .orderBy(col("round"))
   }

@@ -128,6 +128,53 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._1).forall(Set(5L, 7L, 9L)))
   }
 
+  test("convergedLabelProp: equals the fixed-round result once stable, and stability holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-conv").toString
+    // the two-triangle graph stabilizes within x70's 3 fixed rounds, so
+    // the converged form must reproduce the registered query's output
+    write(dir, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 10L), (2L, 20L), (2L, 30L)))
+    val (labels, rounds) = ext.Graph.convergedLabelProp(spark, dir)
+    assert(rounds <= 5)
+    val communities = labels.groupBy($"label").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(communities === Set((1L, 3L), (10L, 3L)))
+    val fixedRound = ext.Graph.labelProp.fn(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(communities === fixedRound)
+  }
+
+  test("convergedLabelProp: the maxRounds cap bounds a synchronous 2-cycle oscillation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-osc").toString
+    // a single edge {5, 7}: each node's only neighbor carries the other
+    // label every round, so synchronous LPA swaps forever — the cap must
+    // terminate the loop, and the labels must stay inside the component
+    write(dir, Seq((1L, 5L), (1L, 7L)))
+    val (labels, rounds) = ext.Graph.convergedLabelProp(spark, dir, maxRounds = 4)
+    assert(rounds === 4)
+    assert(labels.select($"label").as[Long].collect().toSet.subsetOf(Set(5L, 7L)))
+  }
+
+  test("kcoreFixpoint: proves the fixpoint the fixed-round query only approaches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore-fix").toString
+    // same cascade graph as the x73 crafted test: rounds 1-2 peel, round
+    // 3 removes nothing (the proof round) — the core is the K17 clique
+    write(dir,
+      (1L to 17L).map(p => (1L, p)) ++
+        ((2L, 200L) +: (1L to 15L).map(p => (2L, p))) ++
+        Seq((3L, 100L), (3L, 200L)))
+    val (core, rounds) = ext.Graph.kcoreFixpoint(spark, dir)
+    assert(rounds === 3)
+    assert(core.as[Long].collect().toSet === (1L to 17L).toSet)
+    // and it equals the registered query's stable tail (rounds 2-4 all
+    // report 17 nodes): the converged form IS the fixed-round form once
+    // the peel has stabilized
+    val fixed = ext.Graph.kcore.fn(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fixed.last._2 === 17L)
+  }
+
   test("x73 crafted: peeling cascades — pendant first, then its support") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
     // K17 clique (degree 16 = CoreK, survives); node 200 rides 15 clique

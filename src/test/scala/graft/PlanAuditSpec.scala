@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSuite {
     "x52_salted_skew_join",        // broadcast of the 1-row hot-threshold scalar
     "x54_heavy_hitters",           // broadcast of the 1-row total-token scalar
     "x60_triangle_count",          // three 1-row scalars (nodes/edges/triangles) composed by cross join
+    "x60b_triangle_doulion",       // two 1-row scalars (sampled edges/triangles) composed by cross join
     "x61_association_rules",       // broadcast of the 1-row basket-count scalar
     "x67_gapfill_weekly",          // broadcast of the 1-row calendar-bounds scalar into the spine
     "x69_zorder_stats",            // broadcast of the 1-row dimension-bounds scalar

@@ -162,6 +162,71 @@ class SourcesSpec extends SparkSuite {
     assert(VersionedStore.read(spark, root, Some(5)).count() === 1)
   }
 
+  test("cdc store manifest: round-trip, targeted refresh, self-heal, fresh buckets") {
+    import graft.streaming.Cdc
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("graft-cdc-man").toString
+    def img(k: Long, v: String, seq: Long) = (k, v, seq)
+    def merge(rows: Seq[(Long, String, Long)]): Unit =
+      Cdc.mergeIntoStore(rows.toDF("k", "v", "seq"), store, Seq("k"), "seq", numBuckets = 8)
+    // on-disk truth, independent of the manifest machinery
+    def diskFiles(): Set[String] = {
+      val root = new Path(store)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && st.getPath.getParent.getName.startsWith("b=") &&
+            !name.startsWith("_") && !name.startsWith("."))
+          out += s"${st.getPath.getParent.getName}/$name"
+      }
+      out.toSet
+    }
+    def manifestFiles(): Set[String] =
+      Cdc.readManifest(spark, store).get.values.flatten.toSet
+
+    merge((1L to 40L).map(k => img(k, s"v$k", 1L)))
+    assert(manifestFiles() === diskFiles(), "creation manifest != disk")
+    merge(Seq(img(3L, "V3", 2L), img(41L, "v41", 2L)))
+    assert(manifestFiles() === diskFiles(), "post-merge manifest != disk")
+    // readStore (manifest path) == raw partition-discovery read
+    val viaManifest = Cdc.readStore(spark, store)
+      .as[(Long, String, Long)].collect().toSet
+    val viaListing = spark.read.parquet(store).drop("b")
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaManifest === viaListing)
+    assert(viaManifest.size === 41)
+    assert(viaManifest.contains((3L, "V3", 2L)))
+    // self-heal: a deleted manifest (the documented crash recovery) only
+    // costs one listing fallback — the next merge rewrites it
+    val mp = new Path(store, "_MANIFEST")
+    mp.getFileSystem(spark.sessionState.newHadoopConf()).delete(mp, false)
+    merge(Seq(img(5L, "V5", 3L)))
+    assert(manifestFiles() === diskFiles(), "self-healed manifest != disk")
+    merge(Seq(img(1000L, "k1000", 4L)))
+    assert(manifestFiles() === diskFiles(), "manifest != disk after heal+merge")
+    assert(Cdc.readStore(spark, store).count() === 42) // 40 + k41 + k1000 inserts
+
+    // a batch whose keys all hash to never-written buckets merges cleanly
+    // (the manifest hands back an EMPTY file list — must not break the
+    // union or the refresh): 64-bucket store created from ONE key, then
+    // a key from a provably different bucket
+    val store2 = java.nio.file.Files.createTempDirectory("graft-cdc-man2").toString
+    def bucketOf(k: Long): Int = spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(64L)).cast("int")).as[Int].head()
+    Cdc.mergeIntoStore(Seq(img(1L, "a", 1L)).toDF("k", "v", "seq"),
+      store2, Seq("k"), "seq", numBuckets = 64)
+    val freshKey = (2L to 200L).find(k => bucketOf(k) != bucketOf(1L)).get
+    Cdc.mergeIntoStore(Seq(img(freshKey, "b", 2L)).toDF("k", "v", "seq"),
+      store2, Seq("k"), "seq")
+    assert(Cdc.readStore(spark, store2).as[(Long, String, Long)].collect().toSet
+      === Set((1L, "a", 1L), (freshKey, "b", 2L)))
+    assert(Cdc.readManifest(spark, store2).get.keySet
+      === Set(bucketOf(1L), bucketOf(freshKey)))
+  }
+
   test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
     val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
     val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison from two full_rNN.jsonl files.
+
+Usage: python3 tools/bench_delta.py bench/full_r10.jsonl bench/full_latest.jsonl [out.md]
+
+Reads the per-query lines (metric=query) of both runs and emits a
+markdown summary: totals on the common-query set (the only
+comparable total — round composition changes every round), the
+slowest 10 of the new run, the 10 largest regressions/improvements,
+and added/removed queries. Writes to stdout or the given path.
+
+This replaces the judge-side join of two jsonl files with a one-file
+`git diff`-able artifact committed at snapshot time
+(bench/delta_r{N}_vs_r{N-1}.md).
+"""
+import json
+import sys
+
+
+def load(path):
+    queries, total = {}, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") == "query":
+                queries[d["name"]] = d
+            elif d.get("metric") == "total":
+                total = d
+    return queries, total
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    old, old_total = load(old_path)
+    new, new_total = load(new_path)
+
+    # A failed query is recorded with value -1 — not a timing; keep it
+    # out of every comparison and call it out instead.
+    failed = sorted(q for d in (old, new) for q in d if d[q]["value"] < 0)
+    old = {q: d for q, d in old.items() if d["value"] >= 0}
+    new = {q: d for q, d in new.items() if d["value"] >= 0}
+
+    common = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    old_common = sum(old[q]["value"] for q in common)
+    new_common = sum(new[q]["value"] for q in common)
+
+    lines = []
+    lines.append(f"# Bench delta: {new_path} vs {old_path}")
+    lines.append("")
+    lines.append(f"- old total: **{old_total['value']:.1f}s** over {old_total['n']} queries, "
+                 f"{old_total['failures']} failures")
+    lines.append(f"- new total: **{new_total['value']:.1f}s** over {new_total['n']} queries, "
+                 f"{new_total['failures']} failures")
+    ratio = new_common / old_common if old_common else float("nan")
+    lines.append(f"- common-query set ({len(common)} queries): "
+                 f"**{new_common:.1f}s vs {old_common:.1f}s = {ratio:.2f}x** "
+                 f"(the only comparable total; composition changes per round)")
+    if added:
+        lines.append(f"- added ({len(added)}): " + ", ".join(added))
+    if removed:
+        lines.append(f"- removed ({len(removed)}): " + ", ".join(removed))
+    if failed:
+        lines.append(f"- failed in one run, excluded ({len(failed)}): " + ", ".join(failed))
+    lines.append("")
+
+    lines.append("## Slowest 10 (new run)")
+    lines.append("")
+    lines.append("| query | new s | old s | delta |")
+    lines.append("| --- | --- | --- | --- |")
+    for q in sorted(new, key=lambda q: -new[q]["value"])[:10]:
+        o = old.get(q)
+        old_s = f"{o['value']:.2f}" if o else "—"
+        delta = f"{new[q]['value'] - o['value']:+.2f}" if o else "new"
+        lines.append(f"| {q} | {new[q]['value']:.2f} | {old_s} | {delta} |")
+    lines.append("")
+
+    deltas = [(new[q]["value"] - old[q]["value"], q) for q in common]
+    deltas.sort(reverse=True)
+
+    def spread_note(q):
+        """Flag deltas inside the query's own min/max spread as noise."""
+        o, n = old[q], new[q]
+        overlap = n["min"] <= o["max"] and o["min"] <= n["max"]
+        return "within spread" if overlap else "**outside spread**"
+
+    lines.append("## Largest regressions (common queries)")
+    lines.append("")
+    lines.append("| query | old s | new s | delta | min/max overlap |")
+    lines.append("| --- | --- | --- | --- | --- |")
+    for d, q in deltas[:10]:
+        if d <= 0:
+            break
+        lines.append(f"| {q} | {old[q]['value']:.2f} | {new[q]['value']:.2f} | "
+                     f"+{d:.2f} | {spread_note(q)} |")
+    lines.append("")
+    lines.append("## Largest improvements (common queries)")
+    lines.append("")
+    lines.append("| query | old s | new s | delta | min/max overlap |")
+    lines.append("| --- | --- | --- | --- | --- |")
+    for d, q in deltas[::-1][:10]:
+        if d >= 0:
+            break
+        lines.append(f"| {q} | {old[q]['value']:.2f} | {new[q]['value']:.2f} | "
+                     f"{d:.2f} | {spread_note(q)} |")
+    lines.append("")
+
+    text = "\n".join(lines) + "\n"
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text)
+        print(f"wrote {out_path}")
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,14 +115,29 @@ object IncProbe {
           .filter(col("o_orderkey") >= k * 100000000L)
         Cdc.mergeIntoStore(copy, store, Seq("o_orderkey"), "o_orderdate", numBuckets = 64 * f)
       }
+      // mod 1499 over the 150k-order base ≈ 100 keys. (Rounds 8–10 used
+      // mod 149 ≈ 1,000 keys — at 64·f buckets that batch touched MOST
+      // of the store at every factor (504/640 dirs at 10×), so the row
+      // measured bulk-rewrite throughput, not the trickle regime the
+      // bucket pruning + manifest exist for, and raw walls crept with
+      // the touched-bucket saturation curve rather than history.)
       def images(seed: Int) = Tables.orders(spark, base)
-        .filter(pmod(col("o_orderkey") + seed, lit(149L)) === 0) // ~100 keys
+        .filter(pmod(col("o_orderkey") + seed, lit(1499L)) === 0) // ~100 keys
         .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      // The fixed 100-key batch touches min(~100, buckets·(1−e^{−100/buckets}))
+      // DISTINCT buckets — ≤64 at 1× history, ~97 at 10× (key-collision
+      // saturation), so the RAW wall rises ~1.5× across factors even
+      // when per-touched-bucket cost is flat. Emit the touched count so
+      // the flat claim ("cost follows the batch's touched buckets, not
+      // history") is checkable from the JSON line directly.
+      val touched = images(2)
+        .select(pmod(xxhash64(col("o_orderkey")), lit((64L * f))).cast("int"))
+        .distinct().count()
       Cdc.mergeIntoStore(images(1), store, Seq("o_orderkey"), "o_orderdate") // warm
       val sec = time {
         Cdc.mergeIntoStore(images(2), store, Seq("o_orderkey"), "o_orderdate")
       }
-      emit("cdc_merge", f, sec)
+      emit("cdc_merge", f, sec, s""","touched_buckets":$touched""")
     } }
 
     // ---- AggView: incremental grouped view vs base history ------------

@@ -21,6 +21,7 @@ object SparkEntry {
       analytics.Markov.all ++
       analytics.Anomaly.all ++
       analytics.Spine.all ++
+      analytics.Trend.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       etl.Diff.all ++

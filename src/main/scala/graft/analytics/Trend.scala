@@ -1,0 +1,147 @@
+package graft.analytics
+
+import graft.{Q, Tables}
+import graft.Parity
+import org.apache.spark.sql.functions._
+
+/** Trend analytics: per-group ordinary-least-squares regression and
+  * duration-weighted averages — the `regr_slope`/`regr_intercept`/`regr_r2`
+  * family (reference pipelines chart weekly trends in
+  * weekly-report.py:269-403; a trend LINE is the natural next report), plus
+  * the time-weighted mean a metrics store computes over validity intervals.
+  *
+  * Oracle-exactness: every aggregate is an exact integer/decimal sum
+  * (order-independent, associative — identical under any partitioning or
+  * AQE re-plan), cast ONCE to double; the regression formulae are then pure
+  * scalar IEEE arithmetic on identical inputs, bit-identical across
+  * engines. No decimal division anywhere (Spark and DuckDB disagree on
+  * quotient scale rules), and zero-variance groups yield NULL (not NaN) via
+  * an explicit guard in both forms.
+  *
+  * Scale shape (100 TB): one hash-aggregation per query — map-side partial
+  * sums, a shuffle of #groups × 6 longs/decimals, no window, no sort until
+  * the final #groups-row ORDER BY. Sxy/Syy accumulate in decimal(38,0)
+  * (a penny·day product is ~2e11/row; a long buffer would overflow near
+  * 4e7 rows per group — decimal headroom is 10^27 rows, cf. x74's modular
+  * checksum note in etl/Diff.scala).
+  */
+object Trend {
+
+  /** x78: per-event-type OLS regression of `value` against event day —
+    * slope (value units/day), intercept (value at epoch), and r².
+    *
+    * n·Sxx − Sx² and friends are formed in DOUBLE from the exact sums:
+    * both engines evaluate the same expression tree on bit-identical
+    * inputs, so the hash compare is exact without carrying 76-digit
+    * decimal products (Spark overflows decimal(38)·decimal(38) and
+    * DuckDB rejects the result type outright). */
+  val groupRegression = Q.withOracle(
+    "x78_group_regression",
+    "x78: per-event-type OLS value-vs-day (slope, intercept, r2) from exact sums",
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |    CAST(value AS DECIMAL(12,2)) AS y
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,2)) * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,2)) * y) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY 1)
+      |SELECT event_type, n,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0
+      |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0
+      |    THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |  END AS intercept,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0 AND n * syy - sy * sy <> 0.0
+      |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |  END AS r2
+      |FROM agg ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val pts = Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("x"),
+        Parity.dec(col("value")).as("y"))
+    val agg = pts
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("long")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x").cast("long") * col("x")).cast("double").as("sxx"),
+        sum(col("x").cast("decimal(38,2)") * col("y")).cast("double").as("sxy"),
+        sum(col("y").cast("decimal(38,2)") * col("y")).cast("double").as("syy"))
+    val den  = col("n") * col("sxx") - col("sx") * col("sx")
+    val num  = col("n") * col("sxy") - col("sx") * col("sy")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("event_type"), col("n"),
+        when(den =!= 0.0, num / den).as("slope"),
+        when(den =!= 0.0, (col("sy") - num / den * col("sx")) / col("n")).as("intercept"),
+        when(den =!= 0.0 && deny =!= 0.0, (num * num) / (den * deny)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x79: duration-weighted mean order price per priority — each order's
+    * price is weighted by the number of DAYS until the customer's NEXT
+    * order (LEAD over the per-customer timeline), the interval-weighted
+    * average a metrics store computes over validity windows. Orders with
+    * no successor (open intervals) are excluded from the weighted mean
+    * but counted.
+    *
+    * Day grain, not seconds, on purpose: pennies·seconds sums cross 2^53
+    * already at sf0.01, and DuckDB's decimal→double cast is NOT correctly
+    * rounded there (int128→double then /10^scale — two roundings; Spark's
+    * BigDecimal cast is single-rounded), so second-grain weights
+    * hash-diverge in the last ulp. Pennies·days keeps the sums exactly
+    * representable up to ~2^53 total (≈1.8e6 orders/group at this data's
+    * magnitudes); past that Spark's answer stays exact and deterministic
+    * (decimal sums), only the final cast rounds.
+    *
+    * Scale: LEAD partitions by o_custkey (the same key-shuffle any
+    * per-customer timeline op pays — never a global window), then one
+    * hash-agg on the handful of priorities. */
+  val timeWeightedPrice = Q.withOracle(
+    "x79_time_weighted_price",
+    "x79: day-weighted mean totalprice per priority (LEAD interval weights)",
+    """WITH iv AS (
+      |  SELECT o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey)) AS w
+      |  FROM orders),
+      |agg AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(w) AS n_weighted,
+      |    CAST(SUM(w) AS DOUBLE) AS total_w,
+      |    CAST(SUM(price * CAST(w AS DECIMAL(26,0))) AS DOUBLE) AS swp
+      |  FROM iv GROUP BY 1)
+      |SELECT o_orderpriority, n_orders, n_weighted,
+      |  CASE WHEN total_w > 0.0 THEN swp / total_w END AS tw_mean_price
+      |FROM agg ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nextDate = lead(to_date(col("o_orderdate")), 1)
+      .over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")))
+    val iv = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        Parity.dec(col("o_totalprice")).as("price"),
+        datediff(nextDate, to_date(col("o_orderdate"))).as("w"))
+    iv.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("w")).as("n_weighted"),
+        sum(col("w")).cast("double").as("total_w"),
+        sum(col("price") * col("w").cast("decimal(26,0)")).cast("double").as("swp"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_weighted"),
+        col("total_w"),
+        when(col("total_w") > 0.0, col("swp") / col("total_w")).as("tw_mean_price"))
+      .drop("total_w")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[Q] = Seq(groupRegression, timeWeightedPrice)
+}

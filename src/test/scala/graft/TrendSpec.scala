@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x78/x79 trend operators: the oracle pins bit-exact parity on the real
+  * tables; these pin the regression semantics on crafted input (exact-fit
+  * line, zero-x-variance and zero-y-variance guards), the interval-weight
+  * fold (open intervals excluded, zero-width intervals weightless), and
+  * partitioning invariance of the exact-sum formulation.
+  */
+class TrendSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeEvents(dir: String, rows: Seq[(Long, String, String, Double)]): Unit =
+    rows.map { case (id, ts, et, v) => (id, Timestamp.valueOf(ts), 1L, et, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def writeOrders(dir: String,
+      rows: Seq[(Long, Long, Double, String, String)]): Unit =
+    rows.map { case (k, c, p, ts, pri) => (k, c, "O", p, Timestamp.valueOf(ts), pri) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+  test("x78 crafted: exact-fit line, zero-x-variance, zero-y-variance groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    writeEvents(dir, Seq(
+      // "lin": y = 2x + 1 on days 0..4 → slope 2, intercept 1, r2 1 (exact)
+      (1L, "1970-01-01 12:00:00", "lin", 1.0),
+      (2L, "1970-01-02 12:00:00", "lin", 3.0),
+      (3L, "1970-01-03 12:00:00", "lin", 5.0),
+      (4L, "1970-01-04 12:00:00", "lin", 7.0),
+      (5L, "1970-01-05 12:00:00", "lin", 9.0),
+      // "flat": all points the same day → x-variance 0 → NULL slope/intercept/r2
+      (6L, "1970-01-10 01:00:00", "flat", 1.0),
+      (7L, "1970-01-10 23:00:00", "flat", 9.0),
+      // "const": y constant across days → slope 0 exactly, r2 NULL (0/0 guard)
+      (8L, "1970-01-01 00:00:00", "const", 4.0),
+      (9L, "1970-01-09 00:00:00", "const", 4.0)))
+    val got = analytics.Trend.groupRegression.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("lin") === ((5L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("flat") === ((2L, None, None, None)))
+    assert(got("const") === ((2L, Some(0.0), Some(4.0), None)))
+  }
+
+  test("x78 agrees with Spark's builtin regr_slope/regr_intercept on real data") {
+    val got = analytics.Trend.groupRegression.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy("event_type")
+      .agg(regr_slope(col("y"), col("x")).as("s"), regr_intercept(col("y"), col("x")).as("i"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet === ref.keySet)
+    for ((k, (s, i)) <- got) {
+      assert(math.abs(s - ref(k)._1) <= 1e-9 * math.max(1.0, math.abs(s)), s"slope $k")
+      assert(math.abs(i - ref(k)._2) <= 1e-9 * math.max(1.0, math.abs(i)), s"intercept $k")
+    }
+  }
+
+  test("x78 result is bit-identical under a hostile physical layout") {
+    val base = analytics.Trend.groupRegression.fn(spark, sf).collect().toSeq
+    val hostile = java.nio.file.Files.createTempDirectory("graft-trend-h").toString
+    // skew everything into 3 partitions ordered by value — worst case for
+    // any order-dependent accumulation
+    Tables.events(spark, sf).orderBy(col("value")).repartition(3)
+      .write.mode("overwrite").parquet(s"$hostile/events.parquet")
+    val got = analytics.Trend.groupRegression.fn(spark, hostile).collect().toSeq
+    assert(got === base)
+  }
+
+  test("x79 crafted: open intervals excluded, zero-width weightless, day grain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend2").toString
+    writeOrders(dir, Seq(
+      // cust 1 (P1): day 0 → +2d (w=2, price 100), day 2 → +1d (w=1, price
+      // 200), day 3 open (excluded) → tw = (100·2 + 200·1) / 3
+      (1L, 1L, 100.0, "2024-01-01 10:00:00", "P1"),
+      (2L, 1L, 200.0, "2024-01-03 09:00:00", "P1"),
+      (3L, 1L, 999.0, "2024-01-04 08:00:00", "P1"),
+      // cust 2 (P2): singleton → n_weighted 0, NULL mean
+      (4L, 2L, 50.0, "2024-02-01 00:00:00", "P2"),
+      // cust 3 (P3): two same-day orders → w=0 weightless, total_w 0 → NULL
+      (5L, 3L, 10.0, "2024-03-01 01:00:00", "P3"),
+      (6L, 3L, 20.0, "2024-03-01 23:00:00", "P3")))
+    val got = analytics.Trend.timeWeightedPrice.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("P1") === ((3L, 2L, Some(400.0 / 3.0))))
+    assert(got("P2") === ((1L, 0L, None)))
+    assert(got("P3") === ((2L, 1L, None)))
+  }
+
+  test("x78 plan: single hash aggregation, no Window, no join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}
+    val df = analytics.Trend.groupRegression.fn(spark, sf)
+    df.count()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+    assert(!nodes.exists(_.isInstanceOf[J]))
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("SortAggregate")))
+  }
+
+  test("x79 plan: the only Window partitions by o_custkey (never global)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = analytics.Trend.timeWeightedPrice.fn(spark, sf)
+    df.count()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+}

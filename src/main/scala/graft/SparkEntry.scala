@@ -44,6 +44,7 @@ object SparkEntry {
       ext.Pii.all ++
       ext.Outlier.all ++
       ext.Skew.all ++
+      ext.Skyline.all ++
       ext.Bloom.all ++
       ext.Heavy.all ++
       ext.Fuzzy.all ++

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSuite {
     "x67_gapfill_weekly",          // broadcast of the 1-row calendar-bounds scalar into the spine
     "x69_zorder_stats",            // broadcast of the 1-row dimension-bounds scalar
     "x77_freshness",               // broadcast of the 1-row high-water-mark scalar
+    "x80_skyline_offers",          // bounded non-equi dominance anti-join over ≤550 grid-cell winners
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -611,5 +611,98 @@ object Graph {
       .orderBy(col("round"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore)
+  // ---- x81: weighted single-source shortest paths -------------------
+
+  /** Bellman-Ford relaxation rounds — dist after round k is the exact
+    * min-cost path using ≤ k edges (well-defined even before
+    * convergence), so the bounded oracle CTE chain replays it. */
+  private val SsspRounds = 3
+
+  private def ssspOracle: String = {
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT v, MIN(d) AS d FROM (
+         |    SELECT v, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, r.d + e.w AS d
+         |    FROM d${k - 1} r JOIN wedges e ON e.src = r.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |wedges AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst,
+       |    (1000 // COUNT(*)) + 1 AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS d
+       |  FROM wedges WHERE src % $SeedMod = 0),
+       |$rounds
+       |SELECT v AS part, CAST(d AS BIGINT) AS dist
+       |FROM d$SsspRounds ORDER BY dist, part LIMIT 100""".stripMargin
+  }
+
+  /** x81: multi-source weighted shortest paths (Bellman-Ford) over the
+    * co-occurrence graph — [[SsspRounds]] relaxation rounds from the
+    * x63 seed set, edge cost inverse to co-occurrence strength. Each
+    * round joins ONLY the improved frontier against the edge table
+    * (nodes whose distance didn't change contribute nothing new — their
+    * relaxations were min'd in last round), then one min-aggregation;
+    * the full distance table is never re-relaxed. Completes the graph
+    * family's reachability axis: x63 answers "how many hops?", x81
+    * answers "how cheap?" — hop counts weight every edge equally where
+    * path cost discounts strong associations.
+    *
+    * Scale: edges checkpointed once; per round one frontier-keyed
+    * equi-join + one hash min-agg (map-side partials, long buffers);
+    * frontier shrinks monotonically toward convergence. Costs are ≤
+    * 1001·rounds — no overflow headroom concern. */
+  val sssp = Q.withOracle(
+    "x81_sssp_weighted",
+    s"x81: $SsspRounds-round Bellman-Ford multi-source shortest paths (cost = 1000 div cooc + 1)",
+    ssspOracle) { (s, dir) =>
+    val li = orderParts(s, dir)
+    val wedges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("cooc"))
+      .select(col("src"), col("dst"), (expr("1000 div cooc") + 1L).as("w"))
+      .localCheckpoint() // read once per round
+    var dist = wedges.select(col("src").as("v")).distinct()
+      .filter(col("v") % SeedMod === 0)
+      .select(col("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist // round 0: every seed is "improved"
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = frontier
+        .join(wedges, col("v") === col("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      // improved = strictly better than (or absent from) the previous
+      // round — the only nodes whose outgoing relaxations can still
+      // lower anything next round. Checkpointed eagerly BEFORE the
+      // superseded generations are dropped (it reads prevDist).
+      frontier = dist.as("n")
+        .join(prevDist.as("o"), col("n.v") === col("o.v"), "left")
+        .filter(col("o.d").isNull || col("n.d") < col("o.d"))
+        .select(col("n.v").as("v"), col("n.d").as("d"))
+        .localCheckpoint()
+      // superseded generations — x73 block-manager hygiene (frontier
+      // round 0 aliases dist's checkpoint; don't double-unpersist)
+      if (prevFrontier ne prevDist) prevFrontier.unpersist()
+      prevDist.unpersist()
+    }
+    frontier.unpersist() // the loop's last frontier is not read again
+    wedges.unpersist() // final dist is materialized; edges no longer needed
+    dist.select(col("v").as("part"), col("d").cast("long").as("dist"))
+      .orderBy(col("dist"), col("part")).limit(100)
+  }
+
+  val all: Seq[Q] =
+    Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp)
 }

@@ -190,4 +190,44 @@ class GraphSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got === Seq((1, 18L, 302L), (2, 17L, 272L), (3, 17L, 272L), (4, 17L, 272L)))
   }
+
+  test("x81 crafted: cheap 2-hop path beats the expensive direct edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sssp").toString
+    // seed must satisfy part % 97 == 0 → use part 0 (97·0). Edge cost =
+    // 1000 div cooc + 1: a pair sharing 1000 orders costs 2, sharing one
+    // order costs 1001. Build 0–1 and 1–2 with cooc 1000 (cost 2 each)
+    // and a direct 0–2 with cooc 1 (cost 1001): shortest 0→2 is 4 via 1.
+    val strong = (1 to 1000).flatMap { o =>
+      Seq((o.toLong, 0L), (o.toLong, 1L)) } ++
+      (1001 to 2000).flatMap { o => Seq((o.toLong, 1L), (o.toLong, 2L)) } ++
+      Seq((9999L, 0L), (9999L, 2L))
+    write(dir, strong)
+    val got = ext.Graph.sssp.fn(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 2L, 2L -> 4L))
+  }
+
+  test("x81 frontier-only relaxation equals the naive full relaxation") {
+    val wedges = {
+      val li = Tables.lineitem(spark, sf)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.p" =!= $"b.p")
+        .groupBy($"a.p".as("src"), $"b.p".as("dst"))
+        .agg(count(lit(1)).as("cooc"))
+        .select($"src", $"dst", (expr("1000 div cooc") + 1L).as("w"))
+    }
+    var dist = wedges.select($"src".as("v")).distinct()
+      .filter($"v" % 97L === 0).select($"v", lit(0L).as("d"))
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(wedges, $"v" === $"src")
+        .select($"dst".as("v"), ($"d" + $"w").as("d"))
+      dist = dist.unionAll(relaxed).groupBy($"v").agg(min($"d").as("d"))
+    }
+    val naive = dist.select($"v".as("part"), $"d".cast("long").as("dist"))
+      .orderBy($"dist", $"part").limit(100)
+      .as[(Long, Long)].collect().toSeq
+    val got = ext.Graph.sssp.fn(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
 }

@@ -46,6 +46,7 @@ object SparkEntry {
       ext.Skew.all ++
       ext.Skyline.all ++
       ext.Bloom.all ++
+      ext.Cms.all ++
       ext.Heavy.all ++
       ext.Fuzzy.all ++
       ext.Profile.all ++

@@ -298,7 +298,27 @@ object ScaleProbe {
       // wall measures pure audit cost, not orphan fan-out
       "x76_fk_orphans",
       // x77: 5-row output; one high-water scalar + one type-grain agg
-      "x77_freshness")
+      "x77_freshness",
+      // x78: 5-row output (copies share the 5 event types); duplicated
+      // point sets leave the OLS fit itself unchanged — wall tracks the
+      // single exact-sum hash agg linearly
+      "x78_group_regression",
+      // x79: 5-row output; customer keys shift so every copy's LEAD
+      // window is copy-local — wall tracks the one custkey shuffle +
+      // priority agg
+      "x79_time_weighted_price",
+      // x80: output bounded by the shared |qty|×|disc| grid at any
+      // factor; one scan + cell agg + constant-size dominance anti-join
+      // — the flattest possible shape after x74
+      "x80_skyline_offers",
+      // x81: top-100 bounded output; part keys shift so each copy's
+      // weighted graph is a disjoint isomorphic replica — per round one
+      // frontier⋈edges join + min agg carries f× the base edges
+      "x81_sssp_weighted",
+      // x82: top-20 bounded output; copy-k token renames grow the vocab
+      // ~f× while the counter grid stays d×W — wall tracks the token
+      // explode + vocab agg, the same shuffle any vocabulary pass pays
+      "x82_cms_freq")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -27,12 +27,22 @@ import org.apache.spark.sql.functions._
 object Cms {
 
   /** Sketch depth (independent lanes). */
-  private val Depth = 3
+  private[graft] val Depth = 3
   /** Sketch width (counters per lane) — sized BELOW the corpus vocab so
     * collisions are real and the one-sided-error property is exercised,
     * not vacuous. Production sizing is W = ⌈e/ε⌉ for εN additive error. */
-  private val Width = 16
+  private[graft] val Width = 16
   private val Mod32 = 4294967296L
+
+  /** The [[Depth]] lane buckets of any string key as an array column —
+    * the one hash recipe shared by the batch query, the DuckDB oracle,
+    * and [[graft.streaming.CmsFeed]]. */
+  private[graft] def laneBuckets(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = md5(c)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    array((0 until Depth).map(j => (hi + lit(j.toLong) * lo) % Mod32 % Width): _*)
+  }
 
   private def cmsOracle: String = {
     val laneRows = (0 until Depth).map { j =>

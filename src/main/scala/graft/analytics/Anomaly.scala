@@ -83,5 +83,96 @@ object Anomaly {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[Q] = Seq(ewmaSurprise)
+  // ---- x83: per-user event debounce ---------------------------------
+
+  /** Debounce window: 6 hours in epoch-µs — sized against the corpus's
+    * inter-event gap distribution (p10 ≈ 1.1 h, median ≈ 7.3 h) so the
+    * throttle genuinely drops events without flattening every user to
+    * one. */
+  private val DebounceUs = 21600000000L
+
+  /** Bits for the kept-count lane of the packed debounce state: state =
+    * last_kept_µs·2^11 + kept_count. Headroom: epoch-µs stays < 4.1e15
+    * through year 2100, ×2^11 = 8.4e18 < 2^63; kept counts are bounded
+    * at 2047 per user (a 6 h debounce keeps ≤ 4/day — ~17 months of
+    * continuous alerting; a longer horizon drops the state to
+    * millisecond grain for 2^20 headroom). */
+  private val KeptBits = 11
+
+  /** Oracle as a RECURSIVE kept-event chain, not a list_reduce fold:
+    * DuckDB's vectorized list_reduce mis-folds certain long lists on
+    * multi-row input — measured HERE with a plain BIGINT accumulator
+    * and a struct-free element list (one user of 15 at sf0.001 got a
+    * different last-kept lane than the same fold on that user alone),
+    * so the x65 field-ordering workaround does not reach this bug
+    * class. The chain fixpoint is vectorization-proof: base = each
+    * user's first event; every kept (user, t) spawns its successor
+    * min(us ≥ t + W); UNION terminates when no successor exists. */
+  private def debounceOracle: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events),
+       |kept AS (
+       |  SELECT user_id, MIN(us) AS t FROM ev GROUP BY user_id
+       |  UNION
+       |  SELECT k.user_id, MIN(e.us) AS t
+       |  FROM kept k JOIN ev e ON e.user_id = k.user_id
+       |    AND e.us >= k.t + $DebounceUs
+       |  GROUP BY k.user_id, k.t),
+       |agg AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    MAX(t) AS last_kept_us
+       |  FROM kept GROUP BY user_id),
+       |n AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM ev GROUP BY user_id)
+       |SELECT n.user_id, n.n_events, agg.n_kept, agg.last_kept_us
+       |FROM n JOIN agg USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** x83: per-user debounce/throttle — an event is KEPT iff it arrives ≥
+    * [[DebounceUs]] after the last KEPT event (not the last event: a
+    * burst must not keep extending the window, which is what makes the
+    * fold inherently sequential and chained — LAG can't express it).
+    * The alert/trigger dedup of a monitoring pipeline, replayed
+    * deterministically in batch; state is two small integers, so the
+    * `mapGroupsWithState` streaming form carries (count, last-kept-µs)
+    * per user and this query is its replayable oracle.
+    *
+    * The state is ONE packed long (the LPA PackBase discipline) so the
+    * all-integer fold is exact and partitioning-invariant; the ORACLE
+    * deliberately avoids list_reduce altogether (see
+    * [[debounceOracle]]'s note on the DuckDB vectorized-fold bug) and
+    * replays the chain as a recursive fixpoint instead — two
+    * independent formulations agreeing is a stronger gate than one
+    * shared fold anyway. Scale shape: identical to x65 — one user-keyed
+    * shuffle, per-user sorted list, everything else map-side. */
+  val debounce = Q.withOracle(
+    "x83_debounce",
+    "x83: per-user 6h debounce — kept-event counts via a packed-long chained fold",
+    debounceOracle) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      struct(unix_micros(col("ts")).as("us"), col("event_id")).as("e"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("raw"))
+      .select(col("user_id"),
+        transform(col("raw"), e =>
+          shiftleft(e.getField("us"), KeptBits) + 1L).as("es"))
+    // shiftright == div 2^KeptBits on the nonnegative packed values
+    val folded = per.select(col("user_id"),
+      size(col("es")).cast("long").as("n_events"),
+      aggregate(
+        slice(col("es"), lit(2), size(col("es")) - 1),
+        element_at(col("es"), 1), // seed: the first event is always kept
+        (a, x) => {
+          val keep = shiftright(x, KeptBits) >= shiftright(a, KeptBits) + DebounceUs
+          when(keep, shiftleft(shiftright(x, KeptBits), KeptBits) +
+            (a % (1L << KeptBits) + 1L)).otherwise(a)
+        }).as("st"))
+    folded.select(col("user_id"), col("n_events"),
+        (col("st") % (1L << KeptBits)).as("n_kept"),
+        shiftright(col("st"), KeptBits).as("last_kept_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[Q] = Seq(ewmaSurprise, debounce)
 }

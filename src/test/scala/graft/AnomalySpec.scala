@@ -81,4 +81,47 @@ class AnomalySpec extends SparkSuite {
     assert(base.values.map(_._1).sum === 40L)
     assert(hostile === base)
   }
+
+  private def runDebounce(dir: String): Map[Long, (Long, Long, Long)] =
+    analytics.Anomaly.debounce.fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, n, k, t) => u -> ((n, k, t)) }.toMap
+
+  test("x83 crafted: burst collapses to one; dropped events never extend the window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-debounce").toString
+    // 6h window. u1: burst of 3 within an hour (keep first only), then
+    // one at +6h from the KEPT event (kept — the 5h-later dropped event
+    // must NOT have reset the clock). u2: singleton. u3: exact-boundary
+    // event at precisely +6h (kept: >= is inclusive).
+    write(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-01 01:00:00", 1L, 1.0), // dropped (1h after kept)
+      (3L, "2024-01-01 05:00:00", 1L, 1.0), // dropped (5h after kept)
+      (4L, "2024-01-01 06:00:00", 1L, 1.0), // KEPT: 6h after event 1
+      (5L, "2024-02-01 00:00:00", 2L, 1.0),
+      (6L, "2024-03-01 00:00:00", 3L, 1.0),
+      (7L, "2024-03-01 06:00:00", 3L, 1.0))) // KEPT: boundary inclusive
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    assert(runDebounce(dir) === Map(
+      1L -> ((4L, 2L, us("2024-01-01 06:00:00"))),
+      2L -> ((1L, 1L, us("2024-02-01 00:00:00"))),
+      3L -> ((2L, 2L, us("2024-03-01 06:00:00")))))
+  }
+
+  test("x83 is partitioning-invariant (packed fold runs post-shuffle per user)") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, f"2024-01-0${1 + i % 9} ${i * 3 % 24}%02d:00:00", (i % 4).toLong, 1.0))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-debounce2").toString
+    write(baseDir, rows)
+    val base = runDebounce(baseDir)
+    val hostileDir = java.nio.file.Files.createTempDirectory("graft-debounce2h").toString
+    rows.map { case (id, ts, u, v) =>
+      (id, Timestamp.valueOf(ts), u, "view", v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(7, col("event_id"))
+      .sortWithinPartitions(col("ts").desc, col("event_id").desc)
+      .write.mode("overwrite").parquet(s"$hostileDir/events.parquet")
+    assert(runDebounce(hostileDir) === base)
+    assert(base.size === 4)
+  }
 }

@@ -318,7 +318,15 @@ object ScaleProbe {
       // x82: top-20 bounded output; copy-k token renames grow the vocab
       // ~f× while the counter grid stays d×W — wall tracks the token
       // explode + vocab agg, the same shuffle any vocabulary pass pays
-      "x82_cms_freq")
+      "x82_cms_freq",
+      // x83: one row per user (linear — user ids shift per copy, so
+      // per-user lists replicate at base length); wall tracks the one
+      // user-keyed shuffle + per-list fold, the x65 shape
+      "x83_debounce",
+      // x80b: skyline-sized output (copies share the price/date
+      // domains); distinct-price agg + segmented sweep — the global
+      // window stays bucket-table-sized at every factor
+      "x80b_skyline_sweep")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

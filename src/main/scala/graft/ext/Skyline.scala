@@ -57,5 +57,59 @@ object Skyline {
       .orderBy(col("qty"), col("disc"))
   }
 
-  val all: Seq[Q] = Seq(paretoOffers)
+  /** Bits for the price-bucket key of the x80b segmented sweep — the
+    * only orderBy-without-partition window runs over the ≈ priceRange /
+    * 2^10 bucket-totals rows, never the tuple table (the x23 prefix-scan
+    * discipline applied to a prefix MAX). */
+  private val SweepBucketBits = 10
+
+  /** x80b: 2D skyline over CONTINUOUS dimensions (minimize price,
+    * maximize ship recency) — the grid prune of x80 needs a
+    * low-cardinality dimension to cell on; when both dimensions are
+    * continuous the classic answer is the sort-sweep: aggregate to
+    * distinct prices (max ship date per price), then a tuple survives
+    * iff its date strictly exceeds the running max over all cheaper
+    * prices. Re-expressed scale-first: the running max is a TWO-LEVEL
+    * segmented scan (per-bucket window + one tiny bucket-offset window)
+    * — identical result to `MAX() OVER (ORDER BY price)` without ever
+    * sorting the distinct-price table in one partition. */
+  val sweepSkyline2d = Q.withOracle(
+    "x80b_skyline_sweep",
+    "x80b: 2D continuous skyline (min price, max ship date) via segmented sweep",
+    """WITH pm AS (
+      |  SELECT l_extendedprice AS price,
+      |    MAX(epoch_us(l_shipdate)) AS last_ship_us
+      |  FROM lineitem GROUP BY 1),
+      |sweep AS (
+      |  SELECT price, last_ship_us,
+      |    MAX(last_ship_us) OVER (ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      |  FROM pm)
+      |SELECT price, last_ship_us
+      |FROM sweep WHERE prior IS NULL OR last_ship_us > prior
+      |ORDER BY price""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pm = Tables.lineitem(s, dir)
+      .groupBy(col("l_extendedprice").as("price"))
+      .agg(max(unix_micros(col("l_shipdate"))).as("last_ship_us"))
+      .withColumn("bkt", shiftright(floor(col("price")).cast("long"), SweepBucketBits))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // prefix max of PRIOR buckets — a window over the bucket-totals
+    // table only (bounded by the price range, not the data)
+    val bucketOffsets = pm.groupBy(col("bkt")).agg(max(col("last_ship_us")).as("bm"))
+      .withColumn("off", max(col("bm")).over(Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("off"))
+    val Neg = Long.MinValue
+    pm.withColumn("pin", max(col("last_ship_us")).over(wIn))
+      .join(broadcast(bucketOffsets), "bkt")
+      .withColumn("prior",
+        greatest(coalesce(col("pin"), lit(Neg)), coalesce(col("off"), lit(Neg))))
+      .filter(col("prior") === Neg || col("last_ship_us") > col("prior"))
+      .select(col("price"), col("last_ship_us"))
+      .orderBy(col("price"))
+  }
+
+  val all: Seq[Q] = Seq(paretoOffers, sweepSkyline2d)
 }

@@ -42,6 +42,39 @@ class SkylineSpec extends SparkSuite {
     for ((q, d, p) <- got) assert(mins((q, d)) === p)
   }
 
+  test("x80b equals the naive quadratic 2D skyline over distinct tuples") {
+    val got = ext.Skyline.sweepSkyline2d.fn(spark, sf)
+      .as[(Double, Long)].collect().toSet
+    val tuples = Tables.lineitem(spark, sf)
+      .groupBy($"l_extendedprice").agg(max(unix_micros($"l_shipdate")))
+      .as[(Double, Long)].collect()
+    val naive = tuples.filter { case (p, d) =>
+      !tuples.exists { case (q, e) =>
+        q <= p && e >= d && (q < p || e > d) }
+    }.toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+    // the Pareto-tradeoff shape: ordered by ascending price, surviving
+    // ship dates are STRICTLY increasing (paying more must buy strictly
+    // fresher stock, else the cheaper tuple dominates)
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered === ordered.sorted)
+    assert(ordered.distinct.size === ordered.size)
+  }
+
+  test("x80b plan: the only unpartitioned window runs over the bucket table") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = ext.Skyline.sweepSkyline2d.fn(spark, sf)
+    df.count()
+    val globals = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.size === 1, "exactly one global window (the bucket offsets)")
+    // its subtree must aggregate to bucket grain before the window —
+    // i.e. contain a hash aggregate keyed on bkt, proving the window
+    // never sees the tuple table
+    assert(globals.head.child.toString.contains("bkt"))
+  }
+
   test("x80 plan: one scan, hash aggregation, broadcast anti-join, no SMJ") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -326,7 +326,10 @@ object ScaleProbe {
       // x80b: skyline-sized output (copies share the price/date
       // domains); distinct-price agg + segmented sweep — the global
       // window stays bucket-table-sized at every factor
-      "x80b_skyline_sweep")
+      "x80b_skyline_sweep",
+      // x84: 5-row output (copies share the 5 types); two percentile
+      // aggs + one broadcast equi-join — wall tracks the two scans
+      "x84_mad_outliers")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -78,5 +78,52 @@ object Outlier {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(embeddingOutliers)
+  /** x84: robust (median/MAD) outlier scoring per event type — the
+    * value-space sibling of x47's embedding-space cut, using the robust
+    * statistics an anomaly pipeline actually deploys (mean/stddev are
+    * poisoned by the very outliers they're meant to find; a14 carries
+    * them for reporting, this carries the robust pair for the CUT).
+    *
+    * Determinism without decimals: nothing here SUMS floats — medians
+    * interpolate identical doubles identically on both engines (the a17
+    * dyadic argument), |value − med| is one IEEE subtract on identical
+    * inputs, and the 3·MAD threshold is one multiply + strict compare.
+    * Scale shape: percentile aggregates per type (the a17 posture) with
+    * the per-type medians broadcast back for the deviation pass — two
+    * scans of events, one broadcast equi-join, zero windows. */
+  val madOutliers = Q.withOracle(
+    "x84_mad_outliers",
+    "x84: per-type median + MAD + 3-MAD outlier counts (robust statistics)",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.50) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.50) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(d.med) AS med, MIN(m.mad) AS mad,
+      |  CAST(COUNT(*) FILTER (WHERE d.dev > 3 * m.mad) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.50)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.50)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        count(when(col("dev") > lit(3.0) * col("mad"), 1)).cast("long").as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(embeddingOutliers, madOutliers)
 }

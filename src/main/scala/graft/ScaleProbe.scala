@@ -329,7 +329,11 @@ object ScaleProbe {
       "x80b_skyline_sweep",
       // x84: 5-row output (copies share the 5 types); two percentile
       // aggs + one broadcast equi-join — wall tracks the two scans
-      "x84_mad_outliers")
+      "x84_mad_outliers",
+      // x85: 1-row output; key shifts keep the per-copy join structure
+      // so the exact join grows f× and the grids stay 3×2^16 — wall
+      // tracks the two grid aggs + the exact-join QA column
+      "x85_cms_join_size")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -35,13 +35,14 @@ object Cms {
   private val Mod32 = 4294967296L
 
   /** The [[Depth]] lane buckets of any string key as an array column —
-    * the one hash recipe shared by the batch query, the DuckDB oracle,
-    * and [[graft.streaming.CmsFeed]]. */
-  private[graft] def laneBuckets(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * the one hash recipe shared by the batch queries, the DuckDB
+    * oracles, and [[graft.streaming.CmsFeed]]. */
+  private[graft] def laneBuckets(c: org.apache.spark.sql.Column,
+      width: Int = Width): org.apache.spark.sql.Column = {
     val m = md5(c)
     val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
-    array((0 until Depth).map(j => (hi + lit(j.toLong) * lo) % Mod32 % Width): _*)
+    array((0 until Depth).map(j => (hi + lit(j.toLong) * lo) % Mod32 % width): _*)
   }
 
   private def cmsOracle: String = {
@@ -103,5 +104,74 @@ object Cms {
       .orderBy(col("n_exact").desc, col("tok")).limit(20)
   }
 
-  val all: Seq[Q] = Seq(cmsFreq)
+  /** Grid width for the x85 join-size estimator — much wider than
+    * [[Width]] because here collisions inflate a SUM of products, not a
+    * min of counts: the per-lane overestimate is ~|A|·|B|/W, so sizing
+    * W against the ROW-COUNT PRODUCT (not the key cardinality) is what
+    * makes the estimate usable — measured here: W=256 inflated 7×/59×
+    * at sf0.01/0.1, W=2^16 lands at 1.0–1.2×. The grid is 3×65536
+    * longs ≈ 1.5 MB — still broadcast metadata, the planner-statistics
+    * trade. */
+  private val JoinWidth = 65536
+
+  private def joinSizeOracle: String = {
+    def laneRows(table: String, key: String) = (0 until Depth).map { j =>
+      s"""SELECT $j AS lane,
+         |  (('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT
+         |   + $j * ('0x' || substr(md5(CAST($key AS VARCHAR)), 9, 8))::BIGINT)
+         |  % $Mod32 % $JoinWidth AS bucket
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g1 AS MATERIALIZED (
+       |  SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (${laneRows("events", "user_id")}) GROUP BY 1, 2),
+       |g2 AS MATERIALIZED (
+       |  SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (${laneRows("orders", "o_custkey")}) GROUP BY 1, 2),
+       |lanes AS (
+       |  SELECT g1.lane, CAST(SUM(g1.c * g2.c) AS BIGINT) AS est
+       |  FROM g1 JOIN g2 USING (lane, bucket) GROUP BY 1),
+       |est AS (SELECT CAST(MIN(est) AS BIGINT) AS est_cms FROM lanes),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+       |SELECT est.est_cms, ex.n_exact,
+       |  CAST(est.est_cms AS DOUBLE) / ex.n_exact AS inflation
+       |FROM est, ex""".stripMargin
+  }
+
+  /** x85: join-size estimation from two CMS grids — the AMS inner
+    * product (Alon–Gibbons–Matias–Szegedy): |A ⋈ B| on a shared key is
+    * Σ_k a_k·b_k, estimated per lane as Σ_bucket g_A[b]·g_B[b] and
+    * min'd across lanes (each collision only ADDS, so the estimate is
+    * one-sided like the point query). This is the cardinality-planner
+    * primitive: both grids are Depth×[[JoinWidth]] longs built with ONE
+    * aggregation per side — the estimate costs two metadata-sized
+    * sketches where the exact answer costs the join itself. The many-
+    * to-many events.user_id ⋈ orders.o_custkey pair is exactly the case
+    * where a planner needs it. Exact join count computed alongside so
+    * the oracle pins estimate AND inflation. */
+  val cmsJoinSize = Q.withOracle(
+    "x85_cms_join_size",
+    s"x85: AMS/CMS join-size estimate ($Depth×$JoinWidth grids) vs the exact join",
+    joinSizeOracle) { (s, dir) =>
+    def grid(df: DataFrame, key: String): DataFrame =
+      df.select(posexplode(laneBuckets(col(key).cast("string"), JoinWidth)))
+        .select(col("pos").as("lane"), col("col").as("bucket"))
+        .groupBy(col("lane"), col("bucket")).agg(count(lit(1)).as("c"))
+    val ev = Tables.events(s, dir)
+    val or = Tables.orders(s, dir)
+    val est = grid(ev, "user_id").as("a")
+      .join(grid(or, "o_custkey").as("b"), Seq("lane", "bucket"))
+      .groupBy(col("lane"))
+      .agg(sum(col("a.c") * col("b.c")).as("est"))
+      .agg(min(col("est")).cast("long").as("est_cms"))
+    val exact = ev.join(or, col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    est.crossJoin(exact)
+      .select(col("est_cms"), col("n_exact"),
+        (col("est_cms").cast("double") / col("n_exact")).as("inflation"))
+  }
+
+  val all: Seq[Q] = Seq(cmsFreq, cmsJoinSize)
 }

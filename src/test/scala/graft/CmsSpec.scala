@@ -24,6 +24,21 @@ class CmsSpec extends SparkSuite {
       "width never collided — the one-sided-error property is untested")
   }
 
+  test("x85 join-size estimate is one-sided and equals the min of per-lane inner products") {
+    val row = ext.Cms.cmsJoinSize.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().head
+    val (est, exact, inflation) = row
+    assert(est >= exact, "AMS inner product can only overestimate")
+    assert(inflation >= 1.0 && inflation < 2.0,
+      s"estimator useless at this width: inflation $inflation")
+    // independent recompute: exact join size as sum of per-key count products
+    val ev = Tables.events(spark, sf).groupBy($"user_id").agg(count(lit(1)).as("a"))
+    val or = Tables.orders(spark, sf).groupBy($"o_custkey").agg(count(lit(1)).as("b"))
+    val direct = ev.join(or, $"user_id" === $"o_custkey")
+      .agg(sum($"a" * $"b")).as[Long].head()
+    assert(exact === direct)
+  }
+
   test("x82 counter grid is mergeable: sum of split-corpus grids equals the full grid") {
     val docs = Tables.documents(spark, sf)
     def grid(d: org.apache.spark.sql.DataFrame) = {

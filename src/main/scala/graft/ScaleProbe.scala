@@ -333,7 +333,11 @@ object ScaleProbe {
       // x85: 1-row output; key shifts keep the per-copy join structure
       // so the exact join grows f× and the grids stay 3×2^16 — wall
       // tracks the two grid aggs + the exact-join QA column
-      "x85_cms_join_size")
+      "x85_cms_join_size",
+      // x86: 3-row output; 3/4 of rows drop map-side before any
+      // shuffle — the percentile agg sees only the sample at every
+      // factor, which is the whole point of the tier
+      "x86_sampled_quantiles")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -162,5 +162,56 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(hashSplit, stratified, domainMix, langTemperature)
+  /** x86: hash-sampled quantiles — a17's scale tier. Exact per-group
+    * percentiles sort every row into the percentile buffers; at 100 TB
+    * the production pattern is a DETERMINISTIC sample (the x60b DOULION
+    * trick applied to order statistics): keep a row iff its md5 lands
+    * in 1/4 of the space, take EXACT percentiles of the sample. The
+    * sample predicate is engine-portable, so unlike approx_percentile
+    * (x25b, no_oracle) the whole estimator replays bit-exactly in
+    * DuckDB — sampling error is the accuracy price (spec-bounded
+    * against a17's exact values), determinism is NOT sacrificed.
+    * n_total rides along exactly (counting is cheap; sorting is not).
+    *
+    * Scale shape: one pruned scan, 3/4 of rows dropped map-side before
+    * any shuffle; the percentile agg sees only the sample. */
+  val sampledQuantiles = Q.withOracle(
+    "x86_sampled_quantiles",
+    "x86: deterministic 1/4-sample percentiles per return flag (a17's scale tier)",
+    """WITH s AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 4 = 0 AS keep
+      |  FROM lineitem),
+      |tot AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_sample
+      |  FROM s GROUP BY 1),
+      |q AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, 0.25) AS p25,
+      |    quantile_cont(l_quantity, 0.50) AS p50,
+      |    quantile_cont(l_quantity, 0.75) AS p75
+      |  FROM s WHERE keep GROUP BY 1)
+      |SELECT l_returnflag, n_total, n_sample, p25, p50, p75
+      |FROM tot JOIN q USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val keep = conv(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+        1, 15), 16, 10).cast("long") % 4 === 0
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), keep.as("keep"))
+    val tot = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        count(when(col("keep"), 1)).cast("long").as("n_sample"))
+    val q = li.filter(col("keep"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.50)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+    tot.join(q, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] =
+    Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{AggView, BlockDedupFeed, Cdc, KmvFeed}
+import graft.streaming.{AggView, BlockDedupFeed, Cdc, CmsFeed, KmvFeed}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +49,7 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,bpe,probek) for fast re-probe of one.
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bpe,probek) for fast re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -237,6 +237,40 @@ object IncProbe {
           .write.format("noop").mode("overwrite").save()
       }
       emit("kmvfeed_apply", f, sec)
+    } }
+
+    // ---- CMS feed: grid merge vs accumulated history ------------------
+    // KmvFeed's sibling: the store after ANY history is ≤ 5 types × 48
+    // cell rows (counters, not keys), so like kmv this is the degenerate
+    // best case — the timed batch exercises the vector-ADD path into
+    // cells that every history unit has already touched.
+    section("cms") { factors.foreach { f =>
+      val dir = s"/tmp/graft-inc-cms-$f"
+      deleteDir(spark, dir)
+      var store: DataFrame =
+        Seq.empty[(String, Long, Long)].toDF("event_type", "idx", "c")
+      (0 until f).foreach { k =>
+        val unit = ScaleProbe.scaledEvents(spark, base, k + 1)
+          .filter(col("user_id") >= k * 100000000L) // copy k only
+        CmsFeed.applyBatch(store, unit)
+          .write.mode("overwrite").parquet(s"$dir/grid.parquet")
+        store = spark.read.parquet(s"$dir/grid.parquet")
+      }
+      val storeTypes = Tables.events(spark, base)
+        .select(col("event_type")).distinct().as[String].collect().sorted
+      def fresh(seed: Long) = spark.range(2000).select(
+        (col("id") * 7919L + seed * 1000000L + 900000000L).as("user_id"),
+        element_at(
+          array(storeTypes.map(lit): _*),
+          (pmod(col("id"), lit(storeTypes.length.toLong)) + 1).cast("int")
+        ).as("event_type"))
+      CmsFeed.applyBatch(store, fresh(1))
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        CmsFeed.applyBatch(store, fresh(2))
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit("cmsfeed_apply", f, sec)
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

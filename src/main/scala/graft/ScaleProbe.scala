@@ -337,7 +337,11 @@ object ScaleProbe {
       // x86: 3-row output; 3/4 of rows drop map-side before any
       // shuffle — the percentile agg sees only the sample at every
       // factor, which is the whole point of the tier
-      "x86_sampled_quantiles")
+      "x86_sampled_quantiles",
+      // x87: top-20 bounded output; pure map + TakeOrdered — renamed
+      // copies miss the probe phrase, so hits stay copy-0-bounded
+      // while the scan covers the whole scaled corpus (the x33 regime)
+      "x87_phrase_search")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -119,5 +119,44 @@ object Search {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(bm25TopK)
+  /** x87 query phrase — two high-frequency corpus tokens, so every SF
+    * returns hits (single-token retrieval is x33's term job; the
+    * phrase operator exists for the ADJACENCY constraint). */
+  private val Phrase = "the table"
+
+  /** x87: exact phrase search — top-k documents by occurrence count of
+    * an adjacent-token phrase. BM25 (x33) ranks by bag-of-words; the
+    * phrase operator enforces ORDER, the thing an inverted index needs
+    * positions for. Here it is a pure MAP through the codegen'd
+    * [[graft.functions.PhraseCount]] expression — a single in-place
+    * sliding-window pass over the token array, no explode, no position
+    * self-join, nothing shuffled but the bounded top-k. (The
+    * higher-order `size(filter(transform(...)))` formulation measured
+    * 3.0 s at sf0.1 — boxed evaluation allocating every candidate
+    * bigram; the expression is the ShingleHash3 lesson reapplied.)
+    * Longer phrases generalize by the phrase literal's arity, not by
+    * extra joins. */
+  val phraseSearch = Q.withOracle(
+    "x87_phrase_search",
+    s"""x87: exact-phrase top-20 docs ("$Phrase"), adjacency-aware, map-only""",
+    s"""WITH occ AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(
+       |      list_transform(generate_series(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1]),
+       |      g -> g = '$Phrase')) AS BIGINT) AS n_occurrences
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |SELECT doc_id, n_occurrences
+       |FROM occ WHERE n_occurrences > 0
+       |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.PhraseCount.register(s)
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.PhraseCount.phraseCount(
+          split(col("text"), " "), lit(Phrase)).as("n_occurrences"))
+    occ.filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id")).limit(20)
+  }
+
+  val all: Seq[Q] = Seq(bm25TopK, phraseSearch)
 }

@@ -132,4 +132,33 @@ class CorpusSpec extends SparkSuite {
     assert(hints.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
       "the hinted subtree must be the bounded 1-row vocab aggregate")
   }
+
+  test("x87 phrase counts: overlaps counted, adjacency required, short docs safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    Seq(
+      (1L, "the table the table sits"),   // two non-overlapping occurrences
+      (2L, "the the the"),                // "the the" overlaps: sliding count 2 — but phrase is "the table": 0
+      (3L, "the big table"),              // non-adjacent: 0
+      (4L, "table the table"),            // one occurrence (positions 2-3)
+      (5L, "the"),                        // 1 token: the sequence() guard path
+      (6L, "the table"))                  // exactly the phrase
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Search.phraseSearch.fn(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 4L -> 1L, 6L -> 1L))
+  }
+
+  test("x87 overlapping occurrences use the sliding window (crafted aaa case)") {
+    import spark.implicits._
+    // with phrase "the table" overlaps can't occur (distinct tokens);
+    // prove the SLIDING semantics on the machinery itself: "t t t" has
+    // two sliding "t t" bigrams — count via the same transform+filter
+    val df = Seq(("t t t")).toDF("text").select(split($"text", " ").as("t"))
+      .select(size(filter(
+        expr("transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"),
+        g => g === lit("t t"))).as("n"))
+    assert(df.as[Int].head() === 2)
+  }
 }

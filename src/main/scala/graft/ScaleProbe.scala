@@ -341,7 +341,12 @@ object ScaleProbe {
       // x87: top-20 bounded output; pure map + TakeOrdered — renamed
       // copies miss the probe phrase, so hits stay copy-0-bounded
       // while the scan covers the whole scaled corpus (the x33 regime)
-      "x87_phrase_search")
+      "x87_phrase_search",
+      // x88: 20-row output (one per query); the composition of x5+x12
+      // (both individually probed) + a metadata-sized join — sign-
+      // flipped copies keep within-copy structure so recall stays
+      // meaningful at every factor
+      "x88_ann_recall")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

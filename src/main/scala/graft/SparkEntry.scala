@@ -34,6 +34,7 @@ object SparkEntry {
       ext.Pq.all ++
       ext.IvfPq.all ++
       ext.SemDedup.all ++
+      ext.Recall.all ++
       ext.TextStats.all ++
       ext.Multimodal.all ++
       ext.Sampling.all ++

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val NumQueries = 20
-  private val TopK = 5
+  private[graft] val TopK = 5
   /** Multi-table LSH: L tables × b sign bits. Few bits per table keeps
     * buckets populated at test scale; at 100 TB you'd raise b with N
     * (bucket occupancy ~ N/2^b) and keep L for recall. */

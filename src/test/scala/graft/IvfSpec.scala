@@ -157,4 +157,26 @@ class IvfSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(pLit === pAgg, "probe lists diverged between tiers")
   }
+
+  test("x88 recall equals an independent intersection of the x5/x12 outputs") {
+    import spark.implicits._
+    val got = ext.Recall.annRecall.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = ext.Similarity.bruteForceKnn.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cand = ext.Ivf.ivfAnn.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === exact.keySet, "one recall row per query")
+    for ((q, (hits, recall)) <- got) {
+      val inter = exact(q).intersect(cand.getOrElse(q, Set.empty)).size.toLong
+      assert(hits === inter, s"query $q")
+      assert(recall === hits.toDouble / 5)
+      assert(hits >= 0L && hits <= 5L)
+    }
+    // the index must be doing better than chance at this probe depth
+    val avg = got.values.map(_._2).sum / got.size
+    assert(avg > 0.3, s"avg recall $avg — index degenerated")
+  }
 }

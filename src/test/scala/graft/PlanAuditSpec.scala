@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSuite {
     "x77_freshness",               // broadcast of the 1-row high-water-mark scalar
     "x80_skyline_offers",          // bounded non-equi dominance anti-join over ≤550 grid-cell winners
     "x85_cms_join_size",           // two 1-row scalars (estimate, exact count) composed by cross join
+    "x88_ann_recall",              // composes x5 (declared broadcast query-set cross join) + x12
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

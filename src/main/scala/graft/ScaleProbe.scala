@@ -346,7 +346,13 @@ object ScaleProbe {
       // (both individually probed) + a metadata-sized join — sign-
       // flipped copies keep within-copy structure so recall stays
       // meaningful at every factor
-      "x88_ann_recall")
+      "x88_ann_recall",
+      // x89: top-20 bounded; copy-renamed tokens replicate the base
+      // corpus's pair structure in disjoint vocabularies — wall rides
+      // the two gram aggs
+      "x89_collocation_lift",
+      // x90: 9-row output always; one scan + 9-cell agg — x74's shape
+      "x90_benford_digits")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

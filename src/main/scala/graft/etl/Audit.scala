@@ -89,5 +89,76 @@ object Audit {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(fkOrphans, freshness)
+  /** Benford P(leading digit = d) = log10(1 + 1/d), pre-computed as
+    * literals so BOTH engines compare against the identical doubles —
+    * computing log10 at query time would bet the hash compare on two
+    * libm implementations agreeing. */
+  private val BenfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** A double as the exact dyadic rational `m / 2^k` in SQL — decimal
+    * literals are NOT safe to embed: DuckDB 1.0 parses the shortest
+    * round-trip string of log10(4/3) one ulp off Java's value
+    * (measured: ...92 vs ...93). m ≤ 2^53 casts to DOUBLE exactly, the
+    * power-of-two divisor is exact, and one division is correctly
+    * rounded in both engines — bit-identical by construction. */
+  private def exactDoubleSql(d: Double): String = {
+    var v = new java.math.BigDecimal(d) // exact binary→decimal expansion
+    var k = 0
+    while (v.stripTrailingZeros.scale > 0) { v = v.multiply(new java.math.BigDecimal(2)); k += 1 }
+    require(k <= 62, s"exponent $k out of range for $d")
+    s"(CAST(${v.longValueExact} AS DOUBLE) / ${1L << k})"
+  }
+
+  /** x90: Benford leading-digit audit of order totals — the
+    * digit-distribution screen fraud/data-quality teams run on money
+    * columns (fabricated or unit-mangled figures drift from Benford's
+    * law; naturally-occurring multi-magnitude amounts follow it).
+    * Completes the audit battery's VALUE axis: x76 checks references,
+    * x77 checks time, x90 checks the numbers themselves.
+    *
+    * Exact integer digit counts + one IEEE division per row of NINE
+    * output rows; deviations are single subtracts against the literal
+    * expectations. One scan, one 9-cell hash agg — the x74 shape. */
+  val benford = Q.withOracle(
+    "x90_benford_digits",
+    "x90: Benford leading-digit distribution of o_totalprice (audit)",
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+       |    AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1),
+       |cnt AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d),
+       |exp AS (
+       |  ${(1 to 9).map(d => s"SELECT CAST($d AS BIGINT) AS digit, ${exactDoubleSql(BenfordP(d))} AS benford_frac").mkString("\n  UNION ALL ")})
+       |SELECT e.digit, COALESCE(c.n, 0) AS n_orders,
+       |  CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t AS frac_obs,
+       |  e.benford_frac,
+       |  abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t - e.benford_frac) AS abs_dev
+       |FROM exp e LEFT JOIN cnt c USING (digit) CROSS JOIN tot
+       |ORDER BY e.digit""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val d = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val cnt = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(count(lit(1)).as("t"))
+    val exp: DataFrame = {
+      import s.implicits._
+      (1 to 9).map(dd => (dd.toLong, BenfordP(dd))).toDF("digit", "benford_frac")
+    }
+    exp.join(cnt, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("t")).as("frac_obs"),
+        col("benford_frac"),
+        abs(coalesce(col("n"), lit(0L)).cast("double") / col("t") - col("benford_frac"))
+          .as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  val all: Seq[Q] = Seq(fkOrphans, freshness, benford)
 }

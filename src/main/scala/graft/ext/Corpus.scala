@@ -307,6 +307,71 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum bigram support for x89 — collocation lift over rare pairs
+    * is noise (a 1-count pair of two rare tokens has huge lift). */
+  private val MinSupport = 10
+  private val CollocK = 20
+
+  /** x89: collocation extraction by LIFT — the association strength of
+    * adjacent token pairs, P(ab) / (P(a)·P(b)), the log-free core of
+    * PMI (log would cost cross-engine libm parity; lift ranks
+    * identically because log is monotone). Exact integer counts feed a
+    * fixed chain of IEEE divisions — identical expression tree both
+    * engines, so even the float column hash-matches. x37 counts
+    * bigrams; x89 NORMALIZES them — "of the" is frequent but not
+    * associated, a true collocation is frequent GIVEN its parts.
+    *
+    * Scale shape: one bigram agg + one unigram agg (the two shuffles
+    * any LM-statistics pass pays), unigram counts broadcast back (the
+    * x38 posture), two 1-row scalars cross-joined, bounded top-k. */
+  val collocations = Q.withOracle(
+    "x89_collocation_lift",
+    s"x89: top-$CollocK collocations by lift (support ≥ $MinSupport)",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |           len(string_split(text, ' ')) AS n FROM documents),
+       |uni AS (SELECT unnest(toks) AS tok FROM d),
+       |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nu FROM uni GROUP BY 1),
+       |nu_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM uni),
+       |pos AS (SELECT toks, unnest(generate_series(1, n - 1)) AS i FROM d),
+       |bg AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM pos),
+       |bcnt AS (
+       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM bg GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinSupport),
+       |nb_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+       |SELECT c.a, c.b, c.nab,
+       |  (CAST(c.nab AS DOUBLE) / nb_tot.nb)
+       |    / ((CAST(ua.nu AS DOUBLE) / nu_tot.nt)
+       |       * (CAST(ub.nu AS DOUBLE) / nu_tot.nt)) AS lift
+       |FROM bcnt c
+       |JOIN ucnt ua ON ua.tok = c.a
+       |JOIN ucnt ub ON ub.tok = c.b
+       |CROSS JOIN nu_tot CROSS JOIN nb_tot
+       |ORDER BY lift DESC, a, b LIMIT $CollocK""".stripMargin) { (s, dir) =>
+    val t = toks(col("text"))
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(t).as("tok"))
+    val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("nu"))
+    val nuTot = uni.agg(count(lit(1)).as("nt"))
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      p => p.getField("b").isNotNull)
+    val bg = docs.select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bcnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= MinSupport)
+    val nbTot = bg.agg(count(lit(1)).as("nb"))
+    bcnt
+      .join(broadcast(ucnt.select(col("tok").as("a"), col("nu").as("nua"))), "a")
+      .join(broadcast(ucnt.select(col("tok").as("b"), col("nu").as("nub"))), "b")
+      .crossJoin(broadcast(nuTot)).crossJoin(broadcast(nbTot))
+      .select(col("a"), col("b"), col("nab"),
+        ((col("nab").cast("double") / col("nb")) /
+          ((col("nua").cast("double") / col("nt")) *
+            (col("nub").cast("double") / col("nt")))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(CollocK)
+  }
+
   val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
-    oovRate, bigramLmScore)
+    oovRate, bigramLmScore, collocations)
 }

@@ -57,4 +57,36 @@ class AuditSpec extends SparkSuite {
     assert(got("live") === ((0L, 2L)))       // Jan 20 + Jan 16 inside 7d; Jan 1 out
     assert(got("stale") === ((15L * day, 0L)))
   }
+
+  test("x90 crafted: digits counted from the integer part; fractions sum to 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    // 19.99 → digit 1 (floor first), 900.5 → 9, 2.0 → 2, 0.5 → excluded
+    Seq((1L, 19.99), (2L, 900.5), (3L, 2.0), (4L, 0.5), (5L, 150000.0))
+      .map { case (k, p) => (k, k, "O", p,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "P") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = etl.Audit.benford.fn(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val byDigit = got.map(r => r._1 -> r._2).toMap
+    assert(byDigit === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 1L))
+    assert(got.map(_._3).sum === 1.0) // observed fractions over 9 digits
+    // expectations are the Benford law values and sum to ~1
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+  }
+
+  test("x90 on real data: every digit present, deviations bounded sanely") {
+    import spark.implicits._
+    val got = etl.Audit.benford.fn(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === (1L to 9L))
+    assert(got.map(_._2).sum === Tables.orders(spark, sf)
+      .filter($"o_totalprice" >= 1).count())
+    // the synthetic uniform-ish price distribution is NOT Benford —
+    // the audit should show real deviation (that's its job), bounded by 1
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
 }

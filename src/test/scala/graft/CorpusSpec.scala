@@ -150,6 +150,33 @@ class CorpusSpec extends SparkSuite {
     assert(got === Map(1L -> 2L, 4L -> 1L, 6L -> 1L))
   }
 
+  test("x89 lift separates a true collocation from a frequent-but-independent pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-colloc").toString
+    // "new york" always adjacent (fully bound); "and" is followed by
+    // "the" in only HALF its occurrences (template B follows it with
+    // "new") — a half-associated pair must get half the lift. 12 docs
+    // per template clears MinSupport=10.
+    val docs = (0 until 12).flatMap { i =>
+      Seq((i.toLong * 2, "new york is big and the cat sat"),
+        (i.toLong * 2 + 1, "the dog is old and new york sat"))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Corpus.collocations.fn(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val ny = got(("new", "york"))
+    // 24 docs × 8 tokens = 192 unigrams, ×7 = 168 bigrams; "new"/"york"/
+    // "new york" each 24 → lift = (24/168) / ((24/192)(24/192)) = 64/7
+    assert(ny._1 === 24L)
+    assert(math.abs(ny._2 - (24.0 / 168) / ((24.0 / 192) * (24.0 / 192))) < 1e-12)
+    val andThe = got(("and", "the"))
+    assert(andThe._1 === 12L)
+    // exactly half the binding → exactly half the lift
+    assert(math.abs(ny._2 - 2.0 * andThe._2) < 1e-12)
+  }
+
   test("x87 overlapping occurrences use the sliding window (crafted aaa case)") {
     import spark.implicits._
     // with phrase "the table" overlaps can't occur (distinct tokens);

@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSuite {
     "x80_skyline_offers",          // bounded non-equi dominance anti-join over ≤550 grid-cell winners
     "x85_cms_join_size",           // two 1-row scalars (estimate, exact count) composed by cross join
     "x88_ann_recall",              // composes x5 (declared broadcast query-set cross join) + x12
+    "x89_collocation_lift",        // two 1-row totals (unigram/bigram N) composed by cross join
+    "x90_benford_digits",          // broadcast of the 1-row total-count scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

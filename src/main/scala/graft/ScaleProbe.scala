@@ -352,7 +352,13 @@ object ScaleProbe {
       // the two gram aggs
       "x89_collocation_lift",
       // x90: 9-row output always; one scan + 9-cell agg — x74's shape
-      "x90_benford_digits")
+      "x90_benford_digits",
+      // x91: top-20 bounded; 1-row high-water broadcast + one part agg
+      // over exact dyadic longs
+      "x91_decayed_popularity",
+      // x92: 3-row output; one flag-grain window (the a17 sort any
+      // exact order statistic pays) — wall tracks the sorted scan
+      "x92_weighted_median")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

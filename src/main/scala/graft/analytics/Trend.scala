@@ -143,5 +143,127 @@ object Trend {
       .orderBy(col("o_orderpriority"))
   }
 
-  val all: Seq[Q] = Seq(groupRegression, timeWeightedPrice)
+  /** Decay horizon for x91: contributions older than this many days
+    * (relative to the corpus high-water ship date) round to zero. With
+    * a one-day half-life the weight of day `a` is 2^(Horizon−a) in
+    * scaled-integer space — every term is a power of two, so the SUM is
+    * exact in a long (headroom: 2^63 / 2^30 ≈ 8.6e9 same-day rows per
+    * part before overflow; a longer horizon trades headroom for tail). */
+  private val DecayHorizonDays = 30
+
+  /** x91: half-life decayed popularity — "what's trending": each
+    * lineitem votes for its part with weight 2^(−age_days), a one-day
+    * half-life anchored at the corpus high-water ship date. Chosen
+    * decay base 2 on purpose: the weights are DYADIC, so the whole
+    * score accumulates as an exact integer (Σ 2^(Horizon−age)) and the
+    * reported double is one final division by 2^Horizon — bit-exact
+    * across engines with zero float summation, where an e^(−λ·age)
+    * formulation would bet the hash on exp() parity AND on float sum
+    * order. The recsys/trending primitive, exactness-first.
+    *
+    * Scale shape: one 1-row high-water scalar broadcast into a pure
+    * map, one part-keyed hash agg (map-side combine on longs), bounded
+    * top-k. */
+  val decayedPopularity = Q.withOracle(
+    "x91_decayed_popularity",
+    s"x91: top-20 trending parts by one-day-half-life decayed votes ($DecayHorizonDays-day horizon)",
+    s"""WITH hw AS (
+       |  SELECT MAX(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
+       |w AS (
+       |  SELECT l_partkey,
+       |    date_diff('day', CAST(l_shipdate AS DATE), hw.mx) AS age
+       |  FROM lineitem CROSS JOIN hw),
+       |sc AS (
+       |  SELECT l_partkey AS part,
+       |    CAST(SUM(CASE WHEN age <= $DecayHorizonDays
+       |      THEN (CAST(1 AS BIGINT) << ($DecayHorizonDays - age))
+       |      ELSE 0 END) AS BIGINT) AS score_scaled,
+       |    CAST(COUNT(*) AS BIGINT) AS n_votes
+       |  FROM w GROUP BY 1)
+       |SELECT part, n_votes, score_scaled,
+       |  CAST(score_scaled AS DOUBLE) / ${1L << DecayHorizonDays} AS score
+       |FROM sc WHERE score_scaled > 0
+       |ORDER BY score_scaled DESC, part LIMIT 20""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val hw = li.agg(max(to_date(col("l_shipdate"))).as("mx"))
+    li.crossJoin(broadcast(hw))
+      .select(col("l_partkey").as("part"),
+        datediff(col("mx"), to_date(col("l_shipdate"))).as("age"))
+      .groupBy(col("part"))
+      .agg(sum(when(col("age") <= DecayHorizonDays,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $DecayHorizonDays - CAST(age AS INT))"))
+          .otherwise(0L)).cast("long").as("score_scaled"),
+        count(lit(1)).as("n_votes"))
+      .filter(col("score_scaled") > 0)
+      .select(col("part"), col("n_votes"), col("score_scaled"),
+        (col("score_scaled").cast("double") / (1L << DecayHorizonDays)).as("score"))
+      .orderBy(col("score_scaled").desc, col("part")).limit(20)
+  }
+
+  /** x92: weighted median — the weighted order statistic a17's
+    * unweighted percentiles can't express: the smallest price v such
+    * that lineitems covering HALF the total quantity cost ≤ v ("half
+    * the volume ships at or below this price"). Weights are exact
+    * integer quantities, the cumulative scan is an integer window sum,
+    * and the pick is `2·cum ≥ total` — no interpolation, no float
+    * accumulation, deterministic ties via (price, orderkey, linenumber)
+    * total order.
+    *
+    * Scale: NOT one window per flag — with a handful of groups that
+    * plan sorts the whole table in |groups| reducer partitions (first
+    * cut measured 7.6× wall for 10× rows at the probe: zero
+    * parallelism). The cumulative weight is an associative SUM, so the
+    * x23/x80b segmented scan applies: per-(flag, price-bucket) windows
+    * in parallel + one tiny per-flag bucket-offset window, identical
+    * result (probe after: 1.1× flat). The oracle keeps the plain
+    * per-flag window — DuckDB's single-node sort is fine at oracle
+    * scale, and a second formulation is a stronger gate. */
+  private val WmBucketBits = 10
+
+  val weightedMedian = Q.withOracle(
+    "x92_weighted_median",
+    "x92: quantity-weighted median price per return flag (segmented cum-weights)",
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS wt,
+      |    l_orderkey AS ok, l_linenumber AS ln
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, v, wt,
+      |    SUM(wt) OVER (PARTITION BY flag ORDER BY v, ok, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(wt) OVER (PARTITION BY flag) AS tot
+      |  FROM w)
+      |SELECT flag, CAST(MIN(tot) AS BIGINT) AS total_weight,
+      |  MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        floor(col("l_quantity")).cast("long").as("wt"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      .withColumn("bkt", shiftright(floor(col("v")).cast("long"), WmBucketBits))
+    val wIn = Window.partitionBy(col("flag"), col("bkt"))
+      .orderBy(col("v"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-(flag, bucket) totals → per-flag prefix offsets + grand total;
+    // both windows run over the bucket table only
+    val bt = w.groupBy(col("flag"), col("bkt")).agg(sum(col("wt")).as("bw"))
+    val offW = Window.partitionBy(col("flag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bt
+      .withColumn("off", coalesce(sum(col("bw")).over(offW), lit(0L)))
+      .withColumn("tot", sum(col("bw")).over(Window.partitionBy(col("flag"))))
+      .select(col("flag"), col("bkt"), col("off"), col("tot"))
+    w.withColumn("cum_in", sum(col("wt")).over(wIn))
+      .join(broadcast(offsets), Seq("flag", "bkt"))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .groupBy(col("flag"))
+      .agg(min(col("tot")).cast("long").as("total_weight"),
+        min(when(lit(2) * col("cum") >= col("tot"), col("v"))).as("wmedian"))
+      .orderBy(col("flag"))
+  }
+
+  val all: Seq[Q] =
+    Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian)
 }

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSuite {
     "x88_ann_recall",              // composes x5 (declared broadcast query-set cross join) + x12
     "x89_collocation_lift",        // two 1-row totals (unigram/bigram N) composed by cross join
     "x90_benford_digits",          // broadcast of the 1-row total-count scalar
+    "x91_decayed_popularity",      // broadcast of the 1-row high-water-date scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

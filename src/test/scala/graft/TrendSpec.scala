@@ -97,6 +97,42 @@ class TrendSpec extends SparkSuite {
     assert(got("P3") === ((2L, 1L, None)))
   }
 
+  test("x91 crafted: exact dyadic halving, horizon cutoff, stale parts absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decay").toString
+    // high-water = 2024-03-01. part 1: today + yesterday → 1.0 + 0.5.
+    // part 2: one vote 30 days old → 2^-30. part 3: 31 days old → filtered.
+    Seq((1L, 1L, "2024-03-01"), (2L, 1L, "2024-02-29"),
+        (3L, 2L, "2024-01-31"), (4L, 3L, "2024-01-30"))
+      .map { case (ok, p, d) => (ok, p, Timestamp.valueOf(s"$d 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = analytics.Trend.decayedPopularity.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, (1L << 30) + (1L << 29), 1.5)),
+      2L -> ((1L, 1L, math.pow(2.0, -30))))) // part 3 beyond horizon: absent
+  }
+
+  test("x92 crafted: weighted median lands where cumulative weight crosses half") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmed").toString
+    // flag A: prices 10(w1), 20(w1), 30(w8) → total 10, half 5 → first
+    // cum ≥ 5 is price 30 (unweighted median would be 20).
+    // flag B: 10(w5), 99(w5) → 2·cum(10)=10 ≥ 10 → wmedian 10 (lower
+    // of the even split — the ≥ rule is the spec).
+    Seq(("A", 10.0, 1.0, 1L, 1), ("A", 20.0, 1.0, 1L, 2), ("A", 30.0, 8.0, 1L, 3),
+        ("B", 10.0, 5.0, 2L, 1), ("B", 99.0, 5.0, 2L, 2))
+      .map { case (f, v, q, ok, ln) => (ok, 1L, 1L, ln, q, v, 0.0, 0.0, f, "O",
+        Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = analytics.Trend.weightedMedian.fn(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("A" -> ((10L, 30.0)), "B" -> ((10L, 10.0))))
+  }
+
   test("x78 plan: single hash aggregation, no Window, no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}

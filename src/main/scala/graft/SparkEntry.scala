@@ -22,6 +22,7 @@ object SparkEntry {
       analytics.Anomaly.all ++
       analytics.Spine.all ++
       analytics.Trend.all ++
+      analytics.Concentration.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       etl.Diff.all ++
@@ -46,6 +47,7 @@ object SparkEntry {
       ext.Outlier.all ++
       ext.Skew.all ++
       ext.Skyline.all ++
+      ext.Bitmap.all ++
       ext.Bloom.all ++
       ext.Cms.all ++
       ext.Heavy.all ++

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concentration / inequality statistics — "how skewed is the spend?" is
+  * the question behind every revenue-at-risk and whale-detection report,
+  * and its standard answer is the Gini coefficient over the per-entity
+  * totals. On sorted values x_1 ≤ … ≤ x_n with ranks r_i:
+  *
+  *   G = (2·Σ r_i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+  *
+  * Oracle-exactness: spend is exact long PENNIES (the Parity pattern),
+  * ranks are exact integers from a totally-ordered (spend, custkey)
+  * tiebreak, and both Σ terms form their products as decimal(18,0) ×
+  * decimal(18,0) — NOT decimal(38,0) × bigint, which DuckDB rejects
+  * outright (its product width rule is w1+w2 capped at 38, so a 38-wide
+  * operand can't multiply anything). 18×18 → 36/37 wide products, and
+  * both engines widen the SUM buffer to 38 — exact to 10^36 per term.
+  * The final Gini is one identical scalar double expression over exact
+  * inputs in both engines (the x78 discipline). Decimal→double casts
+  * here are scale-0 and < 2^53 at oracle scale, so they are exact, not
+  * merely correctly rounded.
+  *
+  * Scale shape: the rank is NOT one window per segment (a handful of
+  * segments = a handful of reducer partitions — the x92 first-cut trap).
+  * Ranks are segmented: row_number within (segment, spend-bucket)
+  * partitions in parallel, plus a bucket-count prefix window that runs
+  * over the tiny bucket table only, then `rank = offset + local_rn`.
+  * Bucket id `spend >> 16` is monotone in spend, so bucket-major order
+  * IS spend order and the composed rank equals the global one. After
+  * ranking: one hash agg of 3 decimals per segment.
+  */
+object Concentration {
+
+  /** Spend-bucket granularity: pennies >> 16 ≈ $655 buckets — hundreds of
+    * buckets over this data's spend range, thousands of customers each at
+    * scale; both windows stay parallel (value windows per bucket, the
+    * offset window over the bucket table alone). */
+  private val BktBits = 16
+
+  /** x95: Gini concentration of customer spend per market segment —
+    * customers with ≥1 order, ranked by exact penny spend. */
+  val gini = Q.withOracle(
+    "x95_gini_spend",
+    "x95: Gini coefficient of per-customer spend by market segment (segmented ranks)",
+    """WITH spend AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment AS mktsegment, x,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, ck) AS rnk
+      |  FROM spend JOIN customer ON ck = c_custkey),
+      |a AS (
+      |  SELECT mktsegment, COUNT(*) AS n_customers,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(rnk AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS srx
+      |  FROM r GROUP BY 1)
+      |SELECT mktsegment, n_customers, CAST(sx AS BIGINT) AS sum_spend,
+      |  CASE WHEN sx > 0 THEN
+      |    (2.0 * CAST(srx AS DOUBLE)
+      |      - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+      |    / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+      |FROM a ORDER BY mktsegment""".stripMargin) { (s, dir) =>
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("x"))
+    val seg = spend
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("ck") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("x"), col("ck"))
+      .withColumn("bkt", expr(s"shiftright(x, $BktBits)"))
+    // segmented global rank: local row_number per (segment, bucket) +
+    // bucket-count prefix offsets computed over the bucket table only
+    val wIn = Window.partitionBy(col("mktsegment"), col("bkt"))
+      .orderBy(col("x"), col("ck"))
+    val offW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = seg.groupBy(col("mktsegment"), col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(offW), lit(0L)))
+      .select(col("mktsegment"), col("bkt"), col("off"))
+    val ranked = seg
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("mktsegment", "bkt"))
+      .withColumn("rnk", col("off") + col("rn"))
+    val a = ranked.groupBy(col("mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x").cast("decimal(18,0)")).as("sx"),
+        sum(col("rnk").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("srx"))
+    a.select(col("mktsegment"), col("n_customers"),
+        col("sx").cast("long").as("sum_spend"),
+        when(col("sx") > 0,
+          (lit(2.0) * col("srx").cast("double")
+            - (col("n_customers").cast("double") + 1.0) * col("sx").cast("double"))
+          / (col("n_customers").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+      .orderBy(col("mktsegment"))
+  }
+
+  val all: Seq[Q] = Seq(gini)
+}

@@ -330,6 +330,82 @@ object Temporal {
       .orderBy(col("wk"), col("event_type"))
   }
 
+  /** x94: interval union via gaps-and-islands — merge each supplier's
+    * fulfillment windows ([shipdate, shipdate + ceil(qty) days), the
+    * "days this line keeps the supplier busy" model) into maximal
+    * overlapping islands, then report islands, covered days, and the
+    * longest continuous stretch per supplier. The general interval-union
+    * primitive that x13's session_window (fixed gap) and x20's bucketed
+    * range join (pairwise counting) cannot express: interval LENGTHS
+    * vary per row, and the answer is a coverage measure, not a match.
+    *
+    * Classic two-stacked-window form: cumulative MAX(end) over preceding
+    * rows detects island starts (strict `>` so half-open touching
+    * intervals merge), a running SUM of the start flags numbers the
+    * islands, then two hash aggs fold islands → suppliers. All
+    * arithmetic on epoch DAYS as BIGINT — no date type crosses the
+    * engine boundary after the first cast.
+    *
+    * Scale shape: ONE shuffle (suppkey), both windows share that sort
+    * (same partition + order key, so Spark plans a single sort with two
+    * Window nodes), then bounded hash aggs and a top-20. A hot
+    * supplier's timeline is one partition's linear scan — the same cost
+    * any per-key timeline op pays, with no pairwise blowup (contrast a
+    * self-join overlap test: quadratic in the hot key). */
+  val intervalCoverage = Q.withOracle(
+    "x94_interval_coverage",
+    "x94: merge per-supplier fulfillment windows into islands; top-20 by covered days",
+    """WITH iv AS (
+      |  SELECT l_suppkey AS supp,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      + CAST(CEIL(l_quantity) AS BIGINT) AS e,
+      |    l_orderkey AS ok, l_linenumber AS ln
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT supp, s, e, ok, ln,
+      |    MAX(e) OVER (PARTITION BY supp ORDER BY s, e, ok, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |f AS (
+      |  SELECT supp, s, e,
+      |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY supp ORDER BY s, e, ok, ln
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m),
+      |i AS (
+      |  SELECT supp, island, MIN(s) AS i_start, MAX(e) AS i_end
+      |  FROM f GROUP BY 1, 2)
+      |SELECT supp, COUNT(*) AS n_islands,
+      |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
+      |  MAX(i_end - i_start) AS longest_days
+      |FROM i GROUP BY supp
+      |ORDER BY covered_days DESC, supp LIMIT 20""".stripMargin) { (s, dir) =>
+    val iv = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("supp"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("s"),
+        (datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long") + ceil(col("l_quantity"))).as("e"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val ord = Window.partitionBy(col("supp"))
+      .orderBy(col("s"), col("e"), col("ok"), col("ln"))
+    val marked = iv
+      .withColumn("pmax",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("supp"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+      .groupBy(col("supp"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_days"),
+        max(col("i_end") - col("i_start")).as("longest_days"))
+      .orderBy(col("covered_days").desc, col("supp")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(asof, asofForward, movingAvg, trailingSpend, pivot, groupStats,
-    topkPerKey, intervalCount, unpivot)
+    topkPerKey, intervalCount, unpivot, intervalCoverage)
 }

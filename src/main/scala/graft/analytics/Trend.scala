@@ -264,6 +264,73 @@ object Trend {
       .orderBy(col("flag"))
   }
 
+  /** x97: offline CUSUM change-point detection — for each event type,
+    * the week where the cumulative deviation from the series mean peaks:
+    * the classic "when did the level shift?" screen (Page's CUSUM, run
+    * retrospectively). To keep the statistic EXACT, the mean is never
+    * formed: multiplying through by n gives the scaled statistic
+    *
+    *   CUSUM_k = n·prefix_k − k·total      (exact integer pennies)
+    *
+    * whose argmax is the same week as the textbook (prefix_k − k·mean).
+    * All terms are long integer pennies from exact decimal sums; the
+    * pick is a deterministic (|CUSUM| desc, week asc) rank. Headroom:
+    * n_weeks·total_pennies < 2^63 — at 10^2 weeks this tolerates ~10^15
+    * pennies ($10 trillion) per event type; past that, widen the two
+    * products to decimal(18,0)×decimal(18,0) as x95 does.
+    *
+    * Scale shape: one hash agg to the (type, week) grain — the only
+    * full-data shuffle — then three stacked windows over the aggregated
+    * calendar axis, which is by construction tiny (|types| × |weeks|)
+    * regardless of input scale: the same deliberate choice as W1/w3. */
+  val cusumChangePoint = Q.withOracle(
+    "x97_cusum_changepoint",
+    "x97: CUSUM change-point week per event type over exact weekly penny sums",
+    """WITH wkly AS (
+      |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT), 0) AS v
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, wk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY wk) AS k,
+      |    SUM(v) OVER (PARTITION BY event_type ORDER BY wk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+      |    SUM(v) OVER (PARTITION BY event_type) AS tot
+      |  FROM wkly),
+      |m AS (
+      |  SELECT event_type, wk, n, n * pre - k * tot AS cusum,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(n * pre - k * tot) DESC, wk) AS pick
+      |  FROM c)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_weeks, wk AS change_wk,
+      |  CAST(cusum AS BIGINT) AS cusum_scaled,
+      |  CAST(sign(cusum) AS BIGINT) AS side
+      |FROM m WHERE pick = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wkly = Tables.events(s, dir)
+      .groupBy(col("event_type"), Parity.week(col("ts")).as("wk"))
+      .agg(coalesce((sum(Parity.dec(col("value"))) * 100).cast("long"), lit(0L))
+        .as("v"))
+    val part = Window.partitionBy(col("event_type"))
+    val ord = part.orderBy(col("wk"))
+    val c = wkly
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("k", row_number().over(ord))
+      .withColumn("pre", sum(col("v"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("v")).over(part))
+      .withColumn("cusum", col("n") * col("pre") - col("k") * col("tot"))
+    c.withColumn("pick", row_number()
+        .over(part.orderBy(abs(col("cusum")).desc, col("wk"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("n").cast("long").as("n_weeks"),
+        col("wk").as("change_wk"), col("cusum").cast("long").as("cusum_scaled"),
+        signum(col("cusum")).cast("long").as("side"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
-    Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian)
+    Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
+      cusumChangePoint)
 }

@@ -160,5 +160,58 @@ object Audit {
       .orderBy(col("digit"))
   }
 
-  val all: Seq[Q] = Seq(fkOrphans, freshness, benford)
+  /** Candidate functional dependencies to profile: (table, lhs, rhs).
+    * Mixed on purpose — two should HOLD (p_partkey→p_brand and
+    * n_nationkey→n_regionkey are key-determined) and three should FAIL
+    * with meaningful counts, so the gate hashes non-trivial values on
+    * both sides of the verdict. */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("nation", "n_nationkey", "n_regionkey"))
+
+  private def fdOracle: String =
+    FdCandidates.map { case (t, l, r) =>
+      s"""SELECT '$t: $l -> $r' AS fd,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(MAX(nd) AS BIGINT) AS max_rhs,
+         |  CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM (SELECT $l, COUNT(DISTINCT $r) AS nd FROM $t GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY fd"
+
+  /** x96: functional-dependency audit — the column-relationship half of
+    * profiling (x56 profiles columns in isolation; this profiles PAIRS):
+    * for each declared candidate `lhs → rhs`, how many lhs values exist,
+    * how many map to more than one rhs (violations), and the worst
+    * fan-out. The Metanome/data-discovery primitive a warehouse runs to
+    * find denormalization candidates and silent key breaks.
+    *
+    * Scale shape: per candidate, one (lhs, rhs)-keyed distinct-style agg
+    * then a bounded second agg — Spark plans countDistinct-in-groupBy as
+    * a two-phase partial aggregate, so the shuffle carries distinct
+    * (lhs, rhs) pairs, not rows. Output is one row per candidate.
+    * Verdicts are BIGINT 0/1, not BOOLEAN — one less cross-engine type
+    * to trust in the hash. */
+  val fdAudit = Q.withOracle(
+    "x96_fd_audit",
+    s"x96: functional-dependency audit over ${FdCandidates.size} candidate column pairs",
+    fdOracle) { (s, dir) =>
+    FdCandidates.map { case (t, l, r) =>
+      val nd = Tables.table(s, dir, t)
+        .groupBy(col(l))
+        .agg(countDistinct(col(r)).as("nd"))
+      nd.agg(count(lit(1)).cast("long").as("n_lhs"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_violating"),
+          max(col("nd")).cast("long").as("max_rhs"))
+        .select(lit(s"$t: $l -> $r").as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_rhs"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    }.reduce(_ unionByName _).orderBy(col("fd"))
+  }
+
+  val all: Seq[Q] = Seq(fkOrphans, freshness, benford, fdAudit)
 }

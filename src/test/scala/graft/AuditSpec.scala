@@ -89,4 +89,40 @@ class AuditSpec extends SparkSuite {
     // the audit should show real deviation (that's its job), bounded by 1
     assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
+
+  test("x96: key-determined FDs hold; attribute pairs report their violations") {
+    import spark.implicits._
+    val got = etl.Audit.fdAudit.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.size === 5)
+    // lhs IS a key → must hold with fan-out exactly 1
+    assert(got("part: p_partkey -> p_brand")._4 === 1L)
+    assert(got("part: p_partkey -> p_brand")._3 === 1L)
+    assert(got("nation: n_nationkey -> n_regionkey")._4 === 1L)
+    // attribute pairs on the synthetic data genuinely violate
+    val brandType = got("part: p_brand -> p_type")
+    assert(brandType._2 > 0L && brandType._4 === 0L && brandType._3 > 1L)
+    // n_lhs sanity: one row per distinct lhs value
+    assert(got("customer: c_nationkey -> c_mktsegment")._1 ===
+      Tables.customer(spark, sf).select($"c_nationkey").distinct().count())
+  }
+
+  test("x96 verdict flips when a violation is planted into a holding FD") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("x96-fd").toString
+    for (t <- Seq("part", "customer", "orders", "nation"))
+      Tables.table(spark, sf, t).write.mode("overwrite").parquet(s"$d/$t.parquet")
+    // duplicate one partkey with a DIFFERENT brand → p_partkey→p_brand breaks
+    val p = Tables.part(spark, sf)
+    p.unionByName(p.limit(1).withColumn("p_brand",
+        org.apache.spark.sql.functions.lit("Brand#99")))
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = etl.Audit.fdAudit.fn(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("part: p_partkey -> p_brand") ===
+      ((Tables.part(spark, sf).count(), 1L, 2L, 0L)))
+    assert(got("nation: n_nationkey -> n_regionkey")._4 === 1L) // unaffected
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x95 Gini: the oracle pins bit-exact parity; these pin the statistic on
+  * crafted distributions (uniform → 0, concentrated → its exact rational),
+  * that the segmented rank composition equals the plain global-window
+  * rank on real data, and layout invariance of the exact-sum form.
+  */
+class ConcentrationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeStar(dir: String,
+      orders: Seq[(Long, Long, Double)], custs: Seq[(Long, String)]): Unit = {
+    orders.map { case (ok, ck, p) =>
+      (ok, ck, "O", p, Timestamp.valueOf("2024-01-01 00:00:00"), "P1") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    custs.map { case (ck, seg) => (ck, s"c$ck", 1L, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+  }
+
+  test("x95 crafted: uniform spend → 0; concentrated spend → exact rational") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    writeStar(dir,
+      // EQ: four customers, $1 each → gini 0.
+      // CONC: spends 1, 1, 998 pennies → G = (2·(1+2+3·998) − 4·1000)
+      //   / (3·1000) = 1994/3000.
+      orders = Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 1.0), (4L, 4L, 1.0),
+        (5L, 5L, 0.01), (6L, 6L, 0.01), (7L, 7L, 9.98)),
+      custs = Seq(1L -> "EQ", 2L -> "EQ", 3L -> "EQ", 4L -> "EQ",
+        5L -> "CONC", 6L -> "CONC", 7L -> "CONC"))
+    val got = analytics.Concentration.gini.fn(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("EQ") === ((4L, 400L, 0.0)))
+    assert(got("CONC") === ((3L, 1000L, 1994.0 / 3000.0)))
+  }
+
+  test("x95 segmented ranks equal the plain global-window ranks on real data") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("x"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("ck") === col("c_custkey"))
+    val plain = spend
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(col("x"), col("ck"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rnk").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("srx"))
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    val viaOp = analytics.Concentration.gini.fn(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    // recompute gini from the plain ranks and compare bit-exact
+    val base = spend.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(18,0)")).as("sx"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((seg, (n, sx)) <- base) {
+      val expected = (2.0 * plain(seg).doubleValue()
+        - (n.toDouble + 1.0) * sx.doubleValue()) / (n.toDouble * sx.doubleValue())
+      assert(viaOp(seg) === expected, s"segment $seg")
+    }
+  }
+
+  test("x95 result is bit-identical under a hostile physical layout") {
+    val base = analytics.Concentration.gini.fn(spark, sf).collect().toSeq
+    val hostile = java.nio.file.Files.createTempDirectory("graft-gini-h").toString
+    Tables.orders(spark, sf).orderBy(col("o_totalprice")).repartition(3)
+      .write.mode("overwrite").parquet(s"$hostile/orders.parquet")
+    Tables.customer(spark, sf).repartition(5)
+      .write.mode("overwrite").parquet(s"$hostile/customer.parquet")
+    val got = analytics.Concentration.gini.fn(spark, hostile).collect().toSeq
+    assert(got === base)
+  }
+
+  test("x95 plan: every window partitions by more than the segment alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = analytics.Concentration.gini.fn(spark, sf)
+    df.count()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // the value-table window keys on (segment, bucket); the offset window
+    // keys on segment but runs over the bucket table only — assert the
+    // raw-data window is never the |segments|-partition global sort
+    assert(windows.exists(_.partitionSpec.size >= 2))
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+}

@@ -149,4 +149,35 @@ class TemporalBoundarySpec extends SparkSuite {
       4L -> 3.0, 5L -> 3.0,               // same-day peers share the frame
       6L -> 4.0))                         // 31 days after the peers → out
   }
+
+  test("x94 islands: overlap merges, half-open touching merges, gaps split") {
+    val d = Files.createTempDirectory("x94-edge").toString
+    def li(ok: Long, supp: Long, ln: Int, ship: String, qty: Double) =
+      (ok, 1L, supp, ln, qty, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf(s"$ship 00:00:00"))
+    // supp 1: [0,2) ∪ [1,3) overlap-merge; [3,5) TOUCHES 3 (half-open →
+    // merges); [10,12) gap → 2 islands, covered (5-0)+(12-10)=7, longest 5
+    // supp 2: single [0,1)
+    Seq(
+      li(1L, 1L, 1, "1970-01-01", 2.0), li(2L, 1L, 1, "1970-01-02", 2.0),
+      li(3L, 1L, 1, "1970-01-04", 2.0), li(4L, 1L, 1, "1970-01-11", 2.0),
+      li(5L, 2L, 1, "1970-01-01", 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = analytics.Temporal.intervalCoverage.fn(spark, d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(1L -> ((2L, 7L, 5L)), 2L -> ((1L, 1L, 1L))))
+  }
+
+  test("x94 plan: both windows share the suppkey partitioning — never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = analytics.Temporal.intervalCoverage.fn(spark, sf)
+    df.count()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
 }

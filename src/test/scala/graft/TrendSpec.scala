@@ -133,6 +133,39 @@ class TrendSpec extends SparkSuite {
     assert(got === Map("A" -> ((10L, 30.0)), "B" -> ((10L, 10.0))))
   }
 
+  test("x97 crafted: CUSUM peaks at the end of the low segment; constant series zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    writeEvents(dir, Seq(
+      // "shift": weekly pennies 100,100,100,900,900 → scaled CUSUM_k =
+      // 5·prefix − k·2100 = -1600,-3200,-4800,-2400,0; |max| at week 3
+      // (2024-01-15, the last low week), side -1
+      (1L, "2024-01-01 12:00:00", "shift", 1.0),
+      (2L, "2024-01-08 12:00:00", "shift", 1.0),
+      (3L, "2024-01-15 12:00:00", "shift", 1.0),
+      (4L, "2024-01-22 12:00:00", "shift", 9.0),
+      (5L, "2024-01-29 12:00:00", "shift", 9.0),
+      // "const": all weeks equal → every CUSUM 0, earliest-week tiebreak
+      (6L, "2024-01-01 00:00:00", "const", 2.0),
+      (7L, "2024-01-08 00:00:00", "const", 2.0),
+      (8L, "2024-01-15 00:00:00", "const", 2.0)))
+    val got = analytics.Trend.cusumChangePoint.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(2).toString, r.getLong(3), r.getLong(4)))).toMap
+    assert(got("shift") === ((5L, "2024-01-15", -4800L, -1L)))
+    assert(got("const") === ((3L, "2024-01-01", 0L, 0L)))
+  }
+
+  test("x97 plan: the full-data shuffle is one hash agg; windows see the weekly grain") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = analytics.Trend.cusumChangePoint.fn(spark, sf)
+    df.count()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.getClass.getSimpleName.contains("HashAggregate")))
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("x78 plan: single hash aggregation, no Window, no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}

@@ -97,10 +97,14 @@ object ScaleProbe {
     * (x59/x60) is an isomorphic DISJOINT replica — unshifted parts would
     * instead DENSIFY one shared 20k-node graph as the factor grows,
     * measuring graph-density growth rather than engine throughput. No
-    * probed query joins lineitem to the (unwritten) part table, so the
-    * shift is invisible to the rest of the board. */
+    * probed query joins lineitem to the part table, so the shift is
+    * invisible to the rest of the board. l_suppkey shifts too (round 11,
+    * same stride as s_suppkey) so x94's per-supplier interval timelines
+    * are disjoint replicas rather than f×-densified merges of one shared
+    * supplier space — and each copy's lineitem→supplier FK stays intact. */
   def scaledLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
-    shifted(Tables.lineitem(spark, baseDir), Seq("l_orderkey", "l_partkey"), factor)
+    shifted(Tables.lineitem(spark, baseDir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
 
   /** Dim tables for the FK-audit probe (round 11 — x76 previously sat
     * out because the probe wrote no dims): every FK column and its
@@ -120,6 +124,13 @@ object ScaleProbe {
 
   def scaledRegion(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
     shifted(Tables.region(spark, baseDir), Seq("r_regionkey"), factor)
+
+  /** Parts for the FD-audit probe (x96): p_partkey shifts, attribute
+    * columns stay — each copy re-keys the same rows, so p_partkey→p_brand
+    * remains key-determined per copy and the attribute-pair violation
+    * structure replicates the base table's exactly. */
+  def scaledPart(spark: SparkSession, baseDir: String, factor: Int): DataFrame =
+    shifted(Tables.part(spark, baseDir), Seq("p_partkey"), factor)
 
   def main(args: Array[String]): Unit = {
     // 1st arg: either a single max factor (probed as 1,4,max — the
@@ -358,7 +369,35 @@ object ScaleProbe {
       "x91_decayed_popularity",
       // x92: 3-row output; one flag-grain window (the a17 sort any
       // exact order statistic pays) — wall tracks the sorted scan
-      "x92_weighted_median")
+      "x92_weighted_median",
+      // x93: output is |types| rows at every factor; shifted user ids
+      // grow the word table f× but map-side bit_or still collapses
+      // before the shuffle — wall should ride the one events scan
+      "x93_bitmap_distinct",
+      // x94: top-20 bounded; l_suppkey shifts with the copies, so each
+      // copy's island structure is a disjoint replica — one suppkey
+      // shuffle + two stacked windows, linear per-key scans
+      "x94_interval_coverage",
+      // x95: |segments| rows always; ranks are segmented (value windows
+      // per spend-bucket), so the rank stage parallelizes with the
+      // corpus — wall rides the orders agg + customer join
+      "x95_gini_spend",
+      // x96: 5 rows always; per-candidate two-phase distinct aggs over
+      // replicated star copies — the x76 bounded-audit shape
+      "x96_fd_audit",
+      // x97: |types| rows; the only full-data shuffle is the weekly
+      // hash agg — the windows run on the |types|×|weeks| grain, which
+      // the key-shift probe leaves constant
+      "x97_cusum_changepoint",
+      // x98: |types|²/2 rows always; sketch state is ≤k longs per type
+      // per partition — the exact-overlap QA join is the only term that
+      // grows, and shifted user ids keep the true overlaps at 0 between
+      // copies (within-copy overlaps replicate)
+      "x98_kmv_intersect",
+      // x99: top-20 bounded; the x60 wedge regime + one triangle-stream
+      // explode — expect x60's linear-in-wedges curve, the honest cost
+      // of exact per-node counts (x60b is the sampled tier)
+      "x99_clustering_coeff")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes
@@ -432,6 +471,8 @@ object ScaleProbe {
         .parquet(s"$dir/nation.parquet")
       scaledRegion(spark, base, f).write.mode("overwrite")
         .parquet(s"$dir/region.parquet")
+      scaledPart(spark, base, f).write.mode("overwrite")
+        .parquet(s"$dir/part.parquet")
       (queries ++ probeOnly.keys.toSeq.sorted)
         .filter(q => only.forall(_.contains(q))).foreach { q =>
         val fn = probeOnly.getOrElse(q, SparkEntry.queries(q))

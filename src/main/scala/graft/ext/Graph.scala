@@ -703,6 +703,89 @@ object Graph {
       .orderBy(col("dist"), col("part")).limit(100)
   }
 
+  /** Minimum degree for the x99 report: below this the coefficient is
+    * noise (d=2 is always 0 or 1) and the top-k would fill with
+    * degenerate ties. */
+  private val CcMinDeg = 5
+
+  private def clusteringOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |deg AS MATERIALIZED (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+       |  GROUP BY 1),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN ku.d * 4294967296 + e.u < kv.d * 4294967296 + e.v
+       |              THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN ku.d * 4294967296 + e.u < kv.d * 4294967296 + e.v
+       |              THEN e.v ELSE e.u END AS dst,
+       |         GREATEST(ku.d * 4294967296 + e.u, kv.d * 4294967296 + e.v) AS kdst
+       |  FROM e JOIN deg ku ON ku.p = e.u JOIN deg kv ON kv.p = e.v),
+       |t AS MATERIALIZED (
+       |  SELECT a.src AS s, a.dst AS wu, b.dst AS wv
+       |  FROM o a JOIN o b ON a.src = b.src AND a.kdst < b.kdst
+       |  JOIN o c ON c.src = a.dst AND c.dst = b.dst),
+       |pt AS MATERIALIZED (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |    SELECT s AS p FROM t
+       |    UNION ALL SELECT wu AS p FROM t
+       |    UNION ALL SELECT wv AS p FROM t)
+       |  GROUP BY 1)
+       |SELECT deg.p AS part, deg.d AS degree,
+       |  COALESCE(pt.tri, 0) AS n_tri,
+       |  CAST(2 * COALESCE(pt.tri, 0) AS DOUBLE)
+       |    / (CAST(deg.d AS DOUBLE) * (deg.d - 1)) AS clustering
+       |FROM deg LEFT JOIN pt ON pt.p = deg.p
+       |WHERE deg.d >= $CcMinDeg
+       |ORDER BY clustering DESC, part LIMIT 20""".stripMargin
+
+  /** x99: per-node local clustering coefficient — "how clique-like is
+    * each part's co-occurrence neighbourhood": c(v) = 2·tri(v) /
+    * (d(v)·(d(v)−1)), the community-structure statistic next to x60's
+    * single global count. Per-node triangle credits fall out of the SAME
+    * degree-oriented closure join x60 runs — each found triangle
+    * (src, wu, wv) explodes into three node credits, one extra
+    * node-keyed hash agg on the (bounded, √m-fan-out) triangle stream.
+    * Degrees ≥ $CcMinDeg only: the coefficient is exact rational
+    * integers cast once to double, so ordering and values replay
+    * bit-identically.
+    *
+    * Scale: identical regime to x60 (the wedge join dominates; probe
+    * x60's row) + one explode×3 of the triangle output and a node-keyed
+    * agg — both bounded by the triangle count, far below wedge volume. */
+  val clusteringCoeff = Q.withOracle(
+    "x99_clustering_coeff",
+    s"x99: top-20 local clustering coefficients (degree >= $CcMinDeg) on the part graph",
+    clusteringOracle) { (s, dir) =>
+    val e = undirected(s, dir)
+    val o = orientEdgeSet(e)
+      .localCheckpoint() // degrees, both wedge sides, and the closure probe
+    e.unpersist() // o is materialized; keep ONE edge generation
+    val deg = o.select(explode(array(col("src"), col("dst"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val wedges = o.as("a").join(o.as("b"),
+        col("a.src") === col("b.src") && col("a.kdst") < col("b.kdst"))
+      .select(col("a.src").as("s"), col("a.dst").as("wu"), col("b.dst").as("wv"))
+    val tris = wedges.join(o.as("c"),
+        col("wu") === col("c.src") && col("wv") === col("c.dst"))
+      .select(col("s"), col("wu"), col("wv"))
+    val perNode = tris.select(explode(array(col("s"), col("wu"), col("wv"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("p"), "left")
+      .filter(col("d") >= CcMinDeg)
+      .select(col("p").as("part"), col("d").cast("long").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("n_tri"),
+        ((coalesce(col("tri"), lit(0L)) * 2).cast("double")
+          / (col("d").cast("double") * (col("d") - 1))).as("clustering"))
+      .orderBy(col("clustering").desc, col("part")).limit(20)
+  }
+
   val all: Seq[Q] =
-    Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp)
+    Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
+      clusteringCoeff)
 }

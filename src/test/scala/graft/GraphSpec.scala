@@ -230,4 +230,33 @@ class GraphSpec extends SparkSuite {
     assert(got === naive)
     assert(got.nonEmpty)
   }
+
+  test("x99 crafted: clique nodes score 1.0; widening a hub dilutes its coefficient") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    // order 1 = 6-clique {0..5}: every member has d=5, tri=C(5,2)=10 → 1.0.
+    // orders 2,3 hang pendants {6},{7} off node 0: d(0)=7, tri(0)=10 →
+    // 2·10/(7·6) = 20/42. Pendants (d=1) fall under the degree floor.
+    write(dir, (0L to 5L).map((1L, _)) ++ Seq((2L, 0L), (2L, 6L), (3L, 0L), (3L, 7L)))
+    val got = ext.Graph.clusteringCoeff.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      0L -> ((7L, 10L, 20.0 / 42.0)),
+      1L -> ((5L, 10L, 1.0)), 2L -> ((5L, 10L, 1.0)), 3L -> ((5L, 10L, 1.0)),
+      4L -> ((5L, 10L, 1.0)), 5L -> ((5L, 10L, 1.0))))
+  }
+
+  test("x99 real graph: coefficients in [0,1], triangles under the wedge bound") {
+    val rows = ext.Graph.clusteringCoeff.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((p, d, tri, c) <- rows) {
+      assert(d >= 5, s"part $p")
+      assert(tri <= d * (d - 1) / 2, s"part $p: $tri triangles exceed wedges")
+      assert(c >= 0.0 && c <= 1.0, s"part $p: $c")
+      assert(c === 2.0 * tri / (d.toDouble * (d - 1)), s"part $p recompute")
+    }
+    // descending by coefficient with part tiebreak — the declared order
+    assert(rows.map(r => (-r._4, r._1)).toSeq === rows.map(r => (-r._4, r._1)).sorted.toSeq)
+  }
 }

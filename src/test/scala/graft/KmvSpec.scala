@@ -64,4 +64,38 @@ class KmvSpec extends SparkSuite {
     val got = ext.Kmv.kmvDistinct.fn(spark, dir2).collect().map(_.toSeq).toSeq
     assert(got === base)
   }
+
+  test("x98 small sets: sketches are exact, estimate IS the true overlap") {
+    // all sets < k=32 distinct users and ids < P (hash injective there):
+    // a∩b = {10,11,12} (3), a∩c = {} (0), b∩c = {20} (1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvi").toString
+    val a = Seq(10L, 11L, 12L, 13L, 14L)
+    val b = Seq(10L, 11L, 12L, 20L)
+    val c = Seq(20L, 30L, 31L)
+    write(dir, (a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)))
+      .zipWithIndex.map { case ((t, u), i) => (i.toLong, u, t) })
+    val got = ext.Kmv.kmvIntersect.fn(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((3L, 3L, 3L)),
+      ("a", "c") -> ((0L, 0L, 0L)),
+      ("b", "c") -> ((1L, 1L, 1L))))
+  }
+
+  test("x98 real log: every pair present; matches bounded by k; estimator sane") {
+    val rows = ext.Kmv.kmvIntersect.fn(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    val types = Tables.events(spark, sf).select(col("event_type"))
+      .distinct().count().toInt
+    assert(rows.length === types * (types - 1) / 2)
+    for ((ta, tb, exact, matches, est) <- rows) {
+      assert(ta < tb)
+      assert(matches >= 0 && matches <= 32)
+      assert(est >= 0, s"($ta,$tb)")
+      // k=32 → ~18% std error on the union; be generous but not vacuous
+      if (exact > 1000)
+        assert(math.abs(est - exact).toDouble / exact < 0.75, s"($ta,$tb): est $est vs $exact")
+    }
+  }
 }

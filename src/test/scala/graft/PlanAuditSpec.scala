@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSuite {
     "x89_collocation_lift",        // two 1-row totals (unigram/bigram N) composed by cross join
     "x90_benford_digits",          // broadcast of the 1-row total-count scalar
     "x91_decayed_popularity",      // broadcast of the 1-row high-water-date scalar
+    "x98_kmv_intersect",           // non-equi (type<type) pair join over the |types|-row sketch table
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -397,7 +397,15 @@ object ScaleProbe {
       // x99: top-20 bounded; the x60 wedge regime + one triangle-stream
       // explode — expect x60's linear-in-wedges curve, the honest cost
       // of exact per-node counts (x60b is the sampled tier)
-      "x99_clustering_coeff")
+      "x99_clustering_coeff",
+      // x100: |types| rows; one (type, value)-grain agg is the only
+      // full-data shuffle, then segmented windows — the x92/x95 shape
+      "x100_ks_drift",
+      // x101: |langs| rows; two bounded hash aggs over the doc corpus
+      "x101_simpson_diversity",
+      // x102: 1 row; two node-keyed degree joins + one keyless 4-sum
+      // agg — expect the linear-in-edges x59 regime without rounds
+      "x102_assortativity")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -48,6 +48,7 @@ object SparkEntry {
       ext.Skew.all ++
       ext.Skyline.all ++
       ext.Bitmap.all ++
+      ext.Drift.all ++
       ext.Bloom.all ++
       ext.Cms.all ++
       ext.Heavy.all ++

@@ -1,0 +1,174 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics — the training/serving-skew screen an ML
+  * pipeline runs before trusting a feature: are two cohorts drawn from
+  * the same distribution? The two-sample Kolmogorov–Smirnov statistic is
+  * the standard answer, and it is EXACTLY computable in integers:
+  *
+  *   D = max_v |F_A(v) − F_B(v)|
+  *     = max_v |cumA(v)·n_B − cumB(v)·n_A| / (n_A·n_B)
+  *
+  * so the argmax and the scaled numerator are exact longs and the
+  * reported double is ONE final division — no float CDFs, no epsilon
+  * tolerance, bit-identical across engines (the x97 multiply-through
+  * discipline). Cohorts here are the deterministic user-id parity split
+  * (the canonical A/B hash split, x17's pattern): any real deployment
+  * swaps in its own cohort predicate.
+  *
+  * Headroom: cum·n products are longs — safe while n_A·n_type < 2^63
+  * (~3e9 rows per event type at this data's shape); past that, widen the
+  * two products to decimal(18,0) as x95 does.
+  *
+  * Scale shape: one hash agg to the (type, value) grain — the only
+  * full-data shuffle — then the cumulative scan is SEGMENTED exactly as
+  * x92/x95: per-(type, value-bucket) windows in parallel plus a
+  * bucket-offset prefix over the tiny bucket table, then a bounded
+  * per-type argmax. Never a |types|-partition global sort.
+  */
+object Drift {
+
+  /** Value-bucket granularity for the segmented cumulative scan: value
+    * pennies >> 10 ≈ $10.24 buckets over this data's value range. */
+  private val KsBktBits = 10
+
+  /** x100: per-event-type two-sample KS drift between the even- and
+    * odd-user cohorts — exact scaled statistic, argmax value, and the
+    * one-division double. */
+  val ksDrift = Q.withOracle(
+    "x100_ks_drift",
+    "x100: exact two-sample KS statistic per event type (even vs odd user cohort)",
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |    CAST(user_id % 2 AS BIGINT) AS b
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(1 - b) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+      |  FROM pts GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, v,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM g),
+      |d AS (
+      |  SELECT event_type, v, na, nb,
+      |    abs(cuma * nb - cumb * na) AS dnum,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cuma * nb - cumb * na) DESC, v) AS pick
+      |  FROM c)
+      |SELECT event_type,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(dnum AS BIGINT) AS ks_scaled,
+      |  CAST(v AS DOUBLE) / 100 AS at_value,
+      |  CASE WHEN na > 0 AND nb > 0 THEN
+      |    CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |  END AS ks
+      |FROM d WHERE pick = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // NULL values are excluded EXPLICITLY: a NULL sample has no place in
+    // a CDF, and the engines disagree on NULL sort position (Spark first,
+    // DuckDB last) — an unfiltered NULL would silently reorder the scan.
+    val pts = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+        pmod(col("user_id"), lit(2)).cast("long").as("b"))
+    val g = pts.groupBy(col("event_type"), col("v"))
+      .agg(sum(lit(1L) - col("b")).cast("long").as("ca"),
+        sum(col("b")).cast("long").as("cb"))
+      .withColumn("bkt", expr(s"shiftright(v, $KsBktBits)"))
+    // segmented cumulative counts: in-bucket running sums + bucket-table
+    // prefix offsets (the x92/x95 composition), totals from the offsets
+    val wIn = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(col("event_type"))
+    val offsets = g.groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .withColumn("offa", coalesce(sum(col("ba")).over(offW), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("bb")).over(offW), lit(0L)))
+      .withColumn("na", sum(col("ba")).over(totW))
+      .withColumn("nb", sum(col("bb")).over(totW))
+      .select(col("event_type"), col("bkt"),
+        col("offa"), col("offb"), col("na"), col("nb"))
+    val c = g
+      .withColumn("ia", sum(col("ca")).over(wIn))
+      .withColumn("ib", sum(col("cb")).over(wIn))
+      .join(broadcast(offsets), Seq("event_type", "bkt"))
+      .select(col("event_type"), col("v"), col("na"), col("nb"),
+        abs((col("offa") + col("ia")) * col("nb")
+          - (col("offb") + col("ib")) * col("na")).as("dnum"))
+    c.withColumn("pick", row_number()
+        .over(Window.partitionBy(col("event_type"))
+          .orderBy(col("dnum").desc, col("v"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("dnum").cast("long").as("ks_scaled"),
+        (col("v").cast("double") / 100).as("at_value"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("dnum").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double"))).as("ks"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x101: Simpson/Herfindahl diversity of the SOURCE mix per language —
+    * "how concentrated is each language's corpus across sources", the
+    * domain-mixture audit x39 rebalances against. The log-free diversity
+    * index (Shannon entropy would bet the hash on libm parity; Simpson
+    * ranks concentration identically):
+    *
+    *   HHI = Σ (c_i/n)²  =  Σ c_i² / n²      (exact integers)
+    *   diversity = 1 − HHI = (n² − Σ c_i²) / n²
+    *
+    * Output carries the exact numerator/denominator longs AND the
+    * one-division double. Two bounded hash aggs — (lang, source) counts,
+    * then a per-lang fold; |langs|×|sources| intermediate rows.
+    * Headroom: n_docs² in a long tolerates ~3e9 docs per language; past
+    * that, widen the squares to decimal(18,0)² as x95 does. */
+  val simpsonDiversity = Q.withOracle(
+    "x101_simpson_diversity",
+    "x101: Simpson diversity of the source mix per language (exact rational)",
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT lang,
+      |    CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_docs, n_sources,
+      |  CAST(n_docs * n_docs - sum_sq AS BIGINT) AS div_num,
+      |  CASE WHEN n_docs > 0 THEN
+      |    CAST(n_docs * n_docs - sum_sq AS DOUBLE)
+      |      / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |  END AS diversity
+      |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    c.groupBy(col("lang"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_sources"),
+        sum(col("n") * col("n")).cast("long").as("sum_sq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        (col("n_docs") * col("n_docs") - col("sum_sq")).cast("long").as("div_num"),
+        when(col("n_docs") > 0,
+          (col("n_docs") * col("n_docs") - col("sum_sq")).cast("double")
+            / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("diversity"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity)
+}

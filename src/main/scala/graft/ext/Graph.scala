@@ -785,7 +785,83 @@ object Graph {
       .orderBy(col("clustering").desc, col("part")).limit(20)
   }
 
+  private def assortativityOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |deg AS MATERIALIZED (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+       |  GROUP BY 1),
+       |dd AS MATERIALIZED (
+       |  SELECT du.d AS x, dv.d AS y FROM e
+       |  JOIN deg du ON du.p = e.u JOIN deg dv ON dv.p = e.v
+       |  UNION ALL
+       |  SELECT dv.d AS x, du.d AS y FROM e
+       |  JOIN deg du ON du.p = e.u JOIN deg dv ON dv.p = e.v),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS sxy
+       |  FROM dd)
+       |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN m2 * sxx - sx * sx <> 0.0 THEN
+       |    (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+       |  END AS assortativity
+       |FROM a""".stripMargin
+
+  /** x102: degree assortativity of the part co-occurrence graph — Newman
+    * (2002)'s "do hubs link to hubs?" coefficient: the Pearson
+    * correlation of (deg u, deg v) over the DIRECTED edge multiset (each
+    * undirected edge counted both ways, so Σx = Σy and Σx² = Σy² and the
+    * formula collapses to one x-moment set):
+    *
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    *
+    * Exact decimal(18,0) moment sums cast once to double, then one
+    * identical scalar expression — the x78 discipline; no sqrt needed in
+    * the symmetric form, so even that bet is off the table. Negative r
+    * (hubs avoid hubs) is the expected shape for co-occurrence graphs.
+    *
+    * Scale: the edge table joins the degree table twice on node keys
+    * (the x59 shape), one keyless agg of 4 exact sums — no window, no
+    * sort, output is a single row. */
+  val assortativity = Q.withOracle(
+    "x102_assortativity",
+    "x102: Newman degree-assortativity coefficient of the part graph",
+    assortativityOracle) { (s, dir) =>
+    val e = undirected(s, dir)
+    val deg = e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("p").as("u"), col("d").as("xdu"))
+    val dv = deg.select(col("p").as("v"), col("d").as("xdv"))
+    val joined = e.join(du, "u").join(dv, "v")
+    val dd = joined.select(col("xdu").as("x"), col("xdv").as("y"))
+      .unionAll(joined.select(col("xdv").as("x"), col("xdu").as("y")))
+    val a = dd.agg(count(lit(1)).cast("long").as("m2"),
+      sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .cast("double").as("sxx"),
+      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+        .cast("double").as("sxy"))
+    // NO unpersist here: the result is returned lazily, and dropping a
+    // lineage-truncated localCheckpoint before execution is unrecoverable
+    // — e is the single edge generation this query ever holds, and the
+    // callers' sweep/ContextCleaner reclaims it after materialization.
+    a.select(expr("m2 div 2").cast("long").as("n_edges"),
+      when(col("m2") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+        (col("m2") * col("sxy") - col("sx") * col("sx"))
+          / (col("m2") * col("sxx") - col("sx") * col("sx")))
+        .as("assortativity"))
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
-      clusteringCoeff)
+      clusteringCoeff, assortativity)
 }

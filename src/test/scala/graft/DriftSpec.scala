@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** x100 KS drift / x101 Simpson diversity: the oracle pins bit-exact
+  * parity; these pin the statistics on crafted distributions (hand-walked
+  * CDFs, identical-distribution zero, NULL exclusion), the segmented-scan
+  * equivalence against a plain global-window formulation, and bounds on
+  * real data.
+  */
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeEvents(dir: String, rows: Seq[(Long, Long, String, Option[Double])]): Unit =
+    rows.map { case (id, uid, et, v) =>
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), uid, et,
+        v.map(java.lang.Double.valueOf).orNull, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("x100 crafted: hand-walked CDFs, earliest-value tiebreak, NULL excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    writeEvents(dir, Seq(
+      // "s": A(even users)={1.00, 2.00}, B(odd)={2.00, 3.00} →
+      // dnum at v: 100→|1·2−0·2|=2, 200→|2·2−1·2|=2, 300→0;
+      // max 2, tie → smallest v=100 → at_value 1.0, ks 2/4=0.5
+      (1L, 0L, "s", Some(1.0)), (2L, 2L, "s", Some(2.0)),
+      (3L, 1L, "s", Some(2.0)), (4L, 3L, "s", Some(3.0)),
+      // "z": identical singletons → ks 0
+      (5L, 0L, "z", Some(5.0)), (6L, 1L, "z", Some(5.0)),
+      // a NULL value must not perturb either cohort
+      (7L, 0L, "z", None)))
+    val got = ext.Drift.ksDrift.fn(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("s") === ((2L, 2L, 2L, 1.0, 0.5)))
+    assert(got("z") === ((1L, 1L, 0L, 5.0, 0.0)))
+  }
+
+  test("x100 segmented scan equals the plain per-type global window on real data") {
+    val naive = {
+      val pts = Tables.events(spark, sf)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+          pmod(col("user_id"), lit(2)).cast("long").as("b"))
+      val g = pts.groupBy(col("event_type"), col("v"))
+        .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = Window.partitionBy(col("event_type"))
+      g.withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(t))
+        .withColumn("nb", sum(col("cb")).over(t))
+        .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .withColumn("pick", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("dnum").desc, col("v"))))
+        .filter(col("pick") === 1)
+        .select(col("event_type"), col("dnum").cast("long"))
+        .as[(String, Long)].collect().toMap
+    }
+    val got = ext.Drift.ksDrift.fn(spark, sf)
+      .select(col("event_type"), col("ks_scaled")).as[(String, Long)].collect().toMap
+    assert(got === naive)
+  }
+
+  test("x100 is invariant under a hostile physical layout") {
+    val base = ext.Drift.ksDrift.fn(spark, sf).collect().toSeq
+    val hostile = java.nio.file.Files.createTempDirectory("graft-ks-h").toString
+    Tables.events(spark, sf).orderBy(col("value").desc_nulls_first).repartition(3)
+      .write.mode("overwrite").parquet(s"$hostile/events.parquet")
+    val got = ext.Drift.ksDrift.fn(spark, hostile).collect().toSeq
+    assert(got === base)
+  }
+
+  test("x101 crafted: even split scores 1/2; single source scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-simpson").toString
+    Seq(("aa", "x"), ("aa", "x"), ("aa", "y"), ("aa", "y"),
+        ("bb", "z"), ("bb", "z"), ("bb", "z"))
+      .zipWithIndex.map { case ((l, s0), i) => (i.toLong, s"doc$i", l, s0, 4L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Drift.simpsonDiversity.fn(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // aa: n=4, Σc²=8 → num 16−8=8, diversity 0.5; bb: n=3, Σc²=9 → 0
+    assert(got === Map(
+      "aa" -> ((4L, 2L, 8L, 0.5)),
+      "bb" -> ((3L, 1L, 0L, 0.0))))
+  }
+
+  test("x101 real corpus: diversity within [0, 1-1/k] and recomputable") {
+    val rows = ext.Drift.simpsonDiversity.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((lang, n, k, num, d) <- rows) {
+      assert(num >= 0 && num <= n.toDouble * n, s"$lang")
+      assert(d >= 0.0 && d <= 1.0 - 1.0 / k + 1e-12, s"$lang: $d vs k=$k")
+      assert(d === num.toDouble / (n.toDouble * n), s"$lang recompute")
+    }
+  }
+}

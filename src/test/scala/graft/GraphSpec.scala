@@ -259,4 +259,27 @@ class GraphSpec extends SparkSuite {
     // descending by coefficient with part tiebreak — the declared order
     assert(rows.map(r => (-r._4, r._1)).toSeq === rows.map(r => (-r._4, r._1)).sorted.toSeq)
   }
+
+  test("x102 crafted: star is perfectly disassortative; regular graph is undefined") {
+    // star: orders {0,1},{0,2} → edges (0,1),(0,2); degrees 2,1,1 →
+    // directed moments m2=4, Σx=6, Σx²=10, Σxy=8 → r = (32−36)/(40−36) = −1
+    val starDir = java.nio.file.Files.createTempDirectory("graft-assort1").toString
+    write(starDir, Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L)))
+    val star = ext.Graph.assortativity.fn(spark, starDir)
+      .as[(Long, Option[Double])].collect().head
+    assert(star === ((2L, Some(-1.0))))
+    // K3: every degree 2 → zero x-variance → NULL, not NaN
+    val cliqueDir = java.nio.file.Files.createTempDirectory("graft-assort2").toString
+    write(cliqueDir, Seq((1L, 0L), (1L, 1L), (1L, 2L)))
+    val clique = ext.Graph.assortativity.fn(spark, cliqueDir)
+      .as[(Long, Option[Double])].collect().head
+    assert(clique === ((3L, None)))
+  }
+
+  test("x102 real graph: coefficient within [-1, 1]") {
+    val (m, r) = ext.Graph.assortativity.fn(spark, sf)
+      .as[(Long, Option[Double])].collect().head
+    assert(m > 0)
+    assert(r.isDefined && r.get >= -1.0 && r.get <= 1.0)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{AggView, BlockDedupFeed, Cdc, CmsFeed, KmvFeed}
+import graft.streaming.{AggView, BitmapFeed, BlockDedupFeed, Cdc, CmsFeed, KmvFeed}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +49,8 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bpe,probek) for fast re-probe of one.
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,bpe,probek) for fast
+    // re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -271,6 +272,43 @@ object IncProbe {
           .write.format("noop").mode("overwrite").save()
       }
       emit("cmsfeed_apply", f, sec)
+    } }
+
+    // ---- BitmapFeed: exact word-table merge vs accumulated history ----
+    // The EXACT end of the kmv/cms trade: the store grows with distinct
+    // users / 64 (one long per occupied word), so unlike the two sketch
+    // rows the history axis DOES grow state — the claim under test is
+    // that the per-batch cost rides the TOUCHED words (batch-sized),
+    // not the store width: the merge is one (type, word) hash agg whose
+    // store side is a column-pruned scan, no shuffle of untouched words'
+    // bit population into the batch's partitions beyond the agg itself.
+    section("bitmap") { factors.foreach { f =>
+      val dir = s"/tmp/graft-inc-bitmap-$f"
+      deleteDir(spark, dir)
+      var store: DataFrame =
+        Seq.empty[(String, Long, Long)].toDF("event_type", "word_idx", "word")
+      (0 until f).foreach { k =>
+        val unit = ScaleProbe.scaledEvents(spark, base, k + 1)
+          .filter(col("user_id") >= k * 100000000L) // copy k only
+        BitmapFeed.applyBatch(store, unit)
+          .write.mode("overwrite").parquet(s"$dir/words.parquet")
+        store = spark.read.parquet(s"$dir/words.parquet")
+      }
+      val storeTypes = Tables.events(spark, base)
+        .select(col("event_type")).distinct().as[String].collect().sorted
+      def fresh(seed: Long) = spark.range(2000).select(
+        (col("id") * 7919L + seed * 1000000L + 900000000L).as("user_id"),
+        element_at(
+          array(storeTypes.map(lit): _*),
+          (pmod(col("id"), lit(storeTypes.length.toLong)) + 1).cast("int")
+        ).as("event_type"))
+      BitmapFeed.applyBatch(store, fresh(1))
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        BitmapFeed.applyBatch(store, fresh(2))
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit("bitmapfeed_apply", f, sec)
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

@@ -405,7 +405,11 @@ object ScaleProbe {
       "x101_simpson_diversity",
       // x102: 1 row; two node-keyed degree joins + one keyless 4-sum
       // agg — expect the linear-in-edges x59 regime without rounds
-      "x102_assortativity")
+      "x102_assortativity",
+      // x103: 1 row; one (seg, nat) hash agg, then everything runs on
+      // the R×C grid — the key-shift probe replicates nations per copy
+      // so the grid grows f× on one axis while the fold stays tiny
+      "x103_chi2_independence")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -170,5 +170,90 @@ object Drift {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity)
+  /** x103: chi-squared independence test — "is market segment
+    * independent of nation?", the categorical association screen next
+    * to x100's continuous KS. The statistic over the FULL R×C grid
+    * (unobserved cells contribute their expectation — skipping them
+    * would bias the test):
+    *
+    *   χ² = Σ_cells (O·n − r·c)² / (n·r·c)
+    *
+    * Exactness: O·n and r·c are exact longs, their difference squares in
+    * a double, and the per-cell division uses a double-product
+    * denominator (n·r·c overflows a long at warehouse scale; three
+    * exact-int casts multiplied in IEEE are deterministic). The SUM of
+    * per-cell doubles is the one order-dependent step, so it runs as an
+    * ORDERED FOLD over the (nation, segment)-sorted cell list — the x40
+    * discipline — and Cramér's V adds one sqrt, which IEEE 754 requires
+    * correctly rounded: bit-identical everywhere.
+    *
+    * Scale shape: one (seg, nat) hash agg over the data — everything
+    * after runs on the R×C grid (≤ hundreds of rows: totals joins, the
+    * grid cross join of two broadcast dimension-total tables, one
+    * collected fold). Output is a single row. Headroom: the O·n and
+    * r·c long products tolerate ~3e9 rows; past that, widen them to
+    * decimal(18,0)² as x95 does. */
+  val chi2Independence = Q.withOracle(
+    "x103_chi2_independence",
+    "x103: chi-squared independence of c_mktsegment x c_nationkey + Cramer's V",
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |r AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT r.seg, c.nat, r.rt, c.ct, n.n, COALESCE(cells.o, 0) AS o
+      |  FROM r CROSS JOIN c CROSS JOIN n
+      |  LEFT JOIN cells ON cells.seg = r.seg AND cells.nat = c.nat),
+      |t AS (
+      |  SELECT seg, nat, n,
+      |    CAST((o * n - rt * ct) AS DOUBLE) * CAST((o * n - rt * ct) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |      AS term
+      |  FROM grid),
+      |f AS (
+      |  SELECT MIN(n) AS n,
+      |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT nat) AS BIGINT) AS n_cols,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY nat, seg)), (a, x) -> a + x) AS chi2
+      |  FROM t)
+      |SELECT CAST(n AS BIGINT) AS n_customers, n_rows, n_cols,
+      |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+      |  chi2,
+      |  sqrt(chi2 / (CAST(n AS DOUBLE)
+      |    * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))) AS cramers_v
+      |FROM f""".stripMargin) { (s, dir) =>
+    val cells = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
+    val c = cells.groupBy(col("nat")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val grid = broadcast(r).crossJoin(broadcast(c)).crossJoin(broadcast(n))
+      .join(cells, Seq("seg", "nat"), "left")
+      .select(col("seg"), col("nat"), col("rt"), col("ct"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val d = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+    val t = grid.select(col("seg"), col("nat"), col("n"),
+      (d * d / (col("n").cast("double") * col("rt").cast("double")
+        * col("ct").cast("double"))).as("term"))
+    t.agg(min(col("n")).as("n"),
+        countDistinct(col("seg")).cast("long").as("n_rows"),
+        countDistinct(col("nat")).cast("long").as("n_cols"),
+        aggregate(
+          array_sort(collect_list(struct(col("nat"), col("seg"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+      .select(col("n").cast("long").as("n_customers"),
+        col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("long").as("dof"),
+        col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))
+          .as("cramers_v"))
+  }
+
+  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity, chi2Independence)
 }

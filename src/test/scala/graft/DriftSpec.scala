@@ -92,6 +92,38 @@ class DriftSpec extends SparkSuite {
       "bb" -> ((3L, 1L, 0L, 0.0))))
   }
 
+  private def writeCustomers(dir: String, rows: Seq[(String, Long)]): Unit =
+    rows.zipWithIndex.map { case ((seg, nat), i) => (i.toLong, s"c$i", nat, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+  test("x103 crafted: uniform grid scores exactly 0; diagonal scores chi2=n, V=1") {
+    val indep = java.nio.file.Files.createTempDirectory("graft-chi2a").toString
+    // 2 segments × 2 nations, 3 customers per cell → O = r·c/n everywhere
+    writeCustomers(indep, for {
+      seg <- Seq("A", "B"); nat <- Seq(1L, 2L); _ <- 1 to 3
+    } yield (seg, nat))
+    val i = ext.Drift.chi2Independence.fn(spark, indep)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(i === ((12L, 2L, 2L, 1L, 0.0, 0.0)))
+    // perfect association: A↔1, B↔2 (5 each) → χ² = n = 10, V = 1
+    val dep = java.nio.file.Files.createTempDirectory("graft-chi2b").toString
+    writeCustomers(dep,
+      Seq.fill(5)(("A", 1L)) ++ Seq.fill(5)(("B", 2L)))
+    val d = ext.Drift.chi2Independence.fn(spark, dep)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(d === ((10L, 2L, 2L, 1L, 10.0, 1.0)))
+  }
+
+  test("x103 real data: statistic nonnegative, V within [0,1], full grid counted") {
+    val (n, r, c, dof, chi2, v) = ext.Drift.chi2Independence.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(n === Tables.customer(spark, sf).count())
+    assert(dof === (r - 1) * (c - 1))
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("x101 real corpus: diversity within [0, 1-1/k] and recomputable") {
     val rows = ext.Drift.simpsonDiversity.fn(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSuite {
     "x90_benford_digits",          // broadcast of the 1-row total-count scalar
     "x91_decayed_popularity",      // broadcast of the 1-row high-water-date scalar
     "x98_kmv_intersect",           // non-equi (type<type) pair join over the |types|-row sketch table
+    "x103_chi2_independence",      // R×C grid from two broadcast dimension-total tables + 1-row n
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -409,7 +409,12 @@ object ScaleProbe {
       // x103: 1 row; one (seg, nat) hash agg, then everything runs on
       // the R×C grid — the key-shift probe replicates nations per copy
       // so the grid grows f× on one axis while the fold stays tiny
-      "x103_chi2_independence")
+      "x103_chi2_independence",
+      // x104: top-20 bounded; fingerprint selection is a pure map
+      // (codegen'd Winnow3), the pair join is fp-keyed with the max-df
+      // hot-key bound — renamed copies keep fingerprints copy-local,
+      // so candidate pairs replicate, never cross copies
+      "x104_winnow_pairs")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -29,6 +29,7 @@ object SparkEntry {
       etl.Audit.all ++
       functions.Scalars.all ++
       ext.Dedup.all ++
+      ext.Winnowing.all ++
       ext.Rewrite.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++

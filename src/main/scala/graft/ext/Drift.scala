@@ -240,12 +240,17 @@ object Drift {
     val t = grid.select(col("seg"), col("nat"), col("n"),
       (d * d / (col("n").cast("double") * col("rt").cast("double")
         * col("ct").cast("double"))).as("term"))
+    // R/C as 1-row scalars (NOT countDistinct alongside collect_list —
+    // that mix forces a SortAggregate fallback; each piece alone stays
+    // in the hash/object-hash families, and all three run on grid-sized
+    // inputs)
+    val nr = r.agg(count(lit(1)).cast("long").as("n_rows"))
+    val nc = c.agg(count(lit(1)).cast("long").as("n_cols"))
     t.agg(min(col("n")).as("n"),
-        countDistinct(col("seg")).cast("long").as("n_rows"),
-        countDistinct(col("nat")).cast("long").as("n_cols"),
         aggregate(
           array_sort(collect_list(struct(col("nat"), col("seg"), col("term")))),
           lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
       .select(col("n").cast("long").as("n_customers"),
         col("n_rows"), col("n_cols"),
         ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("long").as("dof"),

@@ -414,7 +414,10 @@ object ScaleProbe {
       // (codegen'd Winnow3), the pair join is fp-keyed with the max-df
       // hot-key bound — renamed copies keep fingerprints copy-local,
       // so candidate pairs replicate, never cross copies
-      "x104_winnow_pairs")
+      "x104_winnow_pairs",
+      // x105: 5 rows always; per-key two-level count profiles — the
+      // key-shifted copies replicate per-key multiplicities exactly
+      "x105_skew_audit")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -213,5 +213,55 @@ object Audit {
     }.reduce(_ unionByName _).orderBy(col("fd"))
   }
 
-  val all: Seq[Q] = Seq(fkOrphans, freshness, benford, fdAudit)
+  /** Join/shuffle keys to profile for skew: (table, key). The five keys
+    * every query in this engine shuffles on somewhere. */
+  private val SkewKeys: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"))
+
+  private def skewOracle: String =
+    SkewKeys.map { case (t, k) =>
+      s"""SELECT '$t.$k' AS key,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+         |  CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor
+         |FROM (SELECT $k, CAST(COUNT(*) AS BIGINT) AS c FROM $t GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY key"
+
+  /** x105: shuffle-key skew audit — for each declared join/shuffle key,
+    * the cardinality profile that decides whether a plain hash shuffle
+    * survives at scale: rows, distinct keys, the hottest key's row
+    * count, and `skew_factor` = max/mean rows-per-key (1.0 = perfectly
+    * uniform; ≥ ~5 = the hottest reducer partition dominates the stage
+    * and the x52 salting / AQE skew-join levers apply). The operational
+    * pre-flight a 100 TB pipeline runs BEFORE picking join strategies —
+    * x56 profiles values, x96 profiles column pairs, x105 profiles the
+    * keys the EXECUTION hangs off.
+    *
+    * Scale shape: per key one (key) hash agg (map-side combined) then a
+    * 3-scalar fold — the classic two-level count profile; output is one
+    * bounded row per declared key. The double division happens once per
+    * output row from exact integer sums. */
+  val skewAudit = Q.withOracle(
+    "x105_skew_audit",
+    s"x105: shuffle-key skew profile for ${SkewKeys.size} declared join keys",
+    skewOracle) { (s, dir) =>
+    SkewKeys.map { case (t, k) =>
+      Tables.table(s, dir, t)
+        .groupBy(col(k)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_keys"),
+          max(col("c")).cast("long").as("max_rows_per_key"))
+        .select(lit(s"$t.$k").as("key"), col("n_rows"), col("n_keys"),
+          col("max_rows_per_key"),
+          (col("max_rows_per_key").cast("double") * col("n_keys") / col("n_rows"))
+            .as("skew_factor"))
+    }.reduce(_ unionByName _).orderBy(col("key"))
+  }
+
+  val all: Seq[Q] = Seq(fkOrphans, freshness, benford, fdAudit, skewAudit)
 }

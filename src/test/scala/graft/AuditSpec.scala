@@ -125,4 +125,26 @@ class AuditSpec extends SparkSuite {
       ((Tables.part(spark, sf).count(), 1L, 2L, 0L)))
     assert(got("nation: n_nationkey -> n_regionkey")._4 === 1L) // unaffected
   }
+
+  test("x105: five declared keys profiled; skew factor >= 1 and recomputable") {
+    import spark.implicits._
+    val rows = etl.Audit.skewAudit.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq ===
+      Seq("events.user_id", "lineitem.l_orderkey", "lineitem.l_partkey",
+        "lineitem.l_suppkey", "orders.o_custkey"))
+    for ((key, n, k, mx, skew) <- rows) {
+      assert(k <= n && mx >= 1 && mx <= n, key)
+      // max/mean >= 1 always; == 1 iff perfectly uniform
+      assert(skew >= 1.0 - 1e-12, s"$key: $skew")
+      assert(skew === mx.toDouble * k / n, s"$key recompute")
+    }
+    // cross-check one profile against a direct computation
+    val li = Tables.events(spark, sf).groupBy($"user_id").count()
+      .agg(org.apache.spark.sql.functions.max($"count"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .as[(Long, Long)].collect().head
+    val ev = rows.find(_._1 == "events.user_id").get
+    assert((ev._4, ev._3) === li)
+  }
 }

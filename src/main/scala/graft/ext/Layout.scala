@@ -216,5 +216,32 @@ object Layout {
       .orderBy(col("bucket"))
   }
 
+  // ---- Bucketed tables: the co-located-join layout -------------------
+
+  /** Write `df` as a Hive-bucketed, per-bucket-sorted parquet TABLE —
+    * the layout that makes a recurring equi-join on `key` SHUFFLE-FREE:
+    * both sides pre-hashed into the same bucket count means Spark's
+    * planner drops the Exchange on each bucketed side entirely (and with
+    * `sortBy` the per-bucket sort too), turning every later sort-merge
+    * join into a zip of co-located files. Z-order answers selective
+    * SCANS; bucketing answers repeated JOINS — the two halves of layout
+    * design at 100 TB, where re-shuffling a fact table per query is the
+    * single largest avoidable cost. The price: a one-time hash shuffle
+    * at write, and bucket counts must match across co-joined tables
+    * (LayoutSpec pins both the dropped Exchange and the equal results).
+    *
+    * `saveAsTable` is required — bucket metadata lives in the catalog,
+    * not the files; plain `.parquet(path)` writes would silently lose
+    * the bucketing contract. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    val sorted = sortCols match {
+      case Nil => w
+      case h +: t => w.sortBy(h, t: _*)
+    }
+    sorted.saveAsTable(table)
+  }
+
   val all: Seq[graft.Q] = Seq(zorderStats)
 }

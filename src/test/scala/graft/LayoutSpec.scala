@@ -227,4 +227,41 @@ class LayoutSpec extends SparkSuite {
     assert(stats.map(_._4).max <= daySpan / 8,
       s"day boxes too wide: ${stats.map(_._4).max} vs global $daySpan")
   }
+
+  test("bucketed tables join with ZERO exchanges; plain parquet pays two") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    ext.Layout.writeBucketed(orders, "bk_orders", "o_orderkey", 8,
+      Seq("o_orderkey"))
+    ext.Layout.writeBucketed(lineitem, "bk_lineitem", "l_orderkey", 8,
+      Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        flattenPlan(df.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeLike])
+      }
+      val bucketed = spark.table("bk_orders").join(spark.table("bk_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      assert(exchanges(bucketed) === 0,
+        "bucketed join must be exchange-free on both sides")
+      assert(exchanges(plain) >= 2, "plain join shuffles both sides")
+      // same join, same answer
+      assert(bucketed.count() === plain.count())
+      val a = bucketed.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1))).collect().map(_.toSeq).toSet
+      val b = plain.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1))).collect().map(_.toSeq).toSet
+      assert(a === b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
 }

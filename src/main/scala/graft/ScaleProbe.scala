@@ -417,7 +417,11 @@ object ScaleProbe {
       "x104_winnow_pairs",
       // x105: 5 rows always; per-key two-level count profiles — the
       // key-shifted copies replicate per-key multiplicities exactly
-      "x105_skew_audit")
+      "x105_skew_audit",
+      // x106: |types|×|weeks| rows (constant under key shift); one
+      // weekly hash agg then windows on the aggregated axis — x97's
+      // shape with a trailing frame
+      "x106_rolling_slope")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

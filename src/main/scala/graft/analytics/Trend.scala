@@ -330,7 +330,71 @@ object Trend {
       .orderBy(col("event_type"))
   }
 
+  /** Trailing window (weeks, inclusive of current) for x106. */
+  private val RollWeeks = 4
+
+  /** x106: rolling regression — the trailing-$RollWeeks-week OLS slope of
+    * weekly volume per event type, at every week: x78 answers "what is
+    * the trend overall", x106 answers "what is the trend NOW, and when
+    * did it flip" (the time-series acceleration screen; w3's moving
+    * average smooths the level, this fits the direction).
+    *
+    * Exactness: all five regression moments are exact integer window
+    * sums (x = epoch-week index, y = exact pennies), and the slope is
+    * the x78 formula — numerator/denominator formed in exact integers
+    * and cast ONCE to double for one division. Windows of n=1 have zero
+    * x-variance → NULL (both engines, guarded). Headroom: the sx·sy
+    * product tolerates ~2e14 weekly pennies at this window width; past
+    * that, widen to decimal(18,0) as x95 does.
+    *
+    * Scale shape: one hash agg to the weekly grain (the only full-data
+    * shuffle); every window runs on the |types|×|weeks| axis — tiny at
+    * any input scale, the same deliberate W1/x97 choice. */
+  val rollingSlope = Q.withOracle(
+    "x106_rolling_slope",
+    s"x106: trailing-$RollWeeks-week OLS slope of weekly volume per event type",
+    s"""WITH wkly AS (
+       |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+       |    date_diff('day', DATE '1970-01-01', CAST(date_trunc('week', ts) AS DATE)) // 7 AS x,
+       |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT), 0) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, wk,
+       |    COUNT(*) OVER tw AS n,
+       |    SUM(x) OVER tw AS sx, SUM(y) OVER tw AS sy,
+       |    SUM(x * x) OVER tw AS sxx, SUM(x * y) OVER tw AS sxy
+       |  FROM wkly
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY wk
+       |    ROWS BETWEEN ${RollWeeks - 1} PRECEDING AND CURRENT ROW))
+       |SELECT event_type, wk, CAST(n AS BIGINT) AS n_weeks,
+       |  CASE WHEN n * sxx - sx * sx <> 0
+       |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+       |FROM w ORDER BY event_type, wk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wkly = Tables.events(s, dir)
+      .groupBy(col("event_type"), Parity.week(col("ts")).as("wk"))
+      .agg(coalesce((sum(Parity.dec(col("value"))) * 100).cast("long"), lit(0L))
+        .as("y"))
+      .withColumn("x",
+        expr("CAST(datediff(wk, DATE '1970-01-01') AS BIGINT) div 7"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      .rowsBetween(-(RollWeeks - 1), Window.currentRow)
+    val w = wkly
+      .withColumn("n", count(lit(1)).over(tw))
+      .withColumn("sx", sum(col("x")).over(tw))
+      .withColumn("sy", sum(col("y")).over(tw))
+      .withColumn("sxx", sum(col("x") * col("x")).over(tw))
+      .withColumn("sxy", sum(col("x") * col("y")).over(tw))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    w.select(col("event_type"), col("wk"), col("n").cast("long").as("n_weeks"),
+        when(den =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / den.cast("double")).as("slope"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
-      cusumChangePoint)
+      cusumChangePoint, rollingSlope)
 }

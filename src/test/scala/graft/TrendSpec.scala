@@ -166,6 +166,30 @@ class TrendSpec extends SparkSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("x106 crafted: exact-fit trailing slopes; window warms up from NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    // weekly pennies 100, 300, 500, 700, 100 → trailing-4 slopes:
+    // wk1: n=1 → NULL; wk2: slope 200; wk3: 200; wk4: 200 (exact fit);
+    // wk5 (weeks 2..5): ys 300,500,700,100 → slope = (4·sxy−sx·sy)/(4·sxx−sx²)
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 12:00:00", "t", 1.0),
+      (2L, "2024-01-08 12:00:00", "t", 3.0),
+      (3L, "2024-01-15 12:00:00", "t", 5.0),
+      (4L, "2024-01-22 12:00:00", "t", 7.0),
+      (5L, "2024-01-29 12:00:00", "t", 1.0)))
+    val got = analytics.Trend.rollingSlope.fn(spark, dir)
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("2024-01-01") === ((1L, None)))
+    assert(got("2024-01-08") === ((2L, Some(200.0))))
+    assert(got("2024-01-15") === ((3L, Some(200.0))))
+    assert(got("2024-01-22") === ((4L, Some(200.0))))
+    // xs are consecutive ints a..a+3 — shift-invariant, compute at 0..3:
+    // ys 300,500,700,100: sxy=0·300+1·500+2·700+3·100=2200, sx=6, sy=1600,
+    // sxx=14, n=4 → (8800−9600)/(56−36) = −800/20 = −40
+    assert(got("2024-01-29") === ((4L, Some(-40.0))))
+  }
+
   test("x78 plan: single hash aggregation, no Window, no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}

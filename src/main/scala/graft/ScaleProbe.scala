@@ -421,7 +421,10 @@ object ScaleProbe {
       // x106: |types|×|weeks| rows (constant under key shift); one
       // weekly hash agg then windows on the aggregated axis — x97's
       // shape with a trailing frame
-      "x106_rolling_slope")
+      "x106_rolling_slope",
+      // x107: |types| rows; one user-keyed window (timelines replicate
+      // per copy under the user shift) + one bounded hash agg
+      "x107_dwell_time")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

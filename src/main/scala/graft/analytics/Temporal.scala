@@ -406,6 +406,56 @@ object Temporal {
       .orderBy(col("covered_days").desc, col("supp")).limit(20)
   }
 
+  /** x107: dwell time by state — for each event type, how long users SIT
+    * in it before their next event of any type: the time-in-state /
+    * stage-latency metric product analytics reads ("users linger 40s on
+    * view before purchase"). LEAD over the per-user timeline gives each
+    * event its successor timestamp; terminal events (no successor) are
+    * counted but excluded from the mean — the x79 open-interval rule on
+    * the events table.
+    *
+    * Exactness: dwells are exact long MICROSECONDS (no date rounding),
+    * summed as longs, one final division — headroom 2^63 µs ≈ 292k
+    * years of summed dwell per type. Ties (same user, same µs) order by
+    * event_id, a total order both engines replay.
+    *
+    * Scale shape: one user-keyed window (the same shuffle any per-user
+    * timeline op pays — never global), then a |types|-row hash agg. */
+  val dwellTime = Q.withOracle(
+    "x107_dwell_time",
+    "x107: mean/max dwell microseconds per event type (LEAD per-user timeline)",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(nxt) AS BIGINT) AS n_with_next,
+      |  CAST(SUM(nxt - us) AS BIGINT) AS total_dwell_us,
+      |  CAST(MAX(nxt - us) AS BIGINT) AS max_dwell_us,
+      |  CASE WHEN COUNT(nxt) > 0 THEN
+      |    CAST(SUM(nxt - us) AS DOUBLE) / COUNT(nxt) END AS mean_dwell_us
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val nxt = lead(col("us"), 1).over(Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")))
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", nxt)
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(col("nxt")).cast("long").as("n_with_next"),
+        sum(col("nxt") - col("us")).cast("long").as("total_dwell_us"),
+        max(col("nxt") - col("us")).cast("long").as("max_dwell_us"))
+      .select(col("event_type"), col("n_events"), col("n_with_next"),
+        col("total_dwell_us"), col("max_dwell_us"),
+        when(col("n_with_next") > 0,
+          col("total_dwell_us").cast("double") / col("n_with_next"))
+          .as("mean_dwell_us"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(asof, asofForward, movingAvg, trailingSpend, pivot, groupStats,
-    topkPerKey, intervalCount, unpivot, intervalCoverage)
+    topkPerKey, intervalCount, unpivot, intervalCoverage, dwellTime)
 }

@@ -171,6 +171,25 @@ class TemporalBoundarySpec extends SparkSuite {
     assert(got === Map(1L -> ((2L, 7L, 5L)), 2L -> ((1L, 1L, 1L))))
   }
 
+  test("x107 dwell: successor crosses event types; terminal events excluded from mean") {
+    val d = Files.createTempDirectory("x107-edge").toString
+    // user 1: view@0s → purchase@40s → (terminal): view dwell 40s, the
+    // purchase row counts but adds no dwell. user 2: single view (terminal).
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:00:40", 1L, "purchase"),
+      (3L, "2024-02-01 00:00:00", 2L, "view"))
+      .map { case (id, ts, u, et) =>
+        (id, java.sql.Timestamp.valueOf(ts), u, et, 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = analytics.Temporal.dwellTime.fn(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(5))))).toMap
+    assert(got("view") === ((2L, 1L, Some(40000000L), Some(40000000.0))))
+    assert(got("purchase") === ((1L, 0L, None, None)))
+  }
+
   test("x94 plan: both windows share the suppkey partitioning — never global") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = analytics.Temporal.intervalCoverage.fn(spark, sf)

@@ -260,5 +260,100 @@ object Drift {
           .as("cramers_v"))
   }
 
-  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity, chi2Independence)
+  /** x108: Mann–Whitney U rank-sum drift — the nonparametric companion
+    * to x100's KS: "does cohort A's `value` distribution stochastically
+    * dominate cohort B's?", per event type, over the same deterministic
+    * even/odd user-id cohorts. Where KS reports the worst-case CDF gap,
+    * U reports the probability P(a > b) + ½P(a = b) — the
+    * common-language effect size ρ — which is the drift measure a
+    * ranking/recommendation pipeline actually acts on.
+    *
+    * Exactness: mid-ranks under ties are half-integers, so everything is
+    * carried DOUBLED and stays a long. For a tied group at value v with
+    * `prev` observations below it and t = ca+cb members, each member's
+    * doubled mid-rank is 2·prev + t + 1; cohort A's doubled rank-sum is
+    *   R2_A = Σ_groups ca·(2·prev + t + 1)
+    * and the doubled U statistic is U2_A = R2_A − n_A·(n_A+1). The
+    * reported ρ = U2_A / (2·n_A·n_B) is ONE final division (x97/x100
+    * multiply-through discipline) — bit-identical across engines. The
+    * identity U_A + U_B = n_A·n_B pins the implementation in DriftSpec.
+    *
+    * Headroom: the per-group product ca·(2·prev+t+1) < 2n² — longs are
+    * safe to ~2e9 rows per event type; past that widen the products to
+    * decimal(18,0)×decimal(18,0) as x95 does.
+    *
+    * Scale shape: IDENTICAL to x100 — one hash agg to the (type, value)
+    * grain (the only full-data shuffle), then the prev-count prefix runs
+    * SEGMENTED per (type, value-bucket) with broadcast bucket offsets,
+    * and the final fold is one bounded per-type agg. Never a
+    * |types|-partition global sort. */
+  val mannWhitney = Q.withOracle(
+    "x108_mann_whitney",
+    "x108: exact Mann-Whitney U rank-sum drift per event type (even vs odd user cohort)",
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |    CAST(user_id % 2 AS BIGINT) AS b
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(1 - b) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+      |  FROM pts GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, ca, cb, ca + cb AS t,
+      |    CAST(COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+      |  FROM g),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca * (2 * prev + t + 1)) AS BIGINT) AS r2_a
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n_a, n_b, r2_a,
+      |  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+      |      / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |  END AS rho
+      |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // NULLs excluded explicitly on both sides — the x100 scan-order rule
+    val pts = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+        pmod(col("user_id"), lit(2)).cast("long").as("b"))
+    val g = pts.groupBy(col("event_type"), col("v"))
+      .agg(sum(lit(1L) - col("b")).cast("long").as("ca"),
+        sum(col("b")).cast("long").as("cb"))
+      .withColumn("bkt", expr(s"shiftright(v, $KsBktBits)"))
+    // segmented prev-count: in-bucket running sums over rows strictly
+    // before the current value group + broadcast bucket-prefix offsets
+    val wIn = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("event_type"), col("bkt"))
+      .agg(sum(col("ca") + col("cb")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(offW), lit(0L)))
+      .select(col("event_type"), col("bkt"), col("off"))
+    g.withColumn("inprev", coalesce(sum(col("ca") + col("cb")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("event_type", "bkt"))
+      .select(col("event_type"), col("ca"), col("cb"),
+        (col("ca") + col("cb")).as("t"),
+        (col("off") + col("inprev")).cast("long").as("prev"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).cast("long").as("n_a"),
+        sum(col("cb")).cast("long").as("n_b"),
+        sum(col("ca") * (lit(2L) * col("prev") + col("t") + 1))
+          .cast("long").as("r2_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("r2_a"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("long").as("u2_a"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("double")
+            / (lit(2) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("rho"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity, chi2Independence, mannWhitney)
 }

@@ -124,6 +124,62 @@ class DriftSpec extends SparkSuite {
     assert(v >= 0.0 && v <= 1.0)
   }
 
+  test("x108 crafted: hand-computed tied mid-ranks, identity ends, NULL excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mwu").toString
+    writeEvents(dir, Seq(
+      // "s": A(even)={1,2,2}, B(odd)={2,3} → doubled mid-ranks:
+      //   v=1: 2·0+1+1=2 (A); v=2: prev=1,t=3 → 2·1+3+1=6 each (A,A,B);
+      //   v=3: prev=4,t=1 → 10 (B). R2_A = 2+6+6 = 14;
+      //   U2_A = 14 − 3·4 = 2; rho = 2/(2·3·2) = 1/6
+      //   (cross-check: P(a>b)+½P(a=b) over 6 pairs = (½+½)/6 = 1/6)
+      (1L, 0L, "s", Some(1.0)), (2L, 2L, "s", Some(2.0)), (3L, 4L, "s", Some(2.0)),
+      (4L, 1L, "s", Some(2.0)), (5L, 3L, "s", Some(3.0)),
+      // "z": identical singletons → all tied → rho exactly 0.5
+      (6L, 0L, "z", Some(5.0)), (7L, 1L, "z", Some(5.0)),
+      // NULL must not perturb either cohort's ranks
+      (8L, 1L, "z", None)))
+    val got = ext.Drift.mannWhitney.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("s") === ((3L, 2L, 14L, 2L, 1.0 / 6)))
+    assert(got("z") === ((1L, 1L, 3L, 1L, 0.5)))
+  }
+
+  test("x108 real data: rank-sum identity and segmented-equals-plain-window") {
+    // R2_A + R2_B = n(n+1) (total doubled rank mass) ⟺ via the U form:
+    // recompute R2_B with the plain global window and check both the
+    // identity and that the segmented R2_A equals the plain one.
+    val pts = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+        pmod(col("user_id"), lit(2)).cast("long").as("b"))
+    val g = pts.groupBy(col("event_type"), col("v"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = g
+      .withColumn("prev", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("t", col("ca") + col("cb"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("prev") + col("t") + 1)).as("r2_a"),
+        sum(col("cb") * (lit(2L) * col("prev") + col("t") + 1)).as("r2_b"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val got = ext.Drift.mannWhitney.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    for ((et, na, nb, r2a, u2a, rho) <- got) {
+      val (pna, pnb, pr2a, pr2b) = plain(et)
+      assert((na, nb, r2a) === ((pna, pnb, pr2a)), s"$et segmented vs plain")
+      val n = na + nb
+      assert(pr2a + pr2b === n * (n + 1), s"$et total rank mass")
+      assert(u2a === r2a - na * (na + 1), s"$et U from R")
+      assert(rho >= 0.0 && rho <= 1.0, s"$et rho range")
+    }
+  }
+
   test("x101 real corpus: diversity within [0, 1-1/k] and recomputable") {
     val rows = ext.Drift.simpsonDiversity.fn(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

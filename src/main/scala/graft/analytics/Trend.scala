@@ -394,7 +394,93 @@ object Trend {
       .orderBy(col("event_type"), col("wk"))
   }
 
+  /** Maximum lag (weeks) for x109. */
+  private val AcfMaxLag = 4
+
+  /** x109: lag-k autocorrelation of weekly event volume per event type,
+    * k = 1..$AcfMaxLag — the seasonality/persistence screen next to
+    * x97's change point and x106's trend: a strong r at lag 1 means
+    * volume is momentum-driven; a spike at a longer lag is a cadence.
+    * Pairing is BY WEEK INDEX (a self-join on x and x+k), not by row
+    * offset, so calendar gaps pair nothing rather than silently pairing
+    * across a hole — the x94 gaps-and-islands discipline.
+    *
+    * Exactness: y = exact weekly counts; all five moments per (type,
+    * lag) are exact long sums; the Pearson numerator n·Sab − Sa·Sb is an
+    * exact long; the denominator is formed as (double)·(double) with one
+    * correctly-rounded sqrt and one division — bit-identical across
+    * engines. Zero-variance ends (constant series) → NULL via an
+    * explicit guard in both forms. Headroom: y² in a long tolerates
+    * ~2e9 events per type-week; past that widen the products to
+    * decimal(18,0)×decimal(18,0) as x95 does.
+    *
+    * Scale shape: ONE full-data shuffle (the weekly hash agg); the lag
+    * dimension is a broadcast $AcfMaxLag-row literal and the pair
+    * self-join runs on the |types|×|weeks| axis — constant-sized at any
+    * input scale, so the whole ACF grid costs the weekly rollup plus
+    * noise. */
+  val autocorrelation = Q.withOracle(
+    "x109_weekly_acf",
+    s"x109: lag-1..$AcfMaxLag autocorrelation of weekly event counts per type",
+    s"""WITH wkly AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', CAST(date_trunc('week', ts) AS DATE)) // 7 AS x,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |l AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag),
+       |p AS (
+       |  SELECT a.event_type, l.lag, a.y AS ya, b.y AS yb
+       |  FROM wkly a CROSS JOIN l
+       |  JOIN wkly b ON b.event_type = a.event_type AND b.x = a.x + l.lag),
+       |m AS (
+       |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+       |    CAST(SUM(ya * ya) AS BIGINT) AS saa,
+       |    CAST(SUM(yb * yb) AS BIGINT) AS sbb,
+       |    CAST(SUM(ya * yb) AS BIGINT) AS sab
+       |  FROM p GROUP BY 1, 2)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       |  CAST(n * sab - sa * sb AS BIGINT) AS acf_num,
+       |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+       |    CAST(n * sab - sa * sb AS DOUBLE)
+       |      / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+       |             * CAST(n * sbb - sb * sb AS DOUBLE))
+       |  END AS acf
+       |FROM m ORDER BY event_type, lag""".stripMargin) { (s, dir) =>
+    val wkly = Tables.events(s, dir)
+      .groupBy(col("event_type"), Parity.week(col("ts")).as("wk"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .withColumn("x",
+        expr("CAST(datediff(wk, DATE '1970-01-01') AS BIGINT) div 7"))
+      .drop("wk")
+    val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+    val a = wkly.select(col("event_type"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = wkly.select(col("event_type").as("et_b"),
+      col("x").as("xb"), col("y").as("yb"))
+    val m = a.crossJoin(broadcast(lags))
+      .join(b, col("et_b") === col("event_type")
+        && col("xb") === col("xa") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("ya")).cast("long").as("sa"),
+        sum(col("yb")).cast("long").as("sb"),
+        sum(col("ya") * col("ya")).cast("long").as("saa"),
+        sum(col("yb") * col("yb")).cast("long").as("sbb"),
+        sum(col("ya") * col("yb")).cast("long").as("sab"))
+    val dA = col("n") * col("saa") - col("sa") * col("sa")
+    val dB = col("n") * col("sbb") - col("sb") * col("sb")
+    m.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n").as("n_pairs"),
+        (col("n") * col("sab") - col("sa") * col("sb")).cast("long")
+          .as("acf_num"),
+        when(dA > 0 && dB > 0,
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / sqrt(dA.cast("double") * dB.cast("double"))).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
-      cusumChangePoint, rollingSlope)
+      cusumChangePoint, rollingSlope, autocorrelation)
 }

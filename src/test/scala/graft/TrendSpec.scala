@@ -201,6 +201,50 @@ class TrendSpec extends SparkSuite {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("SortAggregate")))
   }
 
+  test("x109 crafted: alternating series, gap pairing, constant-series NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-acf").toString
+    writeEvents(dir, Seq(
+      // "alt": weekly counts 1,2,1,2 on four consecutive Mondays →
+      //   lag1 pairs (1,2)(2,1)(1,2): n=3 sa=4 sb=5 sab=6 saa=6 sbb=9
+      //     → num=3·6−20=−2, dA=2, dB=2, acf=−2/sqrt(4)=−1.0
+      //   lag2 pairs (1,1)(2,2): num=2·5−9=1, dA=dB=1 → acf=1.0
+      //   lag3 single pair → zero variance → NULL; lag4 no pairs → absent
+      (1L, "2024-01-01 10:00:00", "alt", 1.0),
+      (2L, "2024-01-08 10:00:00", "alt", 1.0), (3L, "2024-01-09 10:00:00", "alt", 1.0),
+      (4L, "2024-01-15 10:00:00", "alt", 1.0),
+      (5L, "2024-01-22 10:00:00", "alt", 1.0), (6L, "2024-01-23 10:00:00", "alt", 1.0),
+      // "gap": weeks 0,1,3 (week 2 missing), constant count 1 —
+      // lag1 pairs ONLY (w0,w1) (the hole pairs nothing); lag2 (w1,w3);
+      // lag3 (w0,w3); all single-pair/constant → acf NULL
+      (7L, "2024-01-01 10:00:00", "gap", 1.0),
+      (8L, "2024-01-08 10:00:00", "gap", 1.0),
+      (9L, "2024-01-22 10:00:00", "gap", 1.0)))
+    val got = analytics.Trend.autocorrelation.fn(spark, dir)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("alt", 1L)) === ((3L, -2L, Some(-1.0))))
+    assert(got(("alt", 2L)) === ((2L, 1L, Some(1.0))))
+    assert(got(("alt", 3L)) === ((1L, 0L, None)))
+    assert(!got.contains(("alt", 4L)))
+    assert(got(("gap", 1L)) === ((1L, 0L, None)))
+    assert(got(("gap", 2L)) === ((1L, 0L, None)))
+    assert(got(("gap", 3L)) === ((1L, 0L, None)))
+  }
+
+  test("x109 real data: acf within [-1,1], pairs shrink with lag, Cauchy-Schwarz") {
+    val rows = analytics.Trend.autocorrelation.fn(spark, sf)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    for ((et, lag, n, _, acf) <- rows; a <- acf)
+      assert(a >= -1.0 && a <= 1.0, s"$et lag $lag: $a")
+    val byType = rows.groupBy(_._1)
+    for ((et, rs) <- byType) {
+      val byLag = rs.sortBy(_._2).map(_._3)
+      assert(byLag.zip(byLag.tail).forall { case (a, b) => b <= a },
+        s"$et pairs not nonincreasing: ${byLag.toSeq}")
+    }
+  }
+
   test("x79 plan: the only Window partitions by o_custkey (never global)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = analytics.Trend.timeWeightedPrice.fn(spark, sf)

@@ -861,7 +861,100 @@ object Graph {
         .as("assortativity"))
   }
 
+  // ---- x110: link prediction (resource-allocation commons) ----------
+
+  /** Hot-center cap for x110 candidate generation: wedges are counted
+    * only THROUGH nodes of degree ≤ this. Two reasons, one semantic and
+    * one computational, and they point the same way: a shared hub says
+    * almost nothing about a missing link (everyone co-occurs with the
+    * hub — the same insight Adamic–Adar/RA formalize by down-weighting
+    * 1/deg), and wedge volume is Σ d(z)² which hubs dominate. The cap
+    * bounds per-center work at C($LpMaxCenterDeg, 2) pairs, so total
+    * candidate volume is linear in qualifying centers at ANY corpus
+    * size. At sf0.1 it keeps 3.4k of 20k centers (~12M wedges). */
+  private val LpMaxCenterDeg = 96
+
+  /** Fixed-point scale for the RA weight: floor(2^20 / d) per center —
+    * exact integer division in both engines, sums order-independent. */
+  private val LpRaScale = 1048576L
+
+  /** Minimum shared-neighbor count for a reported candidate pair. */
+  private val LpMinCn = 2
+
+  private def linkPredictOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+       |ctr AS MATERIALIZED (
+       |  SELECT adj.z, adj.n, deg.d FROM adj
+       |  JOIN deg ON deg.z = adj.z WHERE deg.d <= $LpMaxCenterDeg),
+       |w AS (
+       |  SELECT a.n AS u, b.n AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS cn,
+       |    CAST(SUM($LpRaScale // a.d) AS BIGINT) AS ra_scaled
+       |  FROM ctr a JOIN ctr b ON a.z = b.z AND a.n < b.n
+       |  GROUP BY 1, 2)
+       |SELECT w.u AS part_u, w.v AS part_v,
+       |  w.cn AS common_neighbors, w.ra_scaled,
+       |  CAST(w.ra_scaled AS DOUBLE) / $LpRaScale AS ra
+       |FROM w LEFT JOIN e ON e.u = w.u AND e.v = w.v
+       |WHERE e.u IS NULL AND w.cn >= $LpMinCn
+       |ORDER BY ra_scaled DESC, common_neighbors DESC, part_u, part_v
+       |LIMIT 20""".stripMargin
+
+  /** x110: link prediction on the part co-occurrence graph — the top
+    * NON-adjacent part pairs ranked by resource-allocation score over
+    * shared low-degree neighbours (Zhou–Lü–Zhang's RA index, the
+    * integer-exact member of the Adamic–Adar family):
+    *
+    *   RA(u,v) = Σ_{z ∈ N(u)∩N(v), d(z) ≤ $LpMaxCenterDeg} 1/d(z)
+    *
+    * carried as floor(2^20/d(z)) fixed-point longs, so the sum is exact,
+    * order-independent, and the reported double is an exact dyadic
+    * division — bit-identical across engines with NO libm (the log-free
+    * choice over Adamic–Adar, x101's discipline). This is the
+    * "substitute/complement part" recommendation query.
+    *
+    * Scale shape: candidate pairs come ONLY from wedges through
+    * ≤$LpMaxCenterDeg-degree centers (see LpMaxCenterDeg — bounded
+    * per-center fan-out, the same blocked-candidates posture as x2's
+    * LSH bands: never all-pairs), then one (u,v) hash agg, one
+    * broadcast-proof anti-join against the edge set on its natural key,
+    * and a bounded top-20. Every join is equi-keyed; the wedge
+    * self-join reuses one checkpointed filtered-adjacency table. */
+  val linkPredict = Q.withOracle(
+    "x110_link_predict",
+    s"x110: top-20 non-adjacent part pairs by resource-allocation score (centers deg <= $LpMaxCenterDeg)",
+    linkPredictOracle) { (s, dir) =>
+    val e = undirected(s, dir)
+    val adj = e.select(col("u").as("z"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val ctr = adj.join(deg, "z").filter(col("d") <= LpMaxCenterDeg)
+      .localCheckpoint() // both sides of the wedge self-join
+    val w = ctr.as("a").join(ctr.as("b"),
+        col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("u"), col("b.n").as("v"))
+      .agg(count(lit(1)).cast("long").as("cn"),
+        sum(expr(s"${LpRaScale}L div a.d")).cast("long").as("ra_scaled"))
+    w.filter(col("cn") >= LpMinCn)
+      .join(e, Seq("u", "v"), "left_anti")
+      .select(col("u").as("part_u"), col("v").as("part_v"),
+        col("cn").as("common_neighbors"), col("ra_scaled"),
+        (col("ra_scaled").cast("double") / LpRaScale).as("ra"))
+      .orderBy(col("ra_scaled").desc, col("common_neighbors").desc,
+        col("part_u"), col("part_v"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
-      clusteringCoeff, assortativity)
+      clusteringCoeff, assortativity, linkPredict)
 }

@@ -282,4 +282,39 @@ class GraphSpec extends SparkSuite {
     assert(m > 0)
     assert(r.isDefined && r.get >= -1.0 && r.get <= 1.0)
   }
+
+  test("x110 crafted: butterfly scores, hub centers excluded, hub endpoints kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    // Butterfly 1-3, 1-4, 2-3, 2-4 (so {1,2} and {3,4} each share two
+    // d=2 commons), plus hub 9 adjacent to 1, 2, and 96 leaves — d(9)=98
+    // exceeds the 96 center cap, so 9 must NOT add a third common to
+    // (1,2), but pairs with 9 as an ENDPOINT (via centers 1, 2) remain.
+    val butterfly = Seq((1L, 1L), (1L, 3L), (2L, 1L), (2L, 4L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 4L), (5L, 9L), (5L, 1L), (6L, 9L), (6L, 2L))
+    val leaves = (0 until 96).map(k => (100L + k, 9L)) ++
+      (0 until 96).map(k => (100L + k, 1000L + k))
+    write(dir, butterfly ++ leaves)
+    val got = ext.Graph.linkPredict.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // ra for d=2 commons: floor(2^20/2)=524288; for d=3: floor(2^20/3)=349525
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1048576L, 1.0),                    // via 3,4 — NOT 9
+      (3L, 4L, 2L, 699050L, 699050.0 / 1048576),      // via 1,2 (d=3)
+      (3L, 9L, 2L, 699050L, 699050.0 / 1048576),      // hub endpoint OK
+      (4L, 9L, 2L, 699050L, 699050.0 / 1048576)))
+  }
+
+  test("x110 real graph: no reported pair is an existing edge; scores recompute") {
+    val rows = ext.Graph.linkPredict.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 20)
+    val edges = ext.Graph.orientedEdges(spark, sf)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .as[(Long, Long)].collect().toSet
+    for ((u, v, cn, raS, ra) <- rows) {
+      assert(u < v && !edges.contains((u, v)), s"($u,$v) is an edge")
+      assert(cn >= 2)
+      assert(ra === raS.toDouble / 1048576L, s"($u,$v) ra recompute")
+    }
+  }
 }

@@ -243,5 +243,79 @@ object Layout {
     sorted.saveAsTable(table)
   }
 
-  val all: Seq[graft.Q] = Seq(zorderStats)
+  /** Target bucket count for x111's range-partition plan. */
+  private val RangeBuckets = 32
+
+  /** Segment granularity for the exact-rank scan: price pennies >> 20
+    * (≈ $10.5k segments over this data's price range). */
+  private val RpBktBits = 20
+
+  /** x111: range-partition boundary planner — the layout decision that
+    * precedes every big sorted write: pick $RangeBuckets split points on
+    * (o_totalprice, o_orderkey) such that the buckets are balanced to
+    * within one row, and report each bucket's row count and price
+    * bounds. This is the plan a `repartitionByRange`/sort-order write of
+    * a 100 TB table executes; skew in THIS table is skew in the write.
+    *
+    * Semantics are exactly SQL NTILE over the unique total order
+    * (price, orderkey): with n rows, the first n mod K buckets carry
+    * ⌈n/K⌉ rows, the rest ⌊n/K⌋ — the bucket index is DERIVED from the
+    * exact global rank by that formula, not approximated. Bounds are
+    * plain MIN/MAX (no arithmetic — bit-exact in any engine).
+    *
+    * Scale shape: Spark's own ntile() would be a single-partition window
+    * (the planner warns exactly because it cannot scale); here the exact
+    * global rank comes from the x92/x95 segmented-scan composition — a
+    * per-(price-segment) row_number in parallel plus broadcast segment
+    * offsets — so the only full-data shuffle is the segment hash
+    * partition, and no executor ever sees more than one segment's rows
+    * sorted. At 100 TB the same plan holds (segments are data-bounded);
+    * a production writer that tolerates ±1% balance can swap the exact
+    * rank for approx_percentile bounds, but the exact form costs one
+    * shuffle either way. */
+  val rangePlan = graft.Q.withOracle(
+    "x111_range_plan",
+    s"x111: balanced $RangeBuckets-way range-partition plan over (o_totalprice, o_orderkey)",
+    s"""WITH r AS (
+       |  SELECT o_totalprice AS price,
+       |    NTILE($RangeBuckets) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+       |  FROM orders)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(price) AS lo_price, MAX(price) AS hi_price
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_totalprice").as("price"), col("o_orderkey").as("key"))
+      .withColumn("pb", shiftright(
+        (col("price").cast("decimal(12,2)") * 100).cast("long"), RpBktBits))
+    val wIn = Window.partitionBy(col("pb")).orderBy(col("price"), col("key"))
+    val offW = Window.orderBy(col("pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the offsets/total table is |segments|-sized — a broadcast scalar
+    val offsets = o.groupBy(col("pb")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(offW), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy()))
+      .select(col("pb"), col("off"), col("n"))
+    val ranked = o.withColumn("ir", row_number().over(wIn))
+      .join(broadcast(offsets), "pb")
+      .select(col("price"), (col("off") + col("ir")).as("r"), col("n"))
+    // NTILE from the exact rank — integer `div` throughout (Column has
+    // no integer division; the SQL fragment keeps both engines' floor
+    // semantics identical on these positive operands)
+    val bucket = expr(
+      s"""CASE WHEN r <= (n % $RangeBuckets) * ((n div $RangeBuckets) + 1)
+         |  THEN (r - 1) div ((n div $RangeBuckets) + 1) + 1
+         |  ELSE (n % $RangeBuckets)
+         |    + (r - (n % $RangeBuckets) * ((n div $RangeBuckets) + 1) - 1)
+         |        div greatest(n div $RangeBuckets, 1L) + 1
+         |END""".stripMargin)
+    ranked.withColumn("bucket", bucket.cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("price")).as("lo_price"), max(col("price")).as("hi_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[graft.Q] = Seq(zorderStats, rangePlan)
 }

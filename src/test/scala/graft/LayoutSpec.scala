@@ -264,4 +264,67 @@ class LayoutSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS bk_lineitem")
     }
   }
+
+  private def writeOrders(dir: String, rows: Seq[(Long, Double)]): Unit = {
+    import java.sql.Timestamp
+    rows.map { case (k, p) => (k, p, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  test("x111 crafted: NTILE distribution at n<K, n=K+3, and all-tied keys") {
+    // n=10 < K=32: buckets 1..10 carry exactly one row each, in order
+    val d1 = java.nio.file.Files.createTempDirectory("graft-rp1").toString
+    writeOrders(d1, (1 to 10).map(i => (i.toLong, i.toDouble)))
+    val g1 = Layout.rangePlan.fn(spark, d1)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(g1 === (1 to 10).map(i => (i.toLong, 1L, i.toDouble, i.toDouble)))
+    // n=35: rem=3, q=1 → buckets 1..3 carry 2 rows, 4..32 carry 1
+    val d2 = java.nio.file.Files.createTempDirectory("graft-rp2").toString
+    writeOrders(d2, (1 to 35).map(i => (i.toLong, i.toDouble)))
+    val g2 = Layout.rangePlan.fn(spark, d2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(g2.map(_._2) === Seq.fill(3)(2L) ++ Seq.fill(29)(1L))
+    assert(g2.take(3).map(r => (r._3, r._4)) ===
+      Seq((1.0, 2.0), (3.0, 4.0), (5.0, 6.0)))
+    assert(g2(3) === ((4L, 1L, 7.0, 7.0)))
+    // all-tied prices: the o_orderkey tiebreak still yields the exact
+    // NTILE distribution, every bucket bounded by the single price
+    val d3 = java.nio.file.Files.createTempDirectory("graft-rp3").toString
+    writeOrders(d3, (1 to 5).map(i => (i.toLong, 7.0)))
+    val g3 = Layout.rangePlan.fn(spark, d3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(g3 === (1 to 5).map(i => (i.toLong, 1L, 7.0, 7.0)))
+  }
+
+  test("x111 real data: ±1 balance, full coverage, monotone non-overlapping bounds") {
+    val rows = Layout.rangePlan.fn(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === (1L to 32L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.min}..${sizes.max}")
+    assert(sizes.sum === Tables.orders(spark, sf).count())
+    for (Seq(a, b) <- rows.sliding(2)) {
+      assert(a._3 <= a._4, s"bucket ${a._1} lo>hi")
+      assert(a._4 <= b._3, s"buckets ${a._1}/${b._1} overlap")
+    }
+  }
+
+  test("x111 plan: the full-data window partitions by segment; global windows see only the segment table") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = Layout.rangePlan.fn(spark, sf)
+    df.count()
+    val windows = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    for (w <- windows if w.partitionSpec.isEmpty) {
+      // a global window is sanctioned ONLY over the |segments|-row
+      // aggregate, never over the orders scan
+      val feeds = flattenPlan(w.child)
+      assert(feeds.exists(_.isInstanceOf[BaseAggregateExec]),
+        s"global window reads unaggregated data:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
 }

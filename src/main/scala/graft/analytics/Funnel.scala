@@ -81,5 +81,54 @@ object Funnel {
       .orderBy(col("stage"))
   }
 
-  val all: Seq[Q] = Seq(funnel)
+  /** The conversion event for x112. */
+  private val ConvType = "purchase"
+
+  /** x112: last-touch conversion attribution — for every $ConvType
+    * event, credit the IMMEDIATELY PRECEDING event on the same user's
+    * timeline (any type; a user's first-ever event converting gets the
+    * 'none' bucket), and report per touch type the conversion count and
+    * the attributed conversion value. This is the marketing-analytics
+    * companion to x57's funnel: the funnel says how far users get, the
+    * attribution says which touch is adjacent to the money.
+    *
+    * Determinism/exactness: the timeline orders by exact (ts, event_id)
+    * — a unique total order, so LAG is well-defined under ties in both
+    * engines; attributed value is the Parity decimal-exact sum
+    * (order-independent, AQE-stable), cast once to double. NULL-valued
+    * conversions count but contribute no value (SUM skips NULL
+    * identically in both engines).
+    *
+    * Scale shape: ONE user-keyed window shuffle (the same exchange any
+    * per-user timeline op pays — x79/x107's regime, never a global
+    * window) followed by one bounded hash agg on the handful of event
+    * types. At 100 TB this is the minimal cost of the semantics: the
+    * predecessor relation is per-user sequential. */
+  val attribution = Q.withOracle(
+    "x112_last_touch",
+    s"x112: last-touch attribution of $ConvType conversions by preceding event type",
+    s"""WITH tl AS (
+       |  SELECT user_id, event_type, value,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events)
+       |SELECT COALESCE(prev_type, 'none') AS touch_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+       |    AS DECIMAL(38,0)) / 100 AS DOUBLE) AS attributed_value
+       |FROM tl WHERE event_type = '$ConvType'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("event_type") === ConvType)
+      .groupBy(coalesce(col("prev_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        graft.Parity.dsum(col("value")).as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  val all: Seq[Q] = Seq(funnel, attribution)
 }

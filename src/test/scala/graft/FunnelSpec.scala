@@ -48,4 +48,48 @@ class FunnelSpec extends SparkSuite {
     assert(ns.size === 3 && ns === ns.sorted.reverse, s"funnel must be non-increasing: $ns")
     assert(ns.head > 0)
   }
+
+  private def writeV(dir: String,
+      rows: Seq[(Long, String, Long, String, Option[Double])]): Unit =
+    rows.map { case (id, ts, u, t, v) =>
+      (id, Timestamp.valueOf(ts), u, t, v.map(java.lang.Double.valueOf).orNull, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("x112 crafted: predecessor credit, first-event 'none', tiebreak, NULL value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    writeV(dir, Seq(
+      // u1: view → purchase(5.50) → purchase(2.00): view credits the
+      // first conversion, the first purchase credits the second
+      (1L, "2024-01-01 10:00:00", 1L, "view", Some(0.0)),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase", Some(5.50)),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", Some(2.00)),
+      // u2: purchase is the user's FIRST event → 'none'; then a
+      // click-attributed conversion with NULL value (counts, no money)
+      (4L, "2024-01-02 10:00:00", 2L, "purchase", Some(1.25)),
+      (5L, "2024-01-02 10:01:00", 2L, "click", Some(0.0)),
+      (6L, "2024-01-02 10:02:00", 2L, "purchase", None),
+      // u3: view and purchase at the SAME timestamp — event_id breaks
+      // the tie, so the view is the predecessor
+      (7L, "2024-01-03 11:00:00", 3L, "view", Some(0.0)),
+      (8L, "2024-01-03 11:00:00", 3L, "purchase", Some(3.00))))
+    val got = analytics.Funnel.attribution.fn(spark, dir)
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("click", 1L, None),
+      ("none", 1L, Some(1.25)),
+      ("purchase", 1L, Some(2.00)),
+      ("view", 2L, Some(8.50))))
+  }
+
+  test("x112 real log: conversions are conserved and buckets are known types") {
+    val rows = analytics.Funnel.attribution.fn(spark, sf)
+      .as[(String, Long, Option[Double])].collect().toSeq
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.map(_._2).sum === purchases, "every conversion attributed exactly once")
+    val types = Tables.events(spark, sf)
+      .select($"event_type").distinct().as[String].collect().toSet + "none"
+    assert(rows.map(_._1).toSet.subsetOf(types))
+  }
 }

@@ -263,5 +263,82 @@ object Audit {
     }.reduce(_ unionByName _).orderBy(col("key"))
   }
 
-  val all: Seq[Q] = Seq(fkOrphans, freshness, benford, fdAudit, skewAudit)
+  /** x113: order↔lineitem revenue reconciliation — the cross-table
+    * CONSISTENCY audit the FK/grain/freshness battery doesn't cover:
+    * does the order header's o_totalprice equal the sum of its lines'
+    * extendedprice·(1−discount)·(1+tax)? Every order lands in exactly
+    * one relative-error band (plus a no-lineitems band), so the output
+    * is a bounded 6-row profile of how far the denormalized header has
+    * drifted from the line-level truth — the first report a pipeline
+    * owner reads after a partial load or a currency-rounding bug.
+    *
+    * Exactness: ALL integer. A 2-decimal price in pennies times two
+    * 2-decimal factors in hundredths gives the line value in exact
+    * MICROS (ep·(100−d)·(100+t) = value·10^6 — longs throughout, no
+    * decimal widening, no doubles anywhere in the output). Relative
+    * bands compare |diff|·10^k < total in longs — no division. Headroom:
+    * the per-line product tolerates prices to ~$9e8; the per-band
+    * |diff| sum tolerates ~$9e12 of aggregate drift (2^63 micros).
+    *
+    * Scale shape: one lineitem hash agg keyed by l_orderkey, one
+    * orderkey equi-join against the header (the natural co-partition;
+    * buckets make it shuffle-free via Layout.writeBucketed), one
+    * bounded 6-row hash agg. */
+  val reconciliation = Q.withOracle(
+    "x113_order_recon",
+    "x113: order-header vs lineitem-sum revenue reconciliation bands",
+    """WITH c AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      * CAST(100 - CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      * CAST(100 + CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS calc_u
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * 10000 AS total_u,
+      |         c.calc_u
+      |  FROM orders o LEFT JOIN c ON c.l_orderkey = o.o_orderkey),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN calc_u IS NULL THEN '5_no_lineitems'
+      |    WHEN abs(total_u - calc_u) = 0 THEN '0_exact'
+      |    WHEN abs(total_u - calc_u) * 1000 < total_u THEN '1_lt_0.1pct'
+      |    WHEN abs(total_u - calc_u) * 100 < total_u THEN '2_lt_1pct'
+      |    WHEN abs(total_u - calc_u) * 10 < total_u THEN '3_lt_10pct'
+      |    ELSE '4_gte_10pct' END AS band,
+      |    COALESCE(abs(total_u - calc_u), 0) AS ad
+      |  FROM j)
+      |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(ad) AS BIGINT) AS sum_abs_diff_micros
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.Parity.dec
+    val calc = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long")
+          * (lit(100) - (dec(col("l_discount")) * 100).cast("long"))
+          * (lit(100) + (dec(col("l_tax")) * 100).cast("long"))).as("u"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("u")).cast("long").as("calc_u"))
+    val j = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        ((dec(col("o_totalprice")) * 100).cast("long") * 10000).as("total_u"))
+      .join(calc, col("l_orderkey") === col("o_orderkey"), "left")
+    val ad = abs(col("total_u") - col("calc_u"))
+    j.select(
+        when(col("calc_u").isNull, "5_no_lineitems")
+          .when(ad === 0, "0_exact")
+          .when(ad * 1000 < col("total_u"), "1_lt_0.1pct")
+          .when(ad * 100 < col("total_u"), "2_lt_1pct")
+          .when(ad * 10 < col("total_u"), "3_lt_10pct")
+          .otherwise("4_gte_10pct").as("band"),
+        coalesce(ad, lit(0L)).as("ad"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("ad")).cast("long").as("sum_abs_diff_micros"))
+      .orderBy(col("band"))
+  }
+
+  val all: Seq[Q] =
+    Seq(fkOrphans, freshness, benford, fdAudit, skewAudit, reconciliation)
 }

@@ -147,4 +147,51 @@ class AuditSpec extends SparkSuite {
     val ev = rows.find(_._1 == "events.user_id").get
     assert((ev._4, ev._3) === li)
   }
+
+  test("x113 crafted: every band hit, strict boundaries, exact micros arithmetic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, 110.00), (2L, 100.05), (3L, 101.00), (4L, 110.00),
+      (5L, 200.00), (6L, 50.00), (7L, 100.00), (8L, 216.00))
+      .map { case (k, p) => (k, 1L, "O", p, t0, "p") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // (orderkey, extendedprice, discount, tax)
+    Seq(
+      (1L, 100.00, 0.00, 0.10), // calc 110.00 → 0_exact
+      (2L, 100.00, 0.00, 0.00), // diff 0.05/100.05 → 1_lt_0.1pct
+      (3L, 100.00, 0.00, 0.00), // diff 1.00/101.00 ≈ 0.99% → 2_lt_1pct
+      (4L, 100.00, 0.00, 0.00), // diff 10/110 ≈ 9.1% → 3_lt_10pct
+      (5L, 100.00, 0.00, 0.00), // diff 50% → 4_gte_10pct
+      // order 6 has NO lines → 5_no_lineitems
+      (7L, 99.90, 0.00, 0.00),  // diff 0.10/100.00 = EXACTLY 0.1% →
+                                // strict < sends it to 2_lt_1pct
+      (8L, 100.00, 0.10, 0.20), // 100·0.90·1.20 = 108.00
+      (8L, 100.00, 0.00, 0.08)) // + 108.00 = 216.00 → 0_exact
+      .zipWithIndex
+      .map { case ((ok, e, d, t), i) => (ok, i.toLong, e, d, t, t0) }
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_tax", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = etl.Audit.reconciliation.fn(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("0_exact", 2L, 0L),
+      ("1_lt_0.1pct", 1L, 50000L),
+      ("2_lt_1pct", 2L, 1100000L),
+      ("3_lt_10pct", 1L, 10000000L),
+      ("4_gte_10pct", 1L, 100000000L),
+      ("5_no_lineitems", 1L, 0L)))
+  }
+
+  test("x113 real data: bands partition the orders table exactly") {
+    val rows = etl.Audit.reconciliation.fn(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum === Tables.orders(spark, sf).count())
+    val names = Set("0_exact", "1_lt_0.1pct", "2_lt_1pct", "3_lt_10pct",
+      "4_gte_10pct", "5_no_lineitems")
+    assert(rows.map(_._1).toSet.subsetOf(names))
+    assert(rows.forall(_._3 >= 0))
+  }
 }

@@ -22,6 +22,7 @@ object SparkEntry {
       analytics.Anomaly.all ++
       analytics.Spine.all ++
       analytics.Trend.all ++
+      analytics.Rfm.all ++
       analytics.Concentration.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++

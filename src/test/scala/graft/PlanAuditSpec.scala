@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSuite {
     "x91_decayed_popularity",      // broadcast of the 1-row high-water-date scalar
     "x98_kmv_intersect",           // non-equi (type<type) pair join over the |types|-row sketch table
     "x103_chi2_independence",      // R×C grid from two broadcast dimension-total tables + 1-row n
+    "x109_weekly_acf",             // broadcast of the 4-row literal lag dimension
+    "x114_rfm_segments",           // two 1-row scalars (high-water date, customer count)
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -424,7 +424,30 @@ object ScaleProbe {
       "x106_rolling_slope",
       // x107: |types| rows; one user-keyed window (timelines replicate
       // per copy under the user shift) + one bounded hash agg
-      "x107_dwell_time")
+      "x107_dwell_time",
+      // x108: |types| rows; the x100 shape exactly — one (type, value)
+      // hash agg + segmented prefix scan; the even key-shift stride
+      // preserves user-id parity, so cohorts replicate per copy
+      "x108_mann_whitney",
+      // x109: |types|×4 rows (constant); one weekly hash agg, then the
+      // lag self-join runs on the aggregated calendar axis
+      "x109_weekly_acf",
+      // x110: top-20 bounded; wedges only through ≤96-degree centers —
+      // part copies are key-disjoint so qualifying centers (and their
+      // bounded fan-out) replicate per copy: expect linear wedge work
+      "x110_link_predict",
+      // x111: 32 rows always; one segment hash shuffle + per-segment
+      // row_number — ranks grow f× but every segment stays parallel
+      "x111_range_plan",
+      // x112: |types|+1 rows; one user-keyed window + bounded agg —
+      // the x107 shape with a LAG instead of a LEAD
+      "x112_last_touch",
+      // x113: 6 rows always; one lineitem hash agg + one orderkey
+      // equi-join (FK preserved by the consistent key shift)
+      "x113_order_recon",
+      // x114: ≤125 rows; one orders hash agg + three segmented-rank
+      // passes over the per-customer table (grows f×, stays parallel)
+      "x114_rfm_segments")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -23,6 +23,7 @@ object SparkEntry {
       analytics.Spine.all ++
       analytics.Trend.all ++
       analytics.Rfm.all ++
+      analytics.Olap.all ++
       analytics.Concentration.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++

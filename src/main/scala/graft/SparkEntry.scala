@@ -51,6 +51,7 @@ object SparkEntry {
       ext.Skew.all ++
       ext.Skyline.all ++
       ext.Spatial.all ++
+      ext.Snm.all ++
       ext.Bitmap.all ++
       ext.Drift.all ++
       ext.Bloom.all ++

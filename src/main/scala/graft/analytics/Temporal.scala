@@ -456,6 +456,56 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** x121: distinct users per event type over a TRAILING 4-week window —
+    * the sliding-distinct aggregate (rolling MAU/WAU) that naive window
+    * functions cannot express: COUNT(DISTINCT) OVER a RANGE frame is
+    * unsupported in Spark, and re-scanning 4 weeks per output week is
+    * quadratic in window length.
+    *
+    * Scale shape — the standard exact rewrite: dedup once to the
+    * (type, week, user) grain (one hash agg with map-side combine; this
+    * is the only full-data shuffle), then each surviving triple
+    * CONTRIBUTES itself to the ≤4 window-end weeks it falls inside (a
+    * 4-way explode of week-grain rows — far smaller than raw events),
+    * dedup again at (type, end-week, user) — a user active in several
+    * weeks of one window counts once — and count. Every stage is a
+    * keyed hash agg; window length enters as a small constant fan-out,
+    * never a per-row rescan. Windows ending after the last data week
+    * are clipped by a 1-row broadcast high-water mark, so every
+    * reported window end is a week that exists. */
+  val trailingDistinct = Q.withOracle(
+    "x121_trailing_distinct_users",
+    "x121: trailing-4-week distinct users per event type (explode-to-window-ends, no rescan)",
+    """WITH wu AS MATERIALIZED (
+      |  SELECT DISTINCT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    user_id
+      |  FROM events),
+      |hw AS (SELECT MAX(wk) AS hw FROM wu),
+      |tgt AS MATERIALIZED (
+      |  SELECT DISTINCT event_type, wk + 7 * k AS end_wk, user_id
+      |  FROM wu, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k)
+      |  WHERE wk + 7 * k <= (SELECT hw FROM hw))
+      |SELECT event_type, end_wk,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_users
+      |FROM tgt GROUP BY 1, 2
+      |ORDER BY event_type, end_wk""".stripMargin) { (s, dir) =>
+    val wu = Tables.events(s, dir)
+      .select(col("event_type"), week(col("ts")).as("wk"), col("user_id"))
+      .distinct()
+    val hw = wu.agg(max(col("wk")).as("hw"))
+    val tgt = wu
+      .withColumn("k", explode(array((0 to 3).map(lit): _*)))
+      .select(col("event_type"), date_add(col("wk"), col("k") * 7).as("end_wk"),
+        col("user_id"))
+      .crossJoin(broadcast(hw)) // 1-row high-water scalar
+      .filter(col("end_wk") <= col("hw"))
+      .select(col("event_type"), col("end_wk"), col("user_id"))
+      .distinct()
+    tgt.groupBy(col("event_type"), col("end_wk"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .orderBy(col("event_type"), col("end_wk"))
+  }
+
   val all: Seq[Q] = Seq(asof, asofForward, movingAvg, trailingSpend, pivot, groupStats,
-    topkPerKey, intervalCount, unpivot, intervalCoverage, dwellTime)
+    topkPerKey, intervalCount, unpivot, intervalCoverage, dwellTime, trailingDistinct)
 }

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSuite {
     "x103_chi2_independence",      // R×C grid from two broadcast dimension-total tables + 1-row n
     "x109_weekly_acf",             // broadcast of the 4-row literal lag dimension
     "x114_rfm_segments",           // two 1-row scalars (high-water date, customer count)
+    "x121_trailing_distinct_users", // broadcast of the 1-row high-water-week scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

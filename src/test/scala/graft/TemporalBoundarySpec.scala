@@ -199,4 +199,34 @@ class TemporalBoundarySpec extends SparkSuite {
     assert(windows.nonEmpty)
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("x121 trailing distinct: cross-week dedup, window membership, high-water clip") {
+    // weeks are Monday-truncated; 2024-01-01 is a Monday. Tuesdays noon:
+    val w1 = 1704196800000000L // 2024-01-02T12:00Z, week 2024-01-01
+    val wkUs = 604800L * 1000000L
+    val d = Files.createTempDirectory("temporal-x121").toString
+    Seq(
+      // view u1 active in weeks 1 AND 2 -> every window holding both
+      // weeks must count u1 ONCE; coverage spans window-ends w1..w5
+      (1L, w1, 1L, "view", 1.0),
+      (2L, w1 + wkUs, 1L, "view", 1.0),
+      // view u2 active in week 5 = the global high-water week: windows
+      // ending past w5 are clipped away entirely
+      (3L, w1 + 4 * wkUs, 2L, "view", 1.0),
+      // click u3 in week 1 only -> ends w1..w4 (all within high water)
+      (4L, w1, 3L, "click", 1.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = analytics.Temporal.trailingDistinct.fn(spark, d)
+      .select($"event_type", $"end_wk".cast("string"), $"distinct_users")
+      .as[(String, String, Long)].collect().toSeq
+    val wk = (i: Int) => java.time.LocalDate.of(2024, 1, 1).plusWeeks(i - 1).toString
+    assert(got === Seq(
+      ("click", wk(1), 1L), ("click", wk(2), 1L), ("click", wk(3), 1L),
+      ("click", wk(4), 1L),
+      ("view", wk(1), 1L), ("view", wk(2), 1L), ("view", wk(3), 1L),
+      ("view", wk(4), 1L), ("view", wk(5), 2L)))
+  }
 }

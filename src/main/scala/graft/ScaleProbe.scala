@@ -447,7 +447,34 @@ object ScaleProbe {
       "x113_order_recon",
       // x114: ≤125 rows; one orders hash agg + three segmented-rank
       // passes over the per-customer table (grows f×, stays parallel)
-      "x114_rfm_segments")
+      "x114_rfm_segments",
+      // x115/x116: one Expand + hash agg each; x115's nation axis grows
+      // f× (key-shifted dims) but stays dim-sized; x116's grouping keys
+      // are unshifted strings — 24 rows at every factor
+      "x115_rollup_revenue",
+      "x116_cube_orders",
+      // x117: 1 row; orders hash agg + two segmented-rank passes — the
+      // x114 regime with a keyless 1-row finale
+      "x117_spearman_freq_spend",
+      // x118: ≤50 rows; 2·rounds keyed joins over a once-checkpointed
+      // edge list that grows f× in disjoint (s, p) key spaces — expect
+      // linear-in-edges wall, the x59 shape without the damping agg
+      "x118_hits",
+      // x119: top-20 bounded; the 9-probe cell equi-join's candidate
+      // volume is ~9·n·occupancy and occupancy grows f× at a FIXED grid
+      // — the documented production lever is cells ∝ n; the probe holds
+      // the grid fixed, so expect superlinear candidate growth from a
+      // tiny base (0.24/cell at 1×)
+      "x119_grid_closest_pairs",
+      // x120: pairs replicate per copy (bijective token rename preserves
+      // Jaccard and the block/sort order within each copy) — linear
+      // candidates, linear output
+      "x120_snm_pairs",
+      // x121: |types|×|weeks| rows (constant — event_type strings and
+      // the calendar don't shift); the (type, week, user) dedup agg is
+      // the only full-data shuffle, the 4-way explode runs on its
+      // output
+      "x121_trailing_distinct_users")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

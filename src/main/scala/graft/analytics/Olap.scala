@@ -106,5 +106,59 @@ object Olap {
       .orderBy(col("lvl"), col("priority"), col("status"))
   }
 
-  val all: Seq[Q] = Seq(rollupRevenue, cubeOrders)
+  /** x122: contribution analysis — each nation's share of its region's
+    * revenue and each region's share of the total, the "percent of
+    * parent" drill-down every rollup report is read for. One fact-table
+    * hash agg to the nation grain (the ONLY full-data shuffle; dims
+    * broadcast), then the parent/total denominators are window sums
+    * over the dim-sized aggregate — never a second pass over facts.
+    * Shares are single double divisions of exact penny longs (identical
+    * in both engines); revenue stays exact. */
+  val contribution = Q.withOracle(
+    "x122_contribution_shares",
+    "x122: nation-of-region and region-of-total revenue shares (windowed over the agg grain)",
+    """WITH leaf AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT region, nation, revenue_cents,
+      |    CAST(SUM(revenue_cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+      |    CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM leaf)
+      |SELECT region, nation, revenue_cents,
+      |  CAST(revenue_cents AS DOUBLE) / CAST(region_cents AS DOUBLE) AS share_of_region,
+      |  CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS region_share_of_total
+      |FROM w ORDER BY region, nation""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dims = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val leaf = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long")
+        .as("revenue_cents"))
+    leaf
+      .withColumn("region_cents",
+        sum(col("revenue_cents")).over(Window.partitionBy(col("region"))).cast("long"))
+      .withColumn("total_cents",
+        sum(col("revenue_cents")).over(Window.partitionBy()).cast("long"))
+      .select(col("region"), col("nation"), col("revenue_cents"),
+        (col("revenue_cents").cast("double") / col("region_cents").cast("double"))
+          .as("share_of_region"),
+        (col("region_cents").cast("double") / col("total_cents").cast("double"))
+          .as("region_share_of_total"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val all: Seq[Q] = Seq(rollupRevenue, cubeOrders, contribution)
 }

@@ -49,6 +49,26 @@ class OlapSpec extends SparkSuite {
     assert(grand.head._5 === bySt.map(_._5).sum)
   }
 
+  test("x122 shares: nations sum to 1 per region, regions sum to 1 overall, cents match x115") {
+    val rows = analytics.Olap.contribution.fn(spark, sf)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (_, ns) =>
+      assert(math.abs(ns.map(_._4).sum - 1.0) < 1e-12)
+    }
+    // region_share_of_total repeats per nation row; one value per region
+    val regionShares = rows.groupBy(_._1).map { case (_, ns) =>
+      assert(ns.map(_._5).distinct.size === 1); ns.head._5
+    }
+    assert(math.abs(regionShares.sum - 1.0) < 1e-12)
+    // leaf cents agree with the x115 rollup's leaf level
+    val rollupLeaves = analytics.Olap.rollupRevenue.fn(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect()
+      .filter(_._1 == 0L).map(r => (r._2, r._3) -> r._4).toMap
+    rows.foreach { case (r, n, cents, _, _) =>
+      assert(rollupLeaves((r, n)) === cents)
+    }
+  }
+
   test("x115/x116 plan: ONE aggregate pass over an Expand, no join shuffle beyond the dims") {
     Seq(analytics.Olap.rollupRevenue, analytics.Olap.cubeOrders).foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -40,6 +40,34 @@ class SnmSpec extends SparkSuite {
     assert(got.get((11L, 12L)) === Some(5.0 / 9.0))
   }
 
+  test("x123 multipass: reversed pass finds the prefix-divergent dup the forward pass misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm-mp").toString
+    write(dir, Seq(
+      // prefix-divergent, suffix-similar: different forward blocks, but
+      // reversed texts share their prefix → adjacent in the R pass;
+      // jac = |{common,tail,tokens,here}| / 6 = 2/3
+      30L -> "xxx common tail tokens here",
+      31L -> "yyy common tail tokens here",
+      // padding docs in other blocks
+      32L -> "zzz other stuff entirely",
+      33L -> "www more filler words"))
+    val fwd = ext.Snm.snmPairs.fn(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val multi = ext.Snm.snmMultipass.fn(spark, dir)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!fwd.contains((30L, 31L)), "fixture drift: forward pass found the pair")
+    assert(multi.get((30L, 31L)) === Some(2.0 / 3.0))
+  }
+
+  test("x123 recall is a superset of x120 at identical scoring") {
+    val fwd = ext.Snm.snmPairs.fn(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val multi = ext.Snm.snmMultipass.fn(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fwd.subsetOf(multi))
+  }
+
   test("x120 candidates are O(n*w): window pairs never exceed n*(w-1) on real data") {
     // count the raw candidate relation the query prunes from: bounded by
     // docs * (w-1) by construction — the linearity SNM exists for

@@ -167,5 +167,115 @@ object Concentration {
       .orderBy(col("n_customers"))
   }
 
-  val all: Seq[Q] = Seq(gini, spearman)
+  /** Block width for x124's inversion decomposition. Work terms: the
+    * two pair joins touch O(n·B) pairs, the block×bucket grid holds
+    * (n/B)² cells — B balances them (B ≈ √n is optimal; at this data's
+    * n the fixed 1024 keeps the registered query free of driver
+    * actions while both terms stay tiny). Truly massive n (≥1e9 ranked
+    * entities) graduates to the O(log n)-round merge formulation; the
+    * decomposition here is the single-round form of the same idea. */
+  private val KtB = 1024L
+
+  /** x124: exact Kendall tau between the frequency and spend rankings —
+    * the pair-concordance companion to x117's Spearman (τ weights every
+    * discordant PAIR equally; ρ weights by rank displacement). With
+    * both ranks exact tie-free permutations (unique (metric, custkey)
+    * tiebreaks), τ-a applies: τ = 1 − 4·D / (n(n−1)) for D = the
+    * number of inversions between the two rankings.
+    *
+    * Counting D exactly WITHOUT the quadratic all-pairs join is the
+    * point: a √-decomposition on the rank grid. Block the rf axis and
+    * bucket the rm axis at width [[KtB]]; then
+    *   D = (within-rf-block pairs)        — equi-join on the block id,
+    *       + (cross-block, same rm-bucket) — equi-join on the bucket id,
+    *       + (cross-block, cross-bucket)   — NO pair join at all: from
+    *         the (block, bucket) count grid, P = run-sum over earlier
+    *         blocks (window per bucket), S = run-sum over later buckets
+    *         (window per block, v desc), and the term is Σ grid·S.
+    * Every pair join is keyed and O(n·B); the grid windows run over a
+    * (n/B)² cell table. All counts are exact longs; τ is one shared
+    * double expression. The DuckDB oracle states the NAIVE all-pairs
+    * semantics — an independent formulation the decomposition must
+    * reproduce bit-for-bit. */
+  val kendall = Q.withOracle(
+    "x124_kendall_tau",
+    "x124: exact Kendall tau of frequency vs spend rankings (sqrt-decomposition inversion count)",
+    """WITH per AS (
+      |  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY freq, ck) AS rf,
+      |         ROW_NUMBER() OVER (ORDER BY mon, ck) AS rm
+      |  FROM per),
+      |d AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS inversions
+      |  FROM r a JOIN r b ON a.rf < b.rf AND a.rm > b.rm),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM r)
+      |SELECT n_customers, inversions,
+      |  CASE WHEN n_customers > 1 THEN
+      |    1.0 - 4.0 * CAST(inversions AS DOUBLE)
+      |      / (CAST(n_customers AS DOUBLE) * (CAST(n_customers AS DOUBLE) - 1.0))
+      |  END AS kendall_tau
+      |FROM n, d ORDER BY n_customers""".stripMargin) { (s, dir) =>
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("mon"))
+    val ranked = Rfm.exactRank(
+      Rfm.exactRank(per, col("freq"), 0, "rf"), col("mon"), 20, "rm")
+      .select(col("rf"), col("rm"))
+      .withColumn("b", expr(s"(rf - 1) div $KtB"))
+      .withColumn("v", expr(s"(rm - 1) div $KtB"))
+    val l = ranked.select(col("b").as("b1"), col("v").as("v1"),
+      col("rf").as("rf1"), col("rm").as("rm1"))
+    val r = ranked.select(col("b").as("b2"), col("v").as("v2"),
+      col("rf").as("rf2"), col("rm").as("rm2"))
+    // term 1: same rf-block — keyed pair join, O(n·B)
+    val within = l.join(r, col("b1") === col("b2")
+        && col("rf1") < col("rf2") && col("rm1") > col("rm2"))
+      .agg(count(lit(1)).as("d_within"))
+    // term 2: earlier rf-block, same rm-bucket — keyed pair join, O(n·B)
+    val crossSame = l.join(r, col("v1") === col("v2")
+        && col("b1") < col("b2") && col("rm1") > col("rm2"))
+      .agg(count(lit(1)).as("d_same_bucket"))
+    // term 3: earlier block AND strictly larger bucket — pure grid math.
+    // The prefix windows need FULL support (a missing (b, v) cell would
+    // silently drop the earlier-block mass riding through it), so the
+    // sparse count grid is densified over the block × bucket axes first
+    // — (n/B)² cells, which at the balanced B ≈ √n operating point is
+    // ~n rows: the linear-sized state of the decomposition, never a
+    // pair join.
+    val grid = ranked.groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
+    val mx = ranked.agg(max(col("b")).as("mb"), max(col("v")).as("mv"))
+    val dense = mx.select(explode(sequence(lit(0L), col("mb"))).as("b"))
+      .crossJoin(broadcast(mx.select(explode(sequence(lit(0L), col("mv"))).as("v"))))
+      .join(grid, Seq("b", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wP = Window.partitionBy(col("v")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wS = Window.partitionBy(col("b")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossDiff = dense
+      .withColumn("p", coalesce(sum(col("c")).over(wP), lit(0L)))
+      .withColumn("s", coalesce(sum(col("p")).over(wS), lit(0L)))
+      .agg(sum(col("c") * col("s")).cast("long").as("d_cross_bucket"))
+    val n = ranked.agg(count(lit(1)).as("n_customers"))
+    val nD = col("n_customers").cast("double")
+    n.crossJoin(broadcast(within))
+      .crossJoin(broadcast(crossSame))
+      .crossJoin(broadcast(crossDiff))
+      .select(col("n_customers"),
+        (col("d_within") + col("d_same_bucket") + col("d_cross_bucket"))
+          .as("inversions"),
+        when(col("n_customers") > 1,
+          lit(1.0) - lit(4.0)
+            * (col("d_within") + col("d_same_bucket") + col("d_cross_bucket"))
+              .cast("double")
+            / (nD * (nD - 1.0)))
+          .as("kendall_tau"))
+      .orderBy(col("n_customers"))
+  }
+
+  val all: Seq[Q] = Seq(gini, spearman, kendall)
 }

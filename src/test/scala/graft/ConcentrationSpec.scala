@@ -119,6 +119,47 @@ class ConcentrationSpec extends SparkSuite {
     assert(d2 === ((3L, 8L, -1.0)))
   }
 
+  test("x124 crafted: identity ranking -> tau +1 with 0 inversions; reversal -> -1 with all pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kt1").toString
+    writeStar(dir,
+      orders = Seq((1L, 1L, 1.0),
+        (2L, 2L, 1.0), (3L, 2L, 1.0),
+        (4L, 3L, 1.0), (5L, 3L, 1.0), (6L, 3L, 2.0)),
+      custs = Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    assert(analytics.Concentration.kendall.fn(spark, dir)
+      .as[(Long, Long, Double)].head() === ((3L, 0L, 1.0)))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-kt2").toString
+    writeStar(dir2,
+      orders = Seq((1L, 1L, 0.03),
+        (2L, 2L, 0.01), (3L, 2L, 0.01),
+        (4L, 3L, 0.01), (5L, 3L, 0.0), (6L, 3L, 0.0)),
+      custs = Seq(1L -> "A", 2L -> "A", 3L -> "A"))
+    // ranks fully reversed: all 3 pairs inverted -> tau = 1 - 12/6 = -1
+    assert(analytics.Concentration.kendall.fn(spark, dir2)
+      .as[(Long, Long, Double)].head() === ((3L, 3L, -1.0)))
+  }
+
+  test("x124 decomposition equals a driver-side naive inversion count on real multi-block data") {
+    // sf0.01 spans multiple rf-blocks at B=1024, so all three terms
+    // (within-block, cross-block same-bucket, grid) are exercised
+    val sf001 = "/root/testdata/sf0.01"
+    val per = Tables.orders(spark, sf001)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("mon"))
+    val ranks = per
+      .withColumn("rf", row_number().over(Window.orderBy(col("freq"), col("ck"))))
+      .withColumn("rm", row_number().over(Window.orderBy(col("mon"), col("ck"))))
+      .select("rf", "rm").as[(Int, Int)].collect()
+    val naive = (for {
+      a <- ranks; b <- ranks if a._1 < b._1 && a._2 > b._2
+    } yield 1L).sum
+    val got = analytics.Concentration.kendall.fn(spark, sf001)
+      .as[(Long, Long, Double)].head()
+    assert(got._1 === ranks.length.toLong)
+    assert(got._2 === naive)
+  }
+
   test("x117 ties break by custkey identically in both rank passes") {
     // all-tied metrics: both ranks fall back to custkey order -> d = 0
     val dir = java.nio.file.Files.createTempDirectory("graft-sp3").toString

@@ -474,7 +474,17 @@ object ScaleProbe {
       // the calendar don't shift); the (type, week, user) dedup agg is
       // the only full-data shuffle, the 4-way explode runs on its
       // output
-      "x121_trailing_distinct_users")
+      "x121_trailing_distinct_users",
+      // x122: 25 rows (name-keyed groups collapse across shifted dim
+      // copies, the x115 story); windows run on the dim-sized agg
+      "x122_contribution_shares",
+      // x123: two SNM passes + one scoring stage — expect ~2× x120's
+      // wall with the same linear candidate/output growth
+      "x123_snm_multipass",
+      // x124: 1 row; the two pair joins touch O(n·B) pairs (B fixed at
+      // 1024 → linear in customers), the densified grid is (n/B)²
+      // cells — 147² at 10×, trivial; expect linear-ish wall
+      "x124_kendall_tau")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +43,35 @@ object Concentration {
 
   /** x95: Gini concentration of customer spend per market segment —
     * customers with ≥1 order, ranked by exact penny spend. */
+  /** Per-customer penny spend with the segmented exact in-segment rank
+    * (ascending spend, custkey tiebreak): local row_number per
+    * (segment, spend-bucket) in parallel + a prefix-offset window over
+    * the tiny bucket table only — never a \|segments\|-partition global
+    * sort. Shared by x95 (Gini) and x125 (exact quartiles). */
+  private def rankedSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("x"))
+    val seg = spend
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("ck") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("x"), col("ck"))
+      .withColumn("bkt", expr(s"shiftright(x, $BktBits)"))
+    val wIn = Window.partitionBy(col("mktsegment"), col("bkt"))
+      .orderBy(col("x"), col("ck"))
+    val offW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = seg.groupBy(col("mktsegment"), col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(offW), lit(0L)))
+      .select(col("mktsegment"), col("bkt"), col("off"))
+    seg
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("mktsegment", "bkt"))
+      .withColumn("rnk", col("off") + col("rn"))
+  }
+
   val gini = Q.withOracle(
     "x95_gini_spend",
     "x95: Gini coefficient of per-customer spend by market segment (segmented ranks)",
@@ -64,30 +94,7 @@ object Concentration {
       |      - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
       |    / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
       |FROM a ORDER BY mktsegment""".stripMargin) { (s, dir) =>
-    val spend = Tables.orders(s, dir)
-      .groupBy(col("o_custkey").as("ck"))
-      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
-        .cast("long").as("x"))
-    val seg = spend
-      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-        col("ck") === col("c_custkey"))
-      .select(col("c_mktsegment").as("mktsegment"), col("x"), col("ck"))
-      .withColumn("bkt", expr(s"shiftright(x, $BktBits)"))
-    // segmented global rank: local row_number per (segment, bucket) +
-    // bucket-count prefix offsets computed over the bucket table only
-    val wIn = Window.partitionBy(col("mktsegment"), col("bkt"))
-      .orderBy(col("x"), col("ck"))
-    val offW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = seg.groupBy(col("mktsegment"), col("bkt"))
-      .agg(count(lit(1)).as("bc"))
-      .withColumn("off", coalesce(sum(col("bc")).over(offW), lit(0L)))
-      .select(col("mktsegment"), col("bkt"), col("off"))
-    val ranked = seg
-      .withColumn("rn", row_number().over(wIn))
-      .join(broadcast(offsets), Seq("mktsegment", "bkt"))
-      .withColumn("rnk", col("off") + col("rn"))
-    val a = ranked.groupBy(col("mktsegment"))
+    val a = rankedSpend(s, dir).groupBy(col("mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("x").cast("decimal(18,0)")).as("sx"),
         sum(col("rnk").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
@@ -277,5 +284,70 @@ object Concentration {
       .orderBy(col("n_customers"))
   }
 
-  val all: Seq[Q] = Seq(gini, spearman, kendall)
+  /** x125: exact interpolated quartiles (percentile_cont semantics) of
+    * per-customer spend by market segment — the distributed answer to
+    * "give me the EXACT p25/p50/p75, not a sketch": with the segmented
+    * rank in hand, quantile q needs only the two order statistics
+    * flanking position (n−1)·q, so the whole computation after ranking
+    * is a 6-rows-per-segment broadcast probe join — no global sort, no
+    * sort-to-driver, no approximation (contrast x25b's KLL-style
+    * sketch tier and x86's hash-sampled estimates, the approximate
+    * members of this family).
+    *
+    * Exactness: position arithmetic runs in quarter-units — pos·4 =
+    * (n−1)·qnum is an exact integer, lo = pos div 4, rem = pos mod 4 —
+    * and the interpolated value 4·v_lo + rem·(v_hi − v_lo) is an exact
+    * long in quarter-pennies; the only double is one final /4.0,
+    * identical in both engines. The oracle replays the same rank
+    * construction (a plain per-segment ROW_NUMBER — tiny at oracle
+    * scale) rather than quantile_cont, whose float path is
+    * engine-specific. */
+  val quartiles = Q.withOracle(
+    "x125_exact_quartiles",
+    "x125: exact interpolated spend quartiles per segment (rank probe, no global sort)",
+    """WITH spend AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment AS mktsegment, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, ck)
+      |      AS BIGINT) AS rnk
+      |  FROM spend JOIN customer ON ck = c_custkey),
+      |n AS (SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      |k AS (
+      |  SELECT mktsegment, n, qnum,
+      |    ((n - 1) * qnum) // 4 + 1 AS lo1,
+      |    ((n - 1) * qnum) % 4 AS rem
+      |  FROM n, LATERAL (SELECT unnest([1, 2, 3]) AS qnum)),
+      |v AS (
+      |  SELECT k.mktsegment, k.qnum,
+      |    CAST(4 * lo.x + k.rem * (hi.x - lo.x) AS BIGINT) AS quarter_pennies
+      |  FROM k
+      |  JOIN r lo ON lo.mktsegment = k.mktsegment AND lo.rnk = k.lo1
+      |  JOIN r hi ON hi.mktsegment = k.mktsegment
+      |    AND hi.rnk = k.lo1 + CASE WHEN k.rem > 0 THEN 1 ELSE 0 END)
+      |SELECT mktsegment, CAST(qnum AS BIGINT) AS qnum, quarter_pennies,
+      |  CAST(quarter_pennies AS DOUBLE) / 4.0 AS value_pennies
+      |FROM v ORDER BY mktsegment, qnum""".stripMargin) { (s, dir) =>
+    val ranked = rankedSpend(s, dir).select(col("mktsegment"), col("x"), col("rnk"))
+    val n = ranked.groupBy(col("mktsegment")).agg(count(lit(1)).as("n"))
+    val k = n
+      .withColumn("qnum", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("lo1", expr("((n - 1) * qnum) div 4 + 1"))
+      .withColumn("rem", expr("((n - 1) * qnum) % 4"))
+      .withColumn("hi1", col("lo1") + when(col("rem") > 0, 1L).otherwise(0L))
+    val v = broadcast(k)
+      .join(ranked.select(col("mktsegment"), col("rnk").as("lo1"), col("x").as("xlo")),
+        Seq("mktsegment", "lo1"))
+      .join(ranked.select(col("mktsegment"), col("rnk").as("hi1"), col("x").as("xhi")),
+        Seq("mktsegment", "hi1"))
+      .withColumn("quarter_pennies",
+        (lit(4L) * col("xlo") + col("rem") * (col("xhi") - col("xlo"))).cast("long"))
+    v.select(col("mktsegment"), col("qnum"), col("quarter_pennies"),
+        (col("quarter_pennies").cast("double") / 4.0).as("value_pennies"))
+      .orderBy(col("mktsegment"), col("qnum"))
+  }
+
+  val all: Seq[Q] = Seq(gini, spearman, kendall, quartiles)
 }

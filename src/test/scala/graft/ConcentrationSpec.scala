@@ -160,6 +160,45 @@ class ConcentrationSpec extends SparkSuite {
     assert(got._2 === naive)
   }
 
+  test("x125 crafted: on-rank quartiles exact, off-rank interpolate in quarter-pennies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qt").toString
+    writeStar(dir,
+      // ON: 5 customers at 100..500 pennies → p25/p50/p75 = 200/300/400
+      // OFF: 4 customers at 100..400 → 175 / 250 / 325 (type-7)
+      orders = Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0), (4L, 4L, 4.0),
+        (5L, 5L, 5.0),
+        (6L, 6L, 1.0), (7L, 7L, 2.0), (8L, 8L, 3.0), (9L, 9L, 4.0)),
+      custs = Seq(1L -> "ON", 2L -> "ON", 3L -> "ON", 4L -> "ON", 5L -> "ON",
+        6L -> "OFF", 7L -> "OFF", 8L -> "OFF", 9L -> "OFF"))
+    val got = analytics.Concentration.quartiles.fn(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("ON", 1L)) === 200.0 && got(("ON", 2L)) === 300.0
+      && got(("ON", 3L)) === 400.0)
+    assert(got(("OFF", 1L)) === 175.0 && got(("OFF", 2L)) === 250.0
+      && got(("OFF", 3L)) === 325.0)
+  }
+
+  test("x125 equals Spark's exact percentile() on real data (independent formulation)") {
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("x"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("ck") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(expr("percentile(x, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("mktsegment"), posexplode(col("ps")))
+      .select(col("mktsegment"), (col("pos") + 1).cast("long").as("qnum"),
+        col("col").as("v"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = analytics.Concentration.quartiles.fn(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (seg, q, _, v) => assert(want((seg, q)) === v, s"($seg,$q)") }
+  }
+
   test("x117 ties break by custkey identically in both rank passes") {
     // all-tied metrics: both ranks fall back to custkey order -> d = 0
     val dir = java.nio.file.Files.createTempDirectory("graft-sp3").toString

@@ -349,5 +349,66 @@ object Concentration {
       .orderBy(col("mktsegment"), col("qnum"))
   }
 
-  val all: Seq[Q] = Seq(gini, spearman, kendall, quartiles)
+  /** x126: Herfindahl–Hirschman concentration index per market segment —
+    * Σ share_i² over per-customer spend shares, the antitrust-style
+    * "how monopolized is this segment?" companion to x95's Gini (HHI
+    * weights the TOP of the distribution quadratically; Gini weights
+    * rank displacement). Also reports 1/HHI, the effective number of
+    * equal players.
+    *
+    * Exactness: spend is truncated to exact dollar longs (pennies div
+    * 100 — identical truncation in both engines), Σx² forms its squares
+    * as decimal(18,0) × decimal(18,0) (the x95 width rule), and the
+    * final HHI = Σx² / (Σx)² casts the exact integers to double and
+    * performs two IEEE ops — identical in both engines while
+    * Σx² < 2^53 (dollar grain buys 10⁴ headroom over pennies; here
+    * Σx² ≈ 1e14 at sf0.1, documented ceiling ~9e15). Scale shape: one
+    * orders hash agg + one broadcast dim join + one segment hash agg —
+    * no ranks, no windows. */
+  val hhi = Q.withOracle(
+    "x126_hhi_spend",
+    "x126: Herfindahl-Hirschman spend concentration per segment (exact dollar-grain shares)",
+    """WITH spend AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) // 100 AS x
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT c_mktsegment AS mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(x) AS BIGINT) AS sum_dollars,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+      |      AS BIGINT) AS sum_sq
+      |  FROM spend JOIN customer ON ck = c_custkey
+      |  GROUP BY 1)
+      |SELECT mktsegment, n_customers, sum_dollars,
+      |  CASE WHEN sum_dollars > 0 THEN
+      |    CAST(sum_sq AS DOUBLE)
+      |      / (CAST(sum_dollars AS DOUBLE) * CAST(sum_dollars AS DOUBLE)) END AS hhi,
+      |  CASE WHEN sum_sq > 0 THEN
+      |    (CAST(sum_dollars AS DOUBLE) * CAST(sum_dollars AS DOUBLE))
+      |      / CAST(sum_sq AS DOUBLE) END AS effective_n
+      |FROM a ORDER BY mktsegment""".stripMargin) { (s, dir) =>
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(12,2))) * 100 as bigint) div 100")
+        .as("x"))
+    val a = spend
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("ck") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).cast("long").as("sum_dollars"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .cast("long").as("sum_sq"))
+    val sd = col("sum_dollars").cast("double")
+    a.select(col("mktsegment"), col("n_customers"), col("sum_dollars"),
+        when(col("sum_dollars") > 0, col("sum_sq").cast("double") / (sd * sd))
+          .as("hhi"),
+        when(col("sum_sq") > 0, (sd * sd) / col("sum_sq").cast("double"))
+          .as("effective_n"))
+      .orderBy(col("mktsegment"))
+  }
+
+  val all: Seq[Q] = Seq(gini, spearman, kendall, quartiles, hhi)
 }

@@ -199,6 +199,20 @@ class ConcentrationSpec extends SparkSuite {
     got.foreach { case (seg, q, _, v) => assert(want((seg, q)) === v, s"($seg,$q)") }
   }
 
+  test("x126 crafted: monopoly -> HHI 1; four equal players -> HHI 0.25, effective n = 4") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhi").toString
+    writeStar(dir,
+      orders = Seq((1L, 1L, 5.0),
+        (2L, 2L, 2.0), (3L, 3L, 2.0), (4L, 4L, 2.0), (5L, 5L, 2.0)),
+      custs = Seq(1L -> "MONO",
+        2L -> "EQ", 3L -> "EQ", 4L -> "EQ", 5L -> "EQ"))
+    val got = analytics.Concentration.hhi.fn(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("MONO") === ((1L, 5L, 1.0, 1.0)))
+    assert(got("EQ") === ((4L, 8L, 0.25, 4.0)))
+  }
+
   test("x117 ties break by custkey identically in both rank passes") {
     // all-tied metrics: both ranks fall back to custkey order -> d = 0
     val dir = java.nio.file.Files.createTempDirectory("graft-sp3").toString

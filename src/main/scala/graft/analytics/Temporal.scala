@@ -506,6 +506,74 @@ object Temporal {
       .orderBy(col("event_type"), col("end_wk"))
   }
 
+  /** x127: peak concurrency per supplier — the maximum number of
+    * simultaneously open fulfillment windows (x94's interval model:
+    * [shipdate, shipdate + ceil(qty)) in epoch days) and the first day
+    * that peak is reached. The staircase sweep: each interval emits a
+    * +1 at its start and a −1 at its (exclusive) end, the running sum
+    * over the per-supplier (day, delta) order is the live concurrency,
+    * and its max is the peak — ends sort before starts on the same day
+    * (delta asc), so an end-exclusive handoff never double-counts.
+    * Where x94 asks "how much of the calendar is covered", x127 asks
+    * "how hot does the hottest moment get" — capacity planning's
+    * question. One explode to 2E events, one supplier-keyed sort
+    * window (two frames share it), one hash agg, bounded top-20. */
+  val peakConcurrency = Q.withOracle(
+    "x127_peak_concurrency",
+    "x127: peak simultaneous open intervals per supplier + first peak day (staircase sweep)",
+    """WITH iv AS (
+      |  SELECT l_suppkey AS supp,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      + CAST(CEIL(l_quantity) AS BIGINT) AS e,
+      |    l_orderkey AS ok, l_linenumber AS ln
+      |  FROM lineitem),
+      |ev AS (
+      |  SELECT supp, s AS t, CAST(1 AS BIGINT) AS d, ok, ln FROM iv
+      |  UNION ALL
+      |  SELECT supp, e AS t, CAST(-1 AS BIGINT) AS d, ok, ln FROM iv),
+      |lv AS (
+      |  SELECT supp, t,
+      |    SUM(d) OVER (PARTITION BY supp ORDER BY t, d, ok, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      |  FROM ev),
+      |r AS (
+      |  SELECT supp, t, live,
+      |    MAX(live) OVER (PARTITION BY supp) AS peak
+      |  FROM lv)
+      |SELECT supp, CAST(MAX(peak) AS BIGINT) AS peak,
+      |  CAST(MIN(t) AS BIGINT) AS first_peak_day
+      |FROM r WHERE live = peak
+      |GROUP BY supp
+      |ORDER BY peak DESC, supp LIMIT 20""".stripMargin) { (s, dir) =>
+    val iv = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("supp"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("s"),
+        (datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long") + ceil(col("l_quantity"))).as("e"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val ev = iv.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d"), col("ok"), col("ln")),
+        struct(col("e").as("t"), lit(-1L).as("d"), col("ok"), col("ln")))).as("x"),
+        col("supp"))
+      .select(col("supp"), col("x.t").as("t"), col("x.d").as("d"),
+        col("x.ok").as("ok"), col("x.ln").as("ln"))
+    val ord = Window.partitionBy(col("supp"))
+      .orderBy(col("t"), col("d"), col("ok"), col("ln"))
+    val r = ev
+      .withColumn("live",
+        sum(col("d")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("peak", max(col("live")).over(Window.partitionBy(col("supp"))))
+    r.filter(col("live") === col("peak"))
+      .groupBy(col("supp"))
+      .agg(max(col("peak")).cast("long").as("peak"),
+        min(col("t")).cast("long").as("first_peak_day"))
+      .orderBy(col("peak").desc, col("supp"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(asof, asofForward, movingAvg, trailingSpend, pivot, groupStats,
-    topkPerKey, intervalCount, unpivot, intervalCoverage, dwellTime, trailingDistinct)
+    topkPerKey, intervalCount, unpivot, intervalCoverage, dwellTime, trailingDistinct,
+    peakConcurrency)
 }

@@ -171,6 +171,29 @@ class TemporalBoundarySpec extends SparkSuite {
     assert(got === Map(1L -> ((2L, 7L, 5L)), 2L -> ((1L, 1L, 1L))))
   }
 
+  test("x127 peak: end-exclusive handoff never double-counts; nested intervals stack") {
+    val d = Files.createTempDirectory("x127-edge").toString
+    def li(ok: Long, supp: Long, ln: Int, ship: String, qty: Double) =
+      (ok, 1L, supp, ln, qty, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf(s"$ship 00:00:00"))
+    // supp 1: [0,10) [5,15) [10,20) — at day 10 the first interval's
+    // END closes BEFORE the third's start opens (delta sorts -1 first),
+    // so live never hits 3: peak 2, first reached day 5
+    // supp 2: nested [0,10) [2,8) [4,6): peak 3 at day 4
+    Seq(
+      li(1L, 1L, 1, "1970-01-01", 10.0), li(2L, 1L, 1, "1970-01-06", 10.0),
+      li(3L, 1L, 1, "1970-01-11", 10.0),
+      li(4L, 2L, 1, "1970-01-01", 10.0), li(5L, 2L, 1, "1970-01-03", 6.0),
+      li(6L, 2L, 1, "1970-01-05", 2.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = analytics.Temporal.peakConcurrency.fn(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L, 4L), (1L, 2L, 5L)))
+  }
+
   test("x107 dwell: successor crosses event types; terminal events excluded from mean") {
     val d = Files.createTempDirectory("x107-edge").toString
     // user 1: view@0s → purchase@40s → (terminal): view dwell 40s, the

@@ -24,6 +24,7 @@ object SparkEntry {
       analytics.Trend.all ++
       analytics.Rfm.all ++
       analytics.Olap.all ++
+      analytics.Retail.all ++
       analytics.Concentration.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++

@@ -130,5 +130,74 @@ object Funnel {
       .orderBy(col("touch_type"))
   }
 
-  val all: Seq[Q] = Seq(funnel, attribution)
+  /** x130: conversion-latency quartiles — the exact p25/p50/p75 of
+    * "first view → first purchase" time over converted users, the
+    * distribution a growth team reads before setting nudge timers.
+    * Median-not-mean matters here precisely because latency is
+    * heavy-tailed — and these are EXACT interpolated quartiles (the
+    * x125 rank-probe machinery on a single population), not a sketch.
+    *
+    * Shape: one user-keyed aggregation to (first view µs, first
+    * purchase µs), converts filtered (purchase at-or-after view), then
+    * the x111/x114 segmented exact rank over µs-bucketed durations
+    * (buckets of 2³² µs ≈ 1.2 h keep thousands of rank partitions
+    * parallel) and a 6-row broadcast probe join. All integer µs; the
+    * only double is the final /4.0. */
+  val latencyQuartiles = Q.withOracle(
+    "x130_conversion_latency",
+    "x130: exact first-view->first-purchase latency quartiles (rank probe, no sort)",
+    """WITH fu AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT user_id AS ck, p - v AS dur
+      |  FROM fu WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+      |r AS (
+      |  SELECT dur, CAST(ROW_NUMBER() OVER (ORDER BY dur, ck) AS BIGINT) AS rnk
+      |  FROM d),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+      |k AS (
+      |  SELECT n, qnum,
+      |    ((n - 1) * qnum) // 4 + 1 AS lo1,
+      |    ((n - 1) * qnum) % 4 AS rem
+      |  FROM n, LATERAL (SELECT unnest([1, 2, 3]) AS qnum)),
+      |v AS (
+      |  SELECT k.qnum, k.n,
+      |    CAST(4 * lo.dur + k.rem * (hi.dur - lo.dur) AS BIGINT) AS quarter_us
+      |  FROM k
+      |  JOIN r lo ON lo.rnk = k.lo1
+      |  JOIN r hi ON hi.rnk = k.lo1 + CASE WHEN k.rem > 0 THEN 1 ELSE 0 END)
+      |SELECT CAST(qnum AS BIGINT) AS qnum, n AS n_converted, quarter_us,
+      |  CAST(quarter_us AS DOUBLE) / 4.0 AS latency_us
+      |FROM v ORDER BY qnum""".stripMargin) { (s, dir) =>
+    val fu = graft.Tables.events(s, dir)
+      .groupBy(col("user_id").as("ck"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+    val d = fu
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(col("ck"), (col("p") - col("v")).as("dur"))
+    // segmented exact rank over 2^32-µs duration buckets
+    val ranked = Rfm.exactRank(d, col("dur"), 32, "rnk")
+      .select(col("dur"), col("rnk"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val k = n
+      .withColumn("qnum", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("lo1", expr("((n - 1) * qnum) div 4 + 1"))
+      .withColumn("rem", expr("((n - 1) * qnum) % 4"))
+      .withColumn("hi1", col("lo1") + when(col("rem") > 0, 1L).otherwise(0L))
+    broadcast(k)
+      .join(ranked.select(col("rnk").as("lo1"), col("dur").as("dlo")), Seq("lo1"))
+      .join(ranked.select(col("rnk").as("hi1"), col("dur").as("dhi")), Seq("hi1"))
+      .select(col("qnum"), col("n").as("n_converted"),
+        (lit(4L) * col("dlo") + col("rem") * (col("dhi") - col("dlo")))
+          .cast("long").as("quarter_us"))
+      .withColumn("latency_us", col("quarter_us").cast("double") / 4.0)
+      .orderBy(col("qnum"))
+  }
+
+  val all: Seq[Q] = Seq(funnel, attribution, latencyQuartiles)
 }

@@ -92,4 +92,40 @@ class FunnelSpec extends SparkSuite {
       .select($"event_type").distinct().as[String].collect().toSet + "none"
     assert(rows.map(_._1).toSet.subsetOf(types))
   }
+
+  test("x130: on-rank quartiles over 5 converts; pre-view purchases and non-converts excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-x130").toString
+    // users 1..5 convert with latencies 0,10,20,30,40 s; user 6's
+    // purchase PRECEDES its first view (excluded); user 7 never buys
+    write(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"), (2L, "2024-01-01 00:00:00", 1L, "purchase"),
+      (3L, "2024-01-01 00:00:00", 2L, "view"), (4L, "2024-01-01 00:00:10", 2L, "purchase"),
+      (5L, "2024-01-01 00:00:00", 3L, "view"), (6L, "2024-01-01 00:00:20", 3L, "purchase"),
+      (7L, "2024-01-01 00:00:00", 4L, "view"), (8L, "2024-01-01 00:00:30", 4L, "purchase"),
+      (9L, "2024-01-01 00:00:00", 5L, "view"), (10L, "2024-01-01 00:00:40", 5L, "purchase"),
+      (11L, "2024-01-01 00:01:00", 6L, "view"), (12L, "2024-01-01 00:00:30", 6L, "purchase"),
+      (13L, "2024-01-01 00:00:00", 7L, "view")))
+    val got = analytics.Funnel.latencyQuartiles.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // n=5: p25/p50/p75 land exactly on ranks 2/3/4 -> 10s/20s/30s
+    assert(got === Seq(
+      (1L, 5L, 40000000L, 10000000.0),
+      (2L, 5L, 80000000L, 20000000.0),
+      (3L, 5L, 120000000L, 30000000.0)))
+  }
+
+  test("x130 equals Spark's exact percentile() on real data") {
+    val durs = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select((col("p") - col("v")).as("dur"))
+    val want = durs.agg(expr("percentile(dur, array(0.25, 0.5, 0.75))")).as[Seq[Double]]
+      .head()
+    val got = analytics.Funnel.latencyQuartiles.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1).map(_._4)
+    assert(got === want)
+  }
 }

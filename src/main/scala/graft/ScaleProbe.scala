@@ -484,7 +484,26 @@ object ScaleProbe {
       // x124: 1 row; the two pair joins touch O(n·B) pairs (B fixed at
       // 1024 → linear in customers), the densified grid is (n/B)²
       // cells — 147² at 10×, trivial; expect linear-ish wall
-      "x124_kendall_tau")
+      "x124_kendall_tau",
+      // x125: 15 rows (segments × 3 quartiles); the x95 ranked-spend
+      // plumbing + a 6-rows-per-segment broadcast probe join — flat
+      "x125_exact_quartiles",
+      // x126: 5 rows; one orders agg + one segment agg, no windows
+      "x126_hhi_spend",
+      // x127: top-20 bounded; 2E staircase events through one
+      // supplier-keyed sort window — the x94 regime (disjoint supplier
+      // replicas keep per-key scans base-length)
+      "x127_peak_concurrency",
+      // x128: 5 rows; one (segment, priority) count grid with map-side
+      // combine, winner picked over the dim-sized grid
+      "x128_mode_priority",
+      // x129: |weeks| rows (calendar constant); one (week, customer)
+      // hash agg + one customer-week equi-join of pre-aggregated sides
+      "x129_comp_sales",
+      // x130: 3 rows; one user-keyed agg + segmented rank over µs
+      // buckets + a 6-row broadcast probe join — the x125 regime on
+      // the events table
+      "x130_conversion_latency")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -410,5 +410,77 @@ object Concentration {
       .orderBy(col("mktsegment"))
   }
 
-  val all: Seq[Q] = Seq(gini, spearman, kendall, quartiles, hhi)
+  /** x131: ABC (Pareto) classification — partition each segment's
+    * customers into the classic inventory-control classes by cumulative
+    * revenue from the top: A while the revenue accumulated BEFORE a
+    * customer is under 80% of the segment total, B until 95%, C after —
+    * "which 20% of customers carry 80% of revenue, exactly?".
+    *
+    * The cumulative-from-top is derived WITHOUT a descending pass:
+    * with the ascending segmented rank's inclusive running sum c(i)
+    * (in-bucket running sum + bucket-prefix offsets — the x95 rank
+    * trick applied to sums), the exclusive top-down cumulative is just
+    * T − c(i). Class boundaries compare exact scaled integers
+    * (100·(T−c) vs 80·T / 95·T — pennies × 100 stays far under 2^63),
+    * so classification is bit-deterministic; shares are one double
+    * division per output row. Output is ≤ segments × 3 rows. */
+  val abcClasses = Q.withOracle(
+    "x131_abc_classes",
+    "x131: ABC/Pareto revenue classes per segment (exact cumulative boundaries, no desc sort)",
+    """WITH spend AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment AS mktsegment, x, ck,
+      |    CAST(SUM(x) OVER (PARTITION BY c_mktsegment ORDER BY x, ck
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      |  FROM spend JOIN customer ON ck = c_custkey),
+      |t AS (SELECT mktsegment, CAST(SUM(x) AS BIGINT) AS total FROM r GROUP BY 1),
+      |k AS (
+      |  SELECT r.mktsegment, x,
+      |    CASE WHEN 100 * (total - c) < 80 * total THEN 'A'
+      |         WHEN 100 * (total - c) < 95 * total THEN 'B'
+      |         ELSE 'C' END AS abc_class,
+      |    total
+      |  FROM r JOIN t ON r.mktsegment = t.mktsegment)
+      |SELECT mktsegment, abc_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(x) AS BIGINT) AS revenue_cents,
+      |  CAST(SUM(x) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
+      |FROM k GROUP BY 1, 2 ORDER BY mktsegment, abc_class""".stripMargin) { (s, dir) =>
+    val ranked = rankedSpend(s, dir) // (mktsegment, x, ck, bkt, rn, off, rnk)
+    // segmented inclusive running sum: in-bucket running sum of x plus
+    // the prefix of earlier buckets' x-totals (the rank machinery's
+    // count-offsets, with SUM(x) in place of COUNT)
+    val runW = Window.partitionBy(col("mktsegment"), col("bkt"))
+      .orderBy(col("x"), col("ck"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sumOffW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sumOffsets = ranked.groupBy(col("mktsegment"), col("bkt"))
+      .agg(sum(col("x")).as("bsum"))
+      .withColumn("soff", coalesce(sum(col("bsum")).over(sumOffW), lit(0L)))
+      .select(col("mktsegment"), col("bkt"), col("soff"))
+    val withCum = ranked
+      .withColumn("runx", sum(col("x")).over(runW))
+      .join(broadcast(sumOffsets), Seq("mktsegment", "bkt"))
+      .withColumn("c", (col("soff") + col("runx")).cast("long"))
+    val totals = withCum.groupBy(col("mktsegment"))
+      .agg(sum(col("x")).cast("long").as("total"))
+    withCum
+      .join(broadcast(totals), Seq("mktsegment"))
+      .withColumn("abc_class",
+        when(lit(100L) * (col("total") - col("c")) < lit(80L) * col("total"), "A")
+          .when(lit(100L) * (col("total") - col("c")) < lit(95L) * col("total"), "B")
+          .otherwise("C"))
+      .groupBy(col("mktsegment"), col("abc_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).cast("long").as("revenue_cents"),
+        (sum(col("x")).cast("double") / max(col("total")).cast("double"))
+          .as("revenue_share"))
+      .orderBy(col("mktsegment"), col("abc_class"))
+  }
+
+  val all: Seq[Q] = Seq(gini, spearman, kendall, quartiles, hhi, abcClasses)
 }

@@ -213,6 +213,36 @@ class ConcentrationSpec extends SparkSuite {
     assert(got("EQ") === ((4L, 8L, 0.25, 4.0)))
   }
 
+  test("x131 crafted: 80/15/5 split lands one customer per class at exact boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-abc").toString
+    // cumulative-before-from-top: 0 (<80% -> A), 8000 (=80% -> B),
+    // 9500 (=95% -> C): both boundary equalities exercised
+    writeStar(dir,
+      orders = Seq((1L, 1L, 80.0), (2L, 2L, 15.0), (3L, 3L, 5.0)),
+      custs = Seq(1L -> "S", 2L -> "S", 3L -> "S"))
+    val got = analytics.Concentration.abcClasses.fn(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("S", "A", 1L, 8000L, 0.8),
+      ("S", "B", 1L, 1500L, 0.15),
+      ("S", "C", 1L, 500L, 0.05)))
+  }
+
+  test("x131 real data: classes partition each segment and shares sum to one") {
+    val rows = analytics.Concentration.abcClasses.fn(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val base = analytics.Concentration.gini.fn(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.groupBy(_._1).foreach { case (seg, cls) =>
+      val (n, total) = base(seg)
+      assert(cls.map(_._3).sum === n, s"$seg customer partition")
+      assert(cls.map(_._4).sum === total, s"$seg revenue partition")
+      assert(math.abs(cls.map(_._5).sum - 1.0) < 1e-12, s"$seg shares")
+      assert(cls.exists(_._2 == "A"), s"$seg has an A class")
+    }
+  }
+
   test("x117 ties break by custkey identically in both rank passes") {
     // all-tied metrics: both ranks fall back to custkey order -> d = 0
     val dir = java.nio.file.Files.createTempDirectory("graft-sp3").toString

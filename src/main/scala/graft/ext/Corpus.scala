@@ -372,6 +372,65 @@ object Corpus {
       .orderBy(col("lift").desc, col("a"), col("b")).limit(CollocK)
   }
 
+  /** Coverage-curve checkpoints: powers of two up to 2^16 — the range a
+    * tokenizer-vocabulary decision actually scans. */
+  private val CoverageKs: Seq[Long] = (0 to 16).map(1L << _)
+
+  /** x132: vocabulary coverage curve — what share of all token
+    * OCCURRENCES the top-k token TYPES cover, at k = 1, 2, 4, …, 65536.
+    * This is the curve a tokenizer-vocab-size decision is read off
+    * (Zipf corpora: a few thousand types cover most of the stream; the
+    * long tail is where byte-fallback or OOV handling lives — x36/x38's
+    * sizing question made quantitative).
+    *
+    * Scale shape: one token hash agg (the x36 counts), ONE
+    * TakeOrderedAndProject to the top-2^16 types — a CONSTANT bound, so
+    * the ranked table the curve reads never scales with the corpus —
+    * and a per-row explode of the checkpoints ≥ its rank (≤ 17-way
+    * fan-out of a bounded table; no cross join). The grand totals ride
+    * a 1-row broadcast. The rank window runs AFTER the constant-bound
+    * truncation, the x36 posture. */
+  val vocabCoverage = Q.withOracle(
+    "x132_vocab_coverage",
+    "x132: top-k vocabulary occurrence-coverage curve at power-of-two checkpoints",
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT t.t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS t) t
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |r AS (
+       |  SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+       |    AS rnk
+       |  FROM c),
+       |cov AS (
+       |  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS covered_tokens,
+       |    CAST(SUM(cnt) AS BIGINT) AS covered_occurrences
+       |  FROM r, LATERAL (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k) AS ks
+       |  WHERE rnk <= ks.k GROUP BY 1)
+       |SELECT CAST(k AS BIGINT) AS k, covered_tokens, covered_occurrences,
+       |  CAST(covered_occurrences AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+       |FROM cov, tot ORDER BY k""".stripMargin) { (s, dir) =>
+    val counts = tokenCounts(graft.Tables.documents(s, dir))
+    val tot = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    val kMax = CoverageKs.max
+    val top = counts
+      .orderBy(col("cnt").desc, col("token")).limit(kMax.toInt)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val ksArr = s"array(${CoverageKs.map(k => s"${k}L").mkString(", ")})"
+    top
+      .withColumn("k", explode(expr(s"filter($ksArr, k -> k >= rnk)")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("covered_tokens"),
+        sum(col("cnt")).cast("long").as("covered_occurrences"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered_tokens"), col("covered_occurrences"),
+        (col("covered_occurrences").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
-    oovRate, bigramLmScore, collocations)
+    oovRate, bigramLmScore, collocations, vocabCoverage)
 }

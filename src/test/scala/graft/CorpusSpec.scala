@@ -188,4 +188,33 @@ class CorpusSpec extends SparkSuite {
         g => g === lit("t t"))).as("n"))
     assert(df.as[Int].head() === 2)
   }
+
+  test("x132 crafted: Zipf toy corpus gives the hand-computed coverage staircase") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-x132").toString
+    // occurrences: a×4, b×2, c×1 → total 7; top-1 = 4/7, top-2 = 6/7,
+    // top-k≥4 (vocab exhausted at 3) = 7/7
+    Seq((1L, "a a a a", "en", "s", 7L), (2L, "b b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Corpus.vocabCoverage.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.take(3) === Seq(
+      (1L, 1L, 4L, 4.0 / 7.0), (2L, 2L, 6L, 6.0 / 7.0), (4L, 3L, 7L, 1.0)))
+    // every later checkpoint stays saturated at full coverage
+    assert(got.drop(2).forall(r => r._2 == 3L && r._4 == 1.0))
+  }
+
+  test("x132 real corpus: coverage is monotone and saturates iff vocab fits the checkpoint") {
+    import spark.implicits._
+    val got = ext.Corpus.vocabCoverage.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._4) === got.map(_._4).sorted)
+    assert(got.forall(r => r._2 <= r._1))
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    got.foreach { case (k, covered, _, cov) =>
+      if (k >= vocab) { assert(covered === vocab); assert(cov === 1.0) }
+    }
+  }
 }

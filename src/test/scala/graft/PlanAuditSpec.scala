@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSuite {
     "x114_rfm_segments",           // two 1-row scalars (high-water date, customer count)
     "x121_trailing_distinct_users", // broadcast of the 1-row high-water-week scalar
     "x124_kendall_tau",            // axis-densification of the (n/B)² count grid from two 1-row max scalars, plus three 1-row inversion-term scalars composed by cross join
+    "x132_vocab_coverage",         // broadcast of the 1-row total-occurrences scalar
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -503,7 +503,16 @@ object ScaleProbe {
       // x130: 3 rows; one user-keyed agg + segmented rank over µs
       // buckets + a 6-row broadcast probe join — the x125 regime on
       // the events table
-      "x130_conversion_latency")
+      "x130_conversion_latency",
+      // x131: 15 rows; the x95 ranked plumbing + a segmented running
+      // sum (same bucket windows) + dim-bounded class agg
+      "x131_abc_classes",
+      // x132: 17 rows always; one token hash agg + a CONSTANT-bound
+      // top-2^16 TakeOrdered — renamed copies grow the vocab 10× but
+      // the curve reads a fixed-size table; coverage drops per copy
+      // (each copy's types split the occurrence mass) without changing
+      // the plan's work shape beyond the count agg
+      "x132_vocab_coverage")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

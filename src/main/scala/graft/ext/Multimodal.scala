@@ -148,5 +148,112 @@ object Multimodal {
         hex(col("media").substr(col("frame_no") * stride + 1, lit(16))).as("frame_hex"))
   }
 
-  val all: Seq[Q] = Seq(pipeline)
+  /** 64-bit average-hash (aHash) — the classic perceptual image
+    * fingerprint: 8×8 grid of block-mean lumas, each bit = "block above
+    * the global mean". Near-identical images (recompress, small edits,
+    * resize) flip only a few bits, so near-dup detection is a small
+    * Hamming ball around each hash. Decodable rasters hash their PIXEL
+    * lumas over integer-arithmetic block boundaries (resize-free — the
+    * 8×8 "resize" IS the block-mean grid); non-image blobs fall back to
+    * the same thresholding over a 64-bucket histogram of hashed byte
+    * 4-GRAMS — shift-robust (an edit moves only the buckets of the
+    * ≤ 7 grams it touches; equal byte SLICES were tried first and
+    * realign wholesale on one insertion) yet content-discriminating
+    * (unrelated blobs draw different gram sets, so ~half the bits
+    * disagree; a plain byte-VALUE histogram was tried second and
+    * collapsed a same-vocabulary corpus into one hash). Byte-identical
+    * blobs collide exactly; the pipeline stays total on dirty data. */
+  def aHash(bytes: Array[Byte]): Long = {
+    val means: Array[Double] = detectImageFormat(bytes).flatMap { _ =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val sums = new Array[Double](64)
+        val cnts = new Array[Long](64)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          im.getRGB(0, y, w, 1, row, 0, w)
+          val by = (y.toLong * 8 / h).toInt
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            val b = by * 8 + (x.toLong * 8 / w).toInt
+            sums(b) += luma; cnts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(64)(i => if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+      }
+    }.getOrElse {
+      // bag-of-4-grams fallback: 64-bucket histogram of hashed byte 4-grams
+      val counts = new Array[Double](64)
+      var j = 0
+      while (j + 3 < bytes.length) {
+        var h = 0
+        var k = 0
+        while (k < 4) { h = h * 131 + (bytes(j + k) & 0xff); k += 1 }
+        counts((h * 0x9E3779B1 >>> 26) & 63) += 1
+        j += 1
+      }
+      counts
+    }
+    val mean = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Bands for the Hamming-ball candidate join: 4 bands × 16 bits —
+    * by pigeonhole, any pair within Hamming distance ≤ 3 shares at
+    * least one exact band, so banded candidates are COMPLETE for the
+    * [[MaxHamming]] verify threshold. */
+  private val PhashBands = 4
+  private val MaxHamming = 3L
+
+  /** x133: perceptual near-dup image pairs over the media column —
+    * aHash per blob (batched map, blobs never shuffled), then the x3
+    * SimHash plan shape: 4 exact band keys per hash, candidates =
+    * band-mates, verified by exact Hamming distance ≤ [[MaxHamming]]
+    * via bit_count(xor). No oracle by design (the decode cannot run in
+    * SQL); MultimodalSpec pins the hash on crafted REAL PNGs (one-pixel
+    * edit → few bits flip → pair found; distinct images → no pair) and
+    * byte-identical blobs at distance 0. */
+  /** Banded Hamming-ball pair join over a (doc_id, ah) hash table —
+    * candidates share an exact 16-bit band, verified by bit_count(xor). */
+  private[graft] def phashPairs(hashes: DataFrame): DataFrame = {
+    val banded = hashes.withColumn("band", explode(array(
+        (0 until PhashBands).map(b =>
+          struct(lit(b).as("b"),
+            expr(s"shiftright(ah, ${b * 16}) & 65535").as("key"))): _*)))
+      .select(col("doc_id"), col("ah"), col("band.b").as("b"),
+        col("band.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.ah ^ y.ah)").cast("long").as("hamming"))
+      .distinct() // a pair may share several bands
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val phashDedup = Q(
+    "x133_image_phash_dedup",
+    "perceptual aHash near-dup pairs over the media column (banded Hamming join)")(
+    (s, dir) => {
+      import s.implicits._
+      val hashes = blobTable(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
+        .toDF("doc_id", "ah")
+      phashPairs(hashes)
+    })
+
+  val all: Seq[Q] = Seq(pipeline, phashDedup)
 }

@@ -231,6 +231,54 @@ class ExtSpec extends SparkSuite {
     assert(wrong.isEmpty, wrong.collect().take(3).mkString(","))
   }
 
+  test("x133 aHash: one-pixel edit stays in the Hamming ball; opposite pattern leaves it") {
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png((x, _) => x * 4) // horizontal gradient
+    val edited = png((x, y) => if (x == 10 && y == 10) 255 else x * 4)
+    val opposite = png((x, _) => 255 - x * 4) // inverted gradient
+    val hb = Multimodal.aHash(base)
+    val he = Multimodal.aHash(edited)
+    val ho = Multimodal.aHash(opposite)
+    assert(java.lang.Long.bitCount(hb ^ he) <= 3, "one-pixel edit moved too many bits")
+    assert(java.lang.Long.bitCount(hb ^ ho) > 3, "opposite pattern should be far")
+    // the banded pair join finds exactly the near pair
+    val pairs = graft.ext.Multimodal.phashPairs(
+      Seq((1L, hb), (2L, he), (3L, ho)).toDF("doc_id", "ah"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+  }
+
+  test("x133 registered query: byte-identical text blobs pair at Hamming 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-x133").toString
+    val base = ("the quick brown fox jumps over the lazy dog again and then " * 4).trim
+    val edited = base.replaceFirst("lazy", "calm") // one-token edit SHIFTS bytes
+    Seq((1L, base, "en", "s"),
+      (2L, base, "en", "s"),
+      (3L, "completely different content with other words entirely here " +
+        "nothing shared at all between these strings of text", "en", "s"),
+      (4L, edited, "en", "s"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashDedup.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.contains((1L, 2L, 0L)))
+    // the edit realigns every later byte — the 4-gram histogram must
+    // still keep the pair inside the Hamming ball (shift robustness)
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 <= 3L), got.toString)
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("x48: exactly one survivor per cluster; every unclustered doc survives") {
     val out = Dedup.nearDupSurvivors.fn(spark, sf).cache()
     val cl = Dedup.dedupClusters.fn(spark, sf).select($"doc_id", $"cluster_id")

@@ -512,7 +512,14 @@ object ScaleProbe {
       // the curve reads a fixed-size table; coverage drops per copy
       // (each copy's types split the occurrence mass) without changing
       // the plan's work shape beyond the count agg
-      "x132_vocab_coverage")
+      "x132_vocab_coverage",
+      // x133: rows grow ~C(f,2)·families BY CORPUS CONSTRUCTION — the
+      // token rename is shingle-disjoint but byte-4-gram-NEAR: copy k
+      // of a doc IS a byte-level near-duplicate of copy j, and the
+      // perceptual hash correctly pairs every twin family. Wall stays
+      // flat: the band join shuffles 4 small rows per blob, blobs
+      // never shuffle
+      "x133_image_phash_dedup")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

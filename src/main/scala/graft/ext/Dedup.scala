@@ -780,8 +780,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment threshold for x134. */
+  private val MinContainment = 0.8
+
+  /** x134: shingle-CONTAINMENT pairs — the subset-duplicate detector
+    * symmetric Jaccard structurally misses: a short document quoted
+    * wholesale inside a long one has containment |A∩B|/|A| ≈ 1 while
+    * its Jaccard |A∩B|/|A∪B| is tiny (the union is dominated by the
+    * long side). Containment is THE dedup relation for quote/boilerplate
+    * removal in a crawl (Broder's original resemblance/containment
+    * pair). Same plan as x4 — the shingle equi-self-join already
+    * carries n_common, n_a, n_b — only the final predicate changes, so
+    * the candidate generation cost is identical and both relations
+    * could share one scan in a fused pipeline (the x49 pattern). */
+  val containmentPairs = Q.withOracle(
+    "x134_containment_pairs",
+    s"x134: directional shingle-containment pairs (max containment >= $MinContainment)",
+    s"""WITH $JaccardCtes
+       |SELECT doc_a, doc_b, n_common, n_a, n_b,
+       |  CAST(n_common AS DOUBLE) / n_a AS a_in_b,
+       |  CAST(n_common AS DOUBLE) / n_b AS b_in_a,
+       |  jac
+       |FROM scored
+       |WHERE CAST(n_common AS DOUBLE) / n_a >= $MinContainment
+       |   OR CAST(n_common AS DOUBLE) / n_b >= $MinContainment
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    scoredPairs(s, dir)
+      .withColumn("a_in_b", col("n_common").cast("double") / col("n_a"))
+      .withColumn("b_in_a", col("n_common").cast("double") / col("n_b"))
+      .filter(col("a_in_b") >= MinContainment || col("b_in_a") >= MinContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        col("a_in_b"), col("b_in_a"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
-    dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans)
+    dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
+    containmentPairs)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -149,6 +149,26 @@ class ExtSpec extends SparkSuite {
     assert(SparkEntry.queries("x16b_dedup_clusters_star")(spark, dir).count() === 0)
   }
 
+  test("x134: a fully-quoted short doc is containment-caught where Jaccard misses it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val short = "q1 q2 q3 q4 q5"
+    val long = short + " " + (1 to 30).map(i => s"f$i").mkString(" ")
+    Seq((1L, short), (2L, long), (3L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = ext.Dedup.containmentPairs.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.size === 1)
+    val p = got.head
+    // every shingle of the short doc appears in the long one
+    assert((p._1, p._2) === ((1L, 2L)) && p._6 === 1.0)
+    assert(p._8 < 0.5, s"jac ${p._8} should be under the x4 threshold")
+    // and x4 indeed does NOT report the pair — containment is the only
+    // detector that sees the quote
+    val jacPairs = ext.Dedup.jaccardPairs.fn(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!jacPairs.contains((1L, 2L)))
+  }
+
   test("x32 LSH dedup pairs are a subset of exact x14 with useful recall") {
     val lsh = SparkEntry.queries("x32_embedding_dedup_lsh")(spark, sf)
       .select($"keep_id", $"dup_id")

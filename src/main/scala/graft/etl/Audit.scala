@@ -339,6 +339,52 @@ object Audit {
       .orderBy(col("band"))
   }
 
+  /** k thresholds the anonymity audit reports against. */
+  private val KLevels = Seq(2L, 5L, 10L)
+
+  /** x135: k-anonymity audit over customer quasi-identifiers — the
+    * data-governance pre-flight before a table is shared: group by the
+    * quasi-identifier tuple (nation, market segment, $1000 balance
+    * band) and report, per k ∈ {2, 5, 10}, how many equivalence groups
+    * fall below k members and how many customers sit in those
+    * re-identifiable groups. One hash agg to the quasi-id grid (map-side
+    * combined; the grid is dims × bands — bounded), then a 3-way
+    * explode + re-agg over the grid alone. Exactness: the balance band
+    * is FLOOR(bal/1000) cast per the engine's cast discipline; all
+    * outputs are integer counts. */
+  val kAnonymity = Q.withOracle(
+    "x135_kanonymity",
+    "x135: k-anonymity audit of customer quasi-identifiers at k=2/5/10",
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT CAST(ks.k AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN sz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violating_groups,
+       |  CAST(SUM(CASE WHEN sz < ks.k THEN sz ELSE 0 END) AS BIGINT)
+       |    AS customers_at_risk,
+       |  CAST(MIN(sz) AS BIGINT) AS min_group_size
+       |FROM g, LATERAL (SELECT unnest([${KLevels.mkString(", ")}]) AS k) AS ks
+       |GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    g.withColumn("k", explode(array(KLevels.map(lit): _*)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).cast("long")
+          .as("violating_groups"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).cast("long")
+          .as("customers_at_risk"),
+        min(col("sz")).cast("long").as("min_group_size"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[Q] =
-    Seq(fkOrphans, freshness, benford, fdAudit, skewAudit, reconciliation)
+    Seq(fkOrphans, freshness, benford, fdAudit, skewAudit, reconciliation,
+      kAnonymity)
 }

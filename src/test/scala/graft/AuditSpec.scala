@@ -194,4 +194,36 @@ class AuditSpec extends SparkSuite {
     assert(rows.map(_._1).toSet.subsetOf(names))
     assert(rows.forall(_._3 >= 0))
   }
+
+  test("x135 crafted: singleton and pair groups violate exactly the k levels they should") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // groups by (nation, segment, floor(bal/1000)): A has 1 member,
+    // B has 2 (one balance at the band seam 999.99 vs 1000.0 SPLITS),
+    // C has 5 — so bands: A:1, B1:{2}, B2:{1}... build explicitly:
+    //   (1,'S',0) -> 1 member; (2,'S',0) -> 2 members; (3,'S',0) -> 5
+    val custs =
+      Seq((1L, 1L, 500.0)) ++
+        (2L to 3L).map(i => (10L + i, 2L, 500.0)) ++
+        (1L to 5L).map(i => (20L + i, 3L, 500.0))
+    custs.map { case (ck, nat, bal) => (ck, s"c$ck", nat, bal, "S") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = etl.Audit.kAnonymity.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (2L, 3L, 1L, 1L, 1L),   // only the singleton violates k=2
+      (5L, 3L, 2L, 3L, 1L),   // singleton + pair violate k=5 (3 at risk)
+      (10L, 3L, 3L, 8L, 1L))) // all three groups violate k=10
+  }
+
+  test("x135 real data: counts are monotone in k and bounded by the group total") {
+    import spark.implicits._
+    val got = etl.Audit.kAnonymity.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val nGroups = got.head._2
+    assert(got.forall(_._2 == nGroups))
+    assert(got.map(_._3) === got.map(_._3).sorted) // violations monotone in k
+    assert(got.forall(r => r._3 <= nGroups && r._4 >= r._3))
+  }
 }

@@ -519,7 +519,13 @@ object ScaleProbe {
       // perceptual hash correctly pairs every twin family. Wall stays
       // flat: the band join shuffles 4 small rows per blob, blobs
       // never shuffle
-      "x133_image_phash_dedup")
+      "x133_image_phash_dedup",
+      // x134: the x4 shingle-join shape exactly (shingle spaces stay
+      // copy-disjoint) with a different final predicate — linear pairs
+      "x134_containment_pairs",
+      // x135: 3 rows always; the quasi-id grid grows f× on the shifted
+      // nation axis but stays grid-sized; one customer hash agg
+      "x135_kanonymity")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -49,7 +49,7 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,bpe,probek) for fast
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,bpe,probek) for fast
     // re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
@@ -309,6 +309,50 @@ object IncProbe {
           .write.format("noop").mode("overwrite").save()
       }
       emit("bitmapfeed_apply", f, sec)
+    } }
+
+    // ---- TrailingFeed: rolling-WAU increment vs stream AGE ------------
+    // History unit = the full sf0.1 event log time-shifted 8 weeks
+    // forward per epoch, so after f epochs the stream has covered ~8f
+    // calendar weeks. The claim under test is RETIREMENT: the store
+    // holds only the trailing WindowWeeks weeks no matter how long the
+    // stream has run, so a fresh batch's merge cost must be FLAT in f —
+    // the property an unbounded BitmapFeed store cannot offer.
+    section("trailing") { factors.foreach { f =>
+      import graft.streaming.TrailingFeed
+      val dir = s"/tmp/graft-inc-trailing-$f"
+      deleteDir(spark, dir)
+      val epochUs = 8L * 604800L * 1000000L
+      var store = TrailingFeed.emptyStore(spark)
+      (0 until f).foreach { k =>
+        val unit = Tables.events(spark, base)
+          .withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(k * epochUs)))
+        TrailingFeed.applyBatch(store, unit)
+          .write.mode("overwrite").parquet(s"$dir/weeks.parquet")
+        store = spark.read.parquet(s"$dir/weeks.parquet")
+      }
+      val storeTypes = Tables.events(spark, base)
+        .select(col("event_type")).distinct().as[String].collect().sorted
+      val hwUs = store.agg(max(col("wk"))).as[java.sql.Date].head().getTime * 1000L
+      // fresh events land inside the retained window (high-water week),
+      // reusing the store's real event types so the merge path — not
+      // fresh-key creation — is what the timer sees
+      def fresh(seed: Long) = spark.range(2000).select(
+        timestamp_micros(lit(hwUs) + col("id") * 1000000L).as("ts"),
+        (col("id") * 7919L + seed * 1000000L).as("user_id"),
+        element_at(
+          array(storeTypes.map(lit): _*),
+          (pmod(col("id"), lit(storeTypes.length.toLong)) + 1).cast("int")
+        ).as("event_type"))
+      TrailingFeed.applyBatch(store, fresh(1))
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        TrailingFeed.applyBatch(store, fresh(2))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val weeksHeld = store.select(col("wk")).distinct().count()
+      emit("trailingfeed_apply", f, sec, s""","weeks_held":$weeksHeld""")
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

@@ -26,6 +26,8 @@ object SparkEntry {
       analytics.Olap.all ++
       analytics.Retail.all ++
       analytics.Concentration.all ++
+      analytics.Survival.all ++
+      analytics.Inventory.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++
       etl.Diff.all ++

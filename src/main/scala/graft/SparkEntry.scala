@@ -27,6 +27,7 @@ object SparkEntry {
       analytics.Retail.all ++
       analytics.Concentration.all ++
       analytics.Survival.all ++
+      analytics.Abtest.all ++
       analytics.Inventory.all ++
       analytics.HealthSynth.all ++
       etl.Etl.all ++

@@ -480,7 +480,89 @@ object Trend {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Holt fixed-point scale: 2^20 — dyadic, so the reported doubles are
+    * exact images of the integer state (one power-of-two division). */
+  private val HoltScale = 1L << 20
+
+  /** Forecast horizon (days ahead) for x139. */
+  private val HoltHorizon = 7
+
+  /** x139: Holt linear-trend exponential smoothing (double exponential)
+    * of daily event volume per event type, α = β = 1/2, forecast
+    * $HoltHorizon days ahead — the level+trend forecast one step up
+    * from x65's EWMA (level only) and x106's rolling OLS (no smoothing):
+    *
+    *   l_t = α·y_t·S + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   f_{t+h} = l_t + h·b_t
+    *
+    * α = β = 1/2 on purpose: every update is one add and one truncating
+    * halving in SCALED-INTEGER space (S = 2^20), so the whole recursion
+    * is exact integer arithmetic — `div`/`//` truncate identically on
+    * both engines including negative trend values — and the final
+    * doubles are dyadic rationals, bit-identical across engines. Seeds:
+    * l_1 = y_1·S, b_1 = 0 (documented convention). The oracle replays
+    * the per-type chain as a WITH RECURSIVE walk (list_reduce is
+    * order-unsafe, the x83/x136 rule). Headroom: y·S < 2^63 tolerates
+    * ~8.8e12 events per (type, day).
+    *
+    * Scale shape (100 TB): one hash agg to the daily grain (the only
+    * full-data shuffle); the fold runs executor-side via the `aggregate`
+    * HOF over each type's collected calendar axis — bounded by |days|,
+    * not data size, the same x136 posture. */
+  val holtForecast = Q.withOracle(
+    "x139_holt_forecast",
+    s"x139: Holt linear-trend smoothing of daily volume per event type (alpha=beta=1/2, +${HoltHorizon}d forecast)",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |ax AS MATERIALIZED (
+       |  SELECT event_type, day, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS k,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM d),
+       |h AS (
+       |  SELECT event_type, k, n, y * $HoltScale AS l, CAST(0 AS BIGINT) AS b
+       |  FROM ax WHERE k = 1
+       |  UNION ALL
+       |  SELECT a.event_type, a.k, a.n,
+       |    (a.y * $HoltScale + h.l + h.b) // 2 AS l,
+       |    (((a.y * $HoltScale + h.l + h.b) // 2) - h.l + h.b) // 2 AS b
+       |  FROM h JOIN ax a ON a.event_type = h.event_type AND a.k = h.k + 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |  CAST(l AS BIGINT) AS level_scaled, CAST(b AS BIGINT) AS trend_scaled,
+       |  CAST(l + $HoltHorizon * b AS BIGINT) AS forecast_scaled,
+       |  CAST(l AS DOUBLE) / $HoltScale AS level,
+       |  CAST(b AS DOUBLE) / $HoltScale AS trend,
+       |  CAST(l + $HoltHorizon * b AS DOUBLE) / $HoltScale AS forecast
+       |FROM h WHERE k = n ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ax"),
+        count(lit(1)).cast("long").as("n_days"))
+      .select(col("event_type"), col("n_days"), expr(
+        s"""aggregate(slice(ax, 2, CAST(size(ax) - 1 AS INT)),
+           |  named_struct('l', element_at(ax, 1).y * CAST($HoltScale AS BIGINT),
+           |               'b', CAST(0 AS BIGINT)),
+           |  (acc, x) -> named_struct(
+           |    'l', (x.y * $HoltScale + acc.l + acc.b) div 2,
+           |    'b', (((x.y * $HoltScale + acc.l + acc.b) div 2) - acc.l + acc.b)
+           |      div 2))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_scaled"), col("st.b").as("trend_scaled"),
+        (col("st.l") + col("st.b") * HoltHorizon).as("forecast_scaled"),
+        (col("st.l").cast("double") / HoltScale).as("level"),
+        (col("st.b").cast("double") / HoltScale).as("trend"),
+        ((col("st.l") + col("st.b") * HoltHorizon).cast("double") / HoltScale)
+          .as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
-      cusumChangePoint, rollingSlope, autocorrelation)
+      cusumChangePoint, rollingSlope, autocorrelation, holtForecast)
 }

@@ -254,4 +254,49 @@ class TrendSpec extends SparkSuite {
     assert(windows.nonEmpty)
     assert(windows.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("x139 crafted: two-step Holt fold matches the hand computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    // day 1: 4 events; day 2: 8 events (one event_type)
+    val rows = (1 to 4).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 1L, "view", 1.0, "")) ++
+      (5 to 12).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-02 08:00:00"), 1L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = analytics.Trend.holtForecast.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    val S = 1L << 20
+    // l1 = 4S, b1 = 0; l2 = (8S+4S)/2 = 6S; b2 = (6S-4S)/2 = S
+    assert(r === (("view", 2L, 6 * S, S, 13 * S, 6.0, 1.0, 13.0)))
+  }
+
+  test("x139 real data: the HOF fold equals a scalar sequential replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = 1L << 20
+    val axis = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .orderBy(col("event_type"), col("day"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.toString).map(_._3)).toMap
+    val expect = axis.map { case (et, ys) =>
+      var l = ys.head * S; var b = 0L
+      ys.tail.foreach { y =>
+        val l2 = (y * S + l + b) / 2 // all terms nonneg, / == div
+        // trend can be negative: replicate truncating div explicitly
+        val bn = l2 - l + b
+        b = bn / 2 // JVM / truncates toward zero, same as Spark div
+        l = l2
+      }
+      et -> ((l, b, l + 7 * b))
+    }
+    val got = analytics.Trend.holtForecast.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got === expect)
+  }
 }

@@ -525,7 +525,18 @@ object ScaleProbe {
       "x134_containment_pairs",
       // x135: 3 rows always; the quasi-id grid grows f× on the shifted
       // nation axis but stays grid-sized; one customer hash agg
-      "x135_kanonymity")
+      "x135_kanonymity",
+      // x136: ≤|days| rows (calendar constant); one user-keyed hash agg
+      // is the only full-data pass, the KM fold runs on the tiny axis
+      "x136_km_survival",
+      // x137: top-20 bounded; one part-keyed window sort (disjoint part
+      // replicas keep per-key timelines base-length) + part hash agg
+      "x137_reflected_stock",
+      // x138: 1 row; one user-keyed agg + one constant-state global agg
+      "x138_cuped_ab",
+      // x139: 5 rows (event_type strings don't shift — copies merge into
+      // the same per-type daily axis, y grows f× but |axis| is calendar)
+      "x139_holt_forecast")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -355,5 +355,147 @@ object Drift {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(ksDrift, simpsonDiversity, chi2Independence, mannWhitney)
+  /** x141: p-chart control limits — Shewhart attribute control for the
+    * weekly return rate: p̄ ± 3·√(p̄(1−p̄)/n_w), the statistical-process-
+    * control screen that says which weeks are SIGNAL rather than noise
+    * (the prospective complement to x97's retrospective CUSUM).
+    *
+    * Exactness: counts are exact longs; p_w, p̄ are single divisions;
+    * each limit is one sqrt and one multiply-add over identically-formed
+    * doubles — bit-identical across engines; the out-of-control flag
+    * compares those identical doubles. LCL clamps at 0 (attribute
+    * charts). Scale shape: one hash agg to the weekly grain (the only
+    * full-data shuffle), a 1-row pooled scalar broadcast back, flags
+    * computed on the |weeks| axis. */
+  val pChart = Q.withOracle(
+    "x141_pchart_returns",
+    "x141: weekly return-rate p-chart (3-sigma Shewhart limits, pooled p-bar)",
+    """WITH wk AS MATERIALIZED (
+      |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr
+      |  FROM wk),
+      |calc AS (
+      |  SELECT wk.wk, n, r,
+      |    CAST(r AS DOUBLE) / n AS p,
+      |    CAST(tr AS DOUBLE) / tn AS p_bar,
+      |    3.0 * sqrt((CAST(tr AS DOUBLE) / tn)
+      |      * (1.0 - CAST(tr AS DOUBLE) / tn) / n) AS margin
+      |  FROM wk CROSS JOIN tot)
+      |SELECT wk, n, r, p, p_bar,
+      |  p_bar + margin AS ucl,
+      |  GREATEST(0.0, p_bar - margin) AS lcl,
+      |  CAST(CASE WHEN p > p_bar + margin
+      |    OR p < GREATEST(0.0, p_bar - margin) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS out_of_control
+      |FROM calc ORDER BY wk""".stripMargin) { (s, dir) =>
+    val wk = Tables.lineitem(s, dir)
+      .groupBy(graft.Parity.week(col("l_shipdate")).as("wk"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long")
+          .as("r"))
+    val tot = wk.agg(sum(col("n")).cast("long").as("tn"),
+      sum(col("r")).cast("long").as("tr"))
+    val pBar = col("tr").cast("double") / col("tn")
+    val p = col("r").cast("double") / col("n")
+    val margin = lit(3.0) * sqrt(pBar * (lit(1.0) - pBar) / col("n"))
+    wk.crossJoin(broadcast(tot))
+      .select(col("wk"), col("n"), col("r"), p.as("p"), pBar.as("p_bar"),
+        (pBar + margin).as("ucl"),
+        greatest(lit(0.0), pBar - margin).as("lcl"),
+        when(p > pBar + margin
+          || p < greatest(lit(0.0), pBar - margin), 1L).otherwise(0L)
+          .as("out_of_control"))
+      .orderBy(col("wk"))
+  }
+
+  /** x142: one-way ANOVA — the k-group generalization of the two-sample
+    * battery (x100 KS, x108 Mann–Whitney): does mean order value differ
+    * across the five order priorities? F = (SSB/(k−1)) / (SSW/(n−k)),
+    * with η² = SSB/SST as the effect size.
+    *
+    * Exactness: values at $100 grain so Σy² stays far under 2^53 (the
+    * DuckDB decimal→double cast is only trusted below it — x79's note;
+    * headroom here ~1e9 orders). Per-group moments are exact integers.
+    * The one float SUM the statistic needs — Σ_g s_g²/n_g across groups
+    * — is order-dependent, so it is computed as an ORDERED sequential
+    * fold over the priority-sorted group table: the `aggregate` HOF on
+    * the Spark side, a WITH RECURSIVE walk in the oracle, identical
+    * term formation (double(s_g)·double(s_g)/n_g) and identical add
+    * order → bit-identical. Everything else is associative exact sums.
+    *
+    * Scale shape: ONE hash agg over orders to the 5-row group table;
+    * the fold, totals, and final scalar algebra all run on k rows. */
+  val anovaF = Q.withOracle(
+    "x142_anova_priority",
+    "x142: one-way ANOVA F of $100-grain order value across priorities (ordered-fold SSB)",
+    """WITH RECURSIVE grp AS MATERIALIZED (
+      |  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS ng,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice / 100) AS BIGINT)) AS BIGINT) AS sg,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice / 100) AS DECIMAL(18,0))
+      |      * CAST(FLOOR(o_totalprice / 100) AS DECIMAL(18,0))) AS BIGINT)
+      |      AS syyg,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS BIGINT) AS k
+      |  FROM orders GROUP BY 1),
+      |fold AS (
+      |  SELECT k, CAST(0 AS DOUBLE)
+      |    + (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / ng AS sb
+      |  FROM grp WHERE k = 1
+      |  UNION ALL
+      |  SELECT g2.k, f.sb
+      |    + (CAST(g2.sg AS DOUBLE) * CAST(g2.sg AS DOUBLE)) / g2.ng
+      |  FROM fold f JOIN grp g2 ON g2.k = f.k + 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(ng) AS BIGINT) AS n,
+      |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(syyg) AS BIGINT) AS syy
+      |  FROM grp),
+      |fin AS (SELECT sb FROM fold ORDER BY k DESC LIMIT 1),
+      |m AS (
+      |  SELECT kk, n,
+      |    sb - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n AS ssb,
+      |    CAST(syy AS DOUBLE) - sb AS ssw
+      |  FROM fin CROSS JOIN tot)
+      |SELECT kk AS k_groups, n AS n_orders, ssb, ssw,
+      |  CASE WHEN kk > 1 AND n > kk AND ssw > 0.0
+      |    THEN (ssb / (kk - 1)) / (ssw / (n - kk)) END AS f_stat,
+      |  CASE WHEN ssb + ssw > 0.0 THEN ssb / (ssb + ssw) END AS eta2
+      |FROM m""".stripMargin) { (s, dir) =>
+    val y = floor(col("o_totalprice") / 100).cast("long")
+    val yd = y.cast("decimal(18,0)")
+    val grp = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(y).cast("long").as("sg"),
+        sum(yd * yd).cast("long").as("syyg"))
+    val fold = grp
+      .agg(sort_array(collect_list(struct(col("g"), col("sg"), col("ng"))))
+        .as("arr"))
+      .select(expr(
+        """aggregate(arr, CAST(0 AS DOUBLE),
+          |  (acc, x) -> acc
+          |    + (CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE)) / x.ng)"""
+          .stripMargin).as("sb"))
+    val tot = grp.agg(count(lit(1)).cast("long").as("kk"),
+      sum(col("ng")).cast("long").as("n"),
+      sum(col("sg")).cast("long").as("s"),
+      sum(col("syyg")).cast("long").as("syy"))
+    val ssb = col("sb") - (col("s").cast("double") * col("s").cast("double")) / col("n")
+    val ssw = col("syy").cast("double") - col("sb")
+    fold.crossJoin(broadcast(tot))
+      .select(col("kk"), col("n"), ssb.as("ssb"), ssw.as("ssw"))
+      .select(col("kk").as("k_groups"), col("n").as("n_orders"),
+        col("ssb"), col("ssw"),
+        when(col("kk") > 1 && col("n") > col("kk") && col("ssw") > 0.0,
+          (col("ssb") / (col("kk") - 1)) / (col("ssw") / (col("n") - col("kk"))))
+          .as("f_stat"),
+        when(col("ssb") + col("ssw") > 0.0,
+          col("ssb") / (col("ssb") + col("ssw"))).as("eta2"))
+  }
+
+  val all: Seq[Q] =
+    Seq(ksDrift, simpsonDiversity, chi2Independence, mannWhitney, pChart, anovaF)
 }

@@ -190,4 +190,74 @@ class DriftSpec extends SparkSuite {
       assert(d === num.toDouble / (n.toDouble * n), s"$lang recompute")
     }
   }
+
+  test("x141 crafted: flags fire exactly where p crosses the 3-sigma band") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-pchart").toString
+    // three ISO weeks x 100 items: 2, 50, 26 returns
+    def wk(d: String, n: Int, r: Int) = (1 to n).map(i =>
+      (Timestamp.valueOf(s"$d 00:00:00"), if (i <= r) "R" else "N"))
+    (wk("2024-01-01", 100, 2) ++ wk("2024-01-08", 100, 50) ++
+      wk("2024-01-15", 100, 26))
+      .toDF("l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ext.Drift.pChart.fn(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    val pBar = 78.0 / 300
+    val margin = 3.0 * math.sqrt(pBar * (1.0 - pBar) / 100)
+    assert(got.map(_._8) === Seq(1L, 1L, 0L)) // low-out, high-out, in
+    got.foreach { case (_, n, r, p, pb, ucl, lcl, flag) =>
+      assert(n === 100L)
+      assert(pb === pBar)
+      assert(ucl === pBar + margin)
+      assert(lcl === math.max(0.0, pBar - margin))
+      assert(p === r.toDouble / 100)
+      assert((flag == 1L) === (p > ucl || p < lcl))
+    }
+  }
+
+  test("x142 crafted: hand-computed F on two groups") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-anova").toString
+    // $100-grain values: A -> 1, 3; B -> 5, 7
+    Seq((1L, 100.0, "A"), (2L, 300.0, "A"), (3L, 500.0, "B"), (4L, 700.0, "B"))
+      .map { case (ok, v, g) =>
+        (ok, ok, "O", v, Timestamp.valueOf("2024-01-01 00:00:00"), g) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ext.Drift.anovaF.fn(spark, dir)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    // fold = 16/2 + 144/2 = 80; SSB = 80 - 256/4 = 16; SSW = 84 - 80 = 4
+    // F = (16/1)/(4/2) = 8; eta2 = 16/20
+    assert(r === ((2L, 4L, 16.0, 4.0, Some(8.0), Some(0.8))))
+  }
+
+  test("x142 real data: the ordered fold equals a scalar replay") {
+    val grp = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(floor(col("o_totalprice") / 100).cast("long")).cast("long").as("sg"),
+        sum(floor(col("o_totalprice") / 100).cast("decimal(18,0)")
+          * floor(col("o_totalprice") / 100).cast("decimal(18,0)"))
+          .cast("long").as("syyg"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long)].collect()
+    var sb = 0.0
+    grp.foreach { case (_, ng, sg, _) => sb += (sg.toDouble * sg.toDouble) / ng }
+    val n = grp.map(_._2).sum; val s = grp.map(_._3).sum
+    val syy = grp.map(_._4).sum
+    val ssb = sb - (s.toDouble * s.toDouble) / n
+    val ssw = syy.toDouble - sb
+    val k = grp.length
+    val r = ext.Drift.anovaF.fn(spark, sf)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(r._1 === k.toLong)
+    assert(r._3 === ssb)
+    assert(r._4 === ssw)
+    assert(r._5 === Some((ssb / (k - 1)) / (ssw / (n - k))))
+  }
 }

@@ -50,4 +50,46 @@ class ItemsetsSpec extends SparkSuite {
     val keys = rules.map { case (p1, p2, n, _, _) => (-n, p1, p2) }
     assert(keys === keys.sorted)
   }
+
+  private def writeStar(dir: String,
+      orders: Seq[(Long, Long)], lines: Seq[(Long, Long)]): Unit = {
+    orders.map { case (ok, ck) =>
+      (ok, ck, "O", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"), "P1") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lines.map { case (ok, p) =>
+      (ok, p, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("x140 crafted: hub part generates no pairs, Jaccard uses full sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bask").toString
+    // customers 1..66 each buy hub part 99 (degree 66 > cap 64);
+    // customers 1 and 2 additionally share parts 1 and 2 (degree 2 each)
+    val orders = (1L to 66L).map(c => (c, c)) // order k belongs to customer k
+    val lines = (1L to 66L).map(ok => (ok, 99L)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    writeStar(dir, orders, lines)
+    val got = ext.Itemsets.basketJaccard.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // only (1,2) survives: shared = 2 capped parts; sizes are FULL
+    // baskets {1,2,99} → jaccard = 2/(3+3-2)
+    assert(got === Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+  }
+
+  test("x140 real data: pair bounds, canonical order, top-20 contract") {
+    val rows = ext.Itemsets.basketJaccard.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 20)
+    rows.foreach { case (a, b, sh, sa, sb2, j) =>
+      assert(a < b)
+      assert(sh >= 2 && sh <= math.min(sa, sb2))
+      assert(j > 0.0 && j <= 1.0)
+      assert(j === sh.toDouble / (sa + sb2 - sh))
+    }
+    val keys = rows.map { case (a, b, sh, _, _, j) => (-j, -sh.toDouble, a.toDouble, b.toDouble) }
+    assert(keys === keys.sorted)
+  }
 }

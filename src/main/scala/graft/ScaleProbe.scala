@@ -536,7 +536,17 @@ object ScaleProbe {
       "x138_cuped_ab",
       // x139: 5 rows (event_type strings don't shift — copies merge into
       // the same per-type daily axis, y grows f× but |axis| is calendar)
-      "x139_holt_forecast")
+      "x139_holt_forecast",
+      // x140: top-20 bounded; o_custkey AND l_partkey both shift, so
+      // each copy's basket graph is a disjoint replica — candidate pairs
+      // grow linearly (per-part fan-out ≤ C(64,2) by the degree cap)
+      "x140_basket_jaccard",
+      // x141: |weeks| rows (ship calendar doesn't shift — copies merge
+      // into the same weekly axis); one weekly hash agg rides the scan
+      "x141_pchart_returns",
+      // x142: 1 row; priority strings don't shift — the 5-row group
+      // table absorbs f× rows in one map-side-combined agg
+      "x142_anova_priority")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

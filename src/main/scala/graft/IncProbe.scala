@@ -49,7 +49,7 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,bpe,probek) for fast
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,bpe,probek) for fast
     // re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
@@ -353,6 +353,38 @@ object IncProbe {
       }
       val weeksHeld = store.select(col("wk")).distinct().count()
       emit("trailingfeed_apply", f, sec, s""","weeks_held":$weeksHeld""")
+    } }
+
+    // ---- HoltFeed: smoother state vs accumulated history --------------
+    // The analytic best case alongside kmv/cms: ALL history collapses
+    // into (level, trend) — 5 columns per key forever — so the timed
+    // fresh batch (the next 30 complete days, reusing the store's real
+    // event types so the advance path is what the timer sees) must cost
+    // the same after 10 folded months as after one.
+    section("holt") { factors.foreach { f =>
+      import graft.streaming.HoltFeed
+      val dir = s"/tmp/graft-inc-holt-$f"
+      deleteDir(spark, dir)
+      val monthUs = 31L * 86400L * 1000000L
+      def shifted(k: Int) = Tables.events(spark, base)
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + lit(k * monthUs)))
+      var store: DataFrame =
+        Seq.empty[(String, java.sql.Date, Long, Long, Long)]
+          .toDF("event_type", "last_day", "l", "b", "n_days")
+      (0 until f).foreach { k =>
+        HoltFeed.applyBatch(store, shifted(k))
+          .write.mode("overwrite").parquet(s"$dir/state.parquet")
+        store = spark.read.parquet(s"$dir/state.parquet")
+      }
+      HoltFeed.applyBatch(store, shifted(f))
+        .write.format("noop").mode("overwrite").save() // warm
+      val sec = time {
+        HoltFeed.applyBatch(store, shifted(f))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val daysHeld = store.agg(sum(col("n_days"))).as[Long].head()
+      emit("holtfeed_apply", f, sec, s""","days_held":$daysHeld""")
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

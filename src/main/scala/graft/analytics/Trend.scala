@@ -482,10 +482,10 @@ object Trend {
 
   /** Holt fixed-point scale: 2^20 — dyadic, so the reported doubles are
     * exact images of the integer state (one power-of-two division). */
-  private val HoltScale = 1L << 20
+  private[graft] val HoltScale = 1L << 20
 
   /** Forecast horizon (days ahead) for x139. */
-  private val HoltHorizon = 7
+  private[graft] val HoltHorizon = 7
 
   /** x139: Holt linear-trend exponential smoothing (double exponential)
     * of daily event volume per event type, α = β = 1/2, forecast

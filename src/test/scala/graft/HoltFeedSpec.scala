@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HoltFeed: incremental Holt state must equal the x139 batch query
+  * bit-for-bit under any day-complete batch split, replaying an old
+  * batch must be a no-op, and fresh keys must seed exactly as the batch
+  * query does. */
+class HoltFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emptyStore: DataFrame =
+    Seq.empty[(String, java.sql.Date, Long, Long, Long)]
+      .toDF("event_type", "last_day", "l", "b", "n_days")
+
+  private def chunk(lo: Int, hi: Int): DataFrame =
+    Tables.events(spark, sf)
+      .filter(dayofmonth(to_date(col("ts"))).between(lo, hi))
+
+  private def snap(df: DataFrame): Set[(String, Long, Long, Long, Long, Double, Double, Double)] =
+    streaming.HoltFeed.forecasts(df)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+
+  test("three day-split batches reproduce the x139 batch state exactly") {
+    var store = emptyStore
+    Seq((1, 10), (11, 20), (21, 31)).foreach { case (lo, hi) =>
+      store = streaming.HoltFeed.applyBatch(store, chunk(lo, hi))
+        .localCheckpoint()
+    }
+    val batch = analytics.Trend.holtForecast.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(snap(store) === batch)
+  }
+
+  test("replaying an already-folded batch is a no-op") {
+    var store = emptyStore
+    store = streaming.HoltFeed.applyBatch(store, chunk(1, 15)).localCheckpoint()
+    val after = streaming.HoltFeed.applyBatch(store, chunk(16, 31)).localCheckpoint()
+    val replayed = streaming.HoltFeed.applyBatch(after, chunk(1, 15))
+    assert(snap(replayed) === snap(after))
+    // and so is an empty batch
+    val empt = streaming.HoltFeed.applyBatch(after, chunk(1, 31).limit(0))
+    assert(snap(empt) === snap(after))
+  }
+
+  test("one-shot apply equals the batch query (fresh-key seeding path)") {
+    val store = streaming.HoltFeed.applyBatch(emptyStore, chunk(1, 31))
+    val batch = analytics.Trend.holtForecast.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(snap(store) === batch)
+  }
+}

@@ -814,9 +814,111 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB twin of the x143 calibration: the x2 signature/band chain
+    * plus a per-pair agreement count against the exact Jaccard. */
+  private def calibrationOracle: String = {
+    val rowsPerBand = NumHashes / NumBands
+    val sigCols = (0 until NumHashes)
+      .map(j => s"MIN((hi + $j * lo) % $Mod32) AS mh$j")
+      .mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agreeSum = (0 until NumHashes)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $JaccardCtes,
+       |lanes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi,
+       |    ('0x' || substr(md5(g), 9, 8))::BIGINT AS lo
+       |  FROM sh),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM lanes GROUP BY doc_id),
+       |banded AS MATERIALIZED (
+       |  $bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.doc_a, c.doc_b, CAST($agreeSum AS BIGINT) AS k_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b),
+       |graded AS (
+       |  SELECT a.k_agree, s.n_common,
+       |    s.n_a + s.n_b - s.n_common AS u
+       |  FROM agree a JOIN scored s
+       |    ON s.doc_a = a.doc_a AND s.doc_b = a.doc_b)
+       |SELECT
+       |  (abs(k_agree * u - n_common * $NumHashes) * 8)
+       |    // ($NumHashes * u) AS err_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(k_agree) AS BIGINT) AS sum_agree,
+       |  CAST(SUM(n_common) AS BIGINT) AS sum_common,
+       |  CAST(SUM(u) AS BIGINT) AS sum_union,
+       |  CAST(SUM(k_agree) AS DOUBLE) / (COUNT(*) * $NumHashes) AS mean_est,
+       |  CAST(SUM(n_common) AS DOUBLE) / SUM(u) AS pooled_jaccard
+       |FROM graded GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** x143: MinHash estimator calibration — the evaluation harness for
+    * the dedup sketch itself (x88's posture, pointed at x2): for every
+    * LSH candidate pair, the signature-agreement estimate k_agree/32 is
+    * compared against the EXACT shingle Jaccard, and pairs are bucketed
+    * by absolute error in eighths. The error band is computed entirely
+    * in integers by cross-multiplication — |k·u − c·32|·8 div (32·u) —
+    * so no float ever decides a bucket; the two reported ratios are
+    * single divisions of exact sums.
+    *
+    * Scale shape: the x2 pipeline's cost (signature agg + banded
+    * buckets) plus one candidate-keyed join back to the signature table
+    * and the candidate-only exact-Jaccard verify — candidates, never
+    * docs², by the banding bound. */
+  val minhashCalibration = Q.withOracle(
+    "x143_minhash_calibration",
+    s"x143: |minhash-estimate - exact-Jaccard| distribution over LSH candidates (integer eighth-bands)",
+    calibrationOracle) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sig = signatures(docs)
+      .localCheckpoint() // read by banding AND twice by the agree join
+    val cand = candidatePairs(sig)
+    val agreeExpr = (0 until NumHashes)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree = cand
+      .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), agreeExpr.cast("long").as("k_agree"))
+    val ex = exactJaccard(cand, shingleHashesWithCount(docs))
+    agree.join(ex, Seq("doc_a", "doc_b"))
+      .withColumn("u", col("n_a") + col("n_b") - col("n_common"))
+      .select(col("k_agree"), col("n_common"), col("u"))
+      .withColumn("err_band", expr(
+        s"(abs(k_agree * u - n_common * $NumHashes) * 8) div ($NumHashes * u)"))
+      .groupBy(col("err_band"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("k_agree")).cast("long").as("sum_agree"),
+        sum(col("n_common")).cast("long").as("sum_common"),
+        sum(col("u")).cast("long").as("sum_union"))
+      .select(col("err_band"), col("n_pairs"), col("sum_agree"),
+        col("sum_common"), col("sum_union"),
+        (col("sum_agree").cast("double") / (col("n_pairs") * NumHashes))
+          .as("mean_est"),
+        (col("sum_common").cast("double") / col("sum_union"))
+          .as("pooled_jaccard"))
+      .orderBy(col("err_band"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
-    containmentPairs)
+    containmentPairs, minhashCalibration)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

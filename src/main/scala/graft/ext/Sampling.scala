@@ -212,6 +212,161 @@ object Sampling {
     tot.join(q, "l_returnflag").orderBy(col("l_returnflag"))
   }
 
+  /** Number of half-sample replicates for x144 (one per bit of the
+    * 60-bit portable md5 hash; 32 ≤ 60). */
+  private val BootB = 32
+
+  /** Replicate-mean ranks picked as the subagging interval: the 4th and
+    * 29th smallest of 32 (≈ the 10th/90th percentile order statistics). */
+  private val BootLoRank = 4
+  private val BootHiRank = 29
+
+  /** x144: subagging (half-sample bootstrap) confidence interval for the
+    * mean order value — the uncertainty quantification every reported
+    * metric should ship with, made DETERMINISTIC: replicate b keeps the
+    * orders whose portable 60-bit md5 hash has bit b set (32 independent
+    * half-samples from ONE hash evaluation, no RNG, engine-portable), so
+    * the interval is reproducible across engines, runs, and cluster
+    * sizes. Replicate means are single divisions of exact penny sums;
+    * the interval picks the ${BootLoRank}th/${BootHiRank}th smallest of
+    * the $BootB replicate means — order statistics over a 32-row frame,
+    * ties broken by replicate id.
+    *
+    * Scale shape: ONE scan with a 32-way conditional-sum aggregate
+    * (constant state: 32×2 longs), then all ranking happens on the
+    * 32-row replicate frame. Never 32 scans, never a shuffle of raw
+    * rows beyond the single all-to-one agg.
+    *
+    * Statistical note (honest label): half-samples give the m = n/2
+    * out of n bootstrap — replicate spread is √2 wider than the n-sample
+    * sampling error; the interval is reported RAW (no √2 rescale) as the
+    * conservative subagging band. */
+  val bootstrapCi = Q.withOracle(
+    "x144_subagging_ci",
+    s"x144: deterministic half-sample bootstrap ($BootB replicates) CI for mean order value",
+    s"""WITH h AS (
+       |  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hb,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p
+       |  FROM orders),
+       |b AS (SELECT unnest(generate_series(0, ${BootB - 1})) AS rep),
+       |reps AS MATERIALIZED (
+       |  SELECT rep,
+       |    CAST(SUM(CASE WHEN (hb >> rep) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN (hb >> rep) & 1 = 1 THEN p ELSE 0 END) AS BIGINT) AS s_b
+       |  FROM h CROSS JOIN b GROUP BY rep),
+       |rm AS MATERIALIZED (
+       |  SELECT rep, n_b, s_b, CAST(s_b AS DOUBLE) / n_b AS m_b,
+       |    ROW_NUMBER() OVER (ORDER BY CAST(s_b AS DOUBLE) / n_b, rep) AS rk
+       |  FROM reps WHERE n_b > 0),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(p) AS BIGINT) AS s FROM h)
+       |SELECT tot.n AS n_orders,
+       |  CAST(tot.s AS DOUBLE) / tot.n AS full_mean,
+       |  CAST(${BootB} AS BIGINT) AS n_replicates,
+       |  MIN(CASE WHEN rk = $BootLoRank THEN m_b END) AS boot_lo,
+       |  MIN(CASE WHEN rk = $BootHiRank THEN m_b END) AS boot_hi,
+       |  MIN(CASE WHEN rk = $BootHiRank THEN m_b END)
+       |    - MIN(CASE WHEN rk = $BootLoRank THEN m_b END) AS boot_spread
+       |FROM rm CROSS JOIN tot GROUP BY tot.n, tot.s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.orders(s, dir).select(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("hb"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p"))
+    val repAggs = (0 until BootB).flatMap { b =>
+      Seq(
+        sum(when(shiftright(col("hb"), b).bitwiseAND(1) === 1, 1L).otherwise(0L))
+          .cast("long").as(s"n$b"),
+        sum(when(shiftright(col("hb"), b).bitwiseAND(1) === 1, col("p")).otherwise(0L))
+          .cast("long").as(s"s$b"))
+    }
+    val allAggs = Seq(count(lit(1)).cast("long").as("n"),
+      sum(col("p")).cast("long").as("s")) ++ repAggs
+    val one = h.agg(allAggs.head, allAggs.tail: _*)
+    val reps = one.select(col("n"), col("s"), explode(array((0 until BootB).map { b =>
+        struct(lit(b.toLong).as("rep"), col(s"n$b").as("n_b"), col(s"s$b").as("s_b"))
+      }: _*)).as("r"))
+      .select(col("n"), col("s"), col("r.rep"), col("r.n_b"), col("r.s_b"))
+      .filter(col("n_b") > 0)
+      .withColumn("m_b", col("s_b").cast("double") / col("n_b"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("m_b"), col("rep"))))
+    reps.groupBy(col("n"), col("s"))
+      .agg(min(when(col("rk") === BootLoRank, col("m_b"))).as("boot_lo"),
+        min(when(col("rk") === BootHiRank, col("m_b"))).as("boot_hi"))
+      .select(col("n").as("n_orders"),
+        (col("s").cast("double") / col("n")).as("full_mean"),
+        lit(BootB.toLong).as("n_replicates"),
+        col("boot_lo"), col("boot_hi"),
+        (col("boot_hi") - col("boot_lo")).as("boot_spread"))
+  }
+
+  /** Stratum sampling quota denominator for x145 (¼ per stratum, the
+    * x19 rule). */
+  private val HtQuotaDen = 4
+
+  /** x145: Horvitz–Thompson stratified total estimation — the survey-
+    * sampling estimator that makes x19's deterministic stratified sample
+    * USEFUL: each priority stratum's revenue total is estimated from its
+    * md5-ranked ¼ quota sample as ŝ_g = sampled_sum · n_g / q_g, and the
+    * estimate is reported NEXT TO the true total with its signed
+    * relative error — per stratum, so every arithmetic step is a single
+    * IEEE op over exact integers (no cross-stratum float sum; consumers
+    * combine strata with their own precision policy).
+    *
+    * Scale shape: one stratum-keyed rank window (the x19 shape — a
+    * per-stratum shuffle any stratified sampler pays), one hash agg;
+    * output is |strata| rows. */
+  val horvitzThompson = Q.withOracle(
+    "x145_ht_stratified_total",
+    s"x145: per-stratum Horvitz-Thompson revenue total from the md5-ranked quarter sample",
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |SELECT g, CAST(MIN(n) AS BIGINT) AS n_g,
+       |  CAST((MIN(n) + ${HtQuotaDen - 1}) // $HtQuotaDen AS BIGINT) AS q_g,
+       |  CAST(SUM(CASE WHEN rn <= (n + ${HtQuotaDen - 1}) // $HtQuotaDen
+       |    THEN p ELSE 0 END) AS BIGINT) AS sampled_pennies,
+       |  CAST(SUM(p) AS BIGINT) AS true_pennies,
+       |  CAST(SUM(CASE WHEN rn <= (n + ${HtQuotaDen - 1}) // $HtQuotaDen
+       |      THEN p ELSE 0 END) AS DOUBLE)
+       |    * MIN(n) / ((MIN(n) + ${HtQuotaDen - 1}) // $HtQuotaDen)
+       |    AS ht_estimate,
+       |  (CAST(SUM(CASE WHEN rn <= (n + ${HtQuotaDen - 1}) // $HtQuotaDen
+       |      THEN p ELSE 0 END) AS DOUBLE)
+       |    * MIN(n) / ((MIN(n) + ${HtQuotaDen - 1}) // $HtQuotaDen)
+       |    - CAST(SUM(p) AS DOUBLE)) / CAST(SUM(p) AS DOUBLE) AS rel_err
+       |FROM ranked GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+    val ranked = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val quota = expr(s"(n + ${HtQuotaDen - 1}) DIV $HtQuotaDen")
+    val agg = ranked.groupBy(col("g"))
+      .agg(min(col("n")).cast("long").as("n_g"),
+        sum(when(col("rn") <= quota, col("p")).otherwise(0L)).cast("long")
+          .as("sampled_pennies"),
+        sum(col("p")).cast("long").as("true_pennies"))
+      .withColumn("q_g",
+        expr(s"(n_g + ${HtQuotaDen - 1}) DIV $HtQuotaDen").cast("long"))
+    val est = col("sampled_pennies").cast("double") * col("n_g") / col("q_g")
+    agg.select(col("g"), col("n_g"), col("q_g"),
+        col("sampled_pennies"), col("true_pennies"),
+        est.as("ht_estimate"),
+        ((est - col("true_pennies").cast("double"))
+          / col("true_pennies").cast("double")).as("rel_err"))
+      .orderBy(col("g"))
+  }
+
   val all: Seq[Q] =
-    Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles)
+    Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles,
+      bootstrapCi, horvitzThompson)
 }

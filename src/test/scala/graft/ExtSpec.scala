@@ -316,4 +316,43 @@ class ExtSpec extends SparkSuite {
     assert(out.filter($"survivor").count() === expectSurvivors)
     out.unpersist()
   }
+
+  test("x143: identical docs calibrate to band 0 with est = exact = 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib").toString
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, t), (2L, t), (3L, "z1 z2 z3 z4 z5 z6 z7"))
+      .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = ext.Dedup.minhashCalibration.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // one candidate pair (the twins): all 32 mins agree, jaccard 1
+    assert(got === Seq((0L, 1L, 32L, 18L, 18L, 1.0, 1.0)))
+  }
+
+  test("x143 real data: bands equal a per-pair scalar replay") {
+    val docs = Tables.documents(spark, sf)
+    val sig = ext.Dedup.signatures(docs).localCheckpoint()
+    val cand = ext.Dedup.candidatePairs(sig)
+    val perPair = ext.Dedup.exactJaccard(cand,
+        ext.Dedup.shingleHashesWithCount(docs))
+      .join(sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"a_$c"): _*)
+        .withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sig.toDF(sig.columns.map(c => if (c == "doc_id") c else s"b_$c"): _*)
+        .withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    val agree = (0 until ext.Dedup.NumHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = perPair
+      .select(col("n_common"), (col("n_a") + col("n_b") - col("n_common")).as("u"),
+        agree.as("k"))
+      .as[(Long, Long, Long)].collect()
+    val expect = pairs.groupBy { case (c, u, k) =>
+        (math.abs(k * u - c * 32) * 8) / (32 * u) }
+      .map { case (band, rows) =>
+        band -> ((rows.length.toLong, rows.map(_._3).sum,
+          rows.map(_._1).sum, rows.map(_._2).sum)) }
+    val got = ext.Dedup.minhashCalibration.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === expect)
+  }
 }

@@ -44,4 +44,57 @@ class SamplingSpec extends SparkSuite {
     val hostile = ext.Sampling.sampledQuantiles.fn(spark, dir).collect().toSeq
     assert(hostile === base)
   }
+
+  private def md5hex(s0: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("x144: replicate means and interval equal a scalar md5 replay") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    def hash60(k: Long): Long =
+      java.lang.Long.parseLong(md5hex(k.toString).take(15), 16)
+    val reps = (0 until 32).flatMap { b =>
+      val kept = orders.filter { case (k, _) => ((hash60(k) >> b) & 1L) == 1L }
+      if (kept.isEmpty) None
+      else Some((b.toLong, kept.map(_._2).sum.toDouble / kept.length))
+    }
+    val ranked = reps.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val expectLo = ranked(3)  // 4th smallest
+    val expectHi = ranked(28) // 29th smallest
+    val r = ext.Sampling.bootstrapCi.fn(spark, sf)
+      .as[(Long, Double, Long, Double, Double, Double)].collect().head
+    assert(r._1 === orders.length.toLong)
+    assert(r._2 === orders.map(_._2).sum.toDouble / orders.length)
+    assert(r._4 === expectLo)
+    assert(r._5 === expectHi)
+    assert(r._6 === expectHi - expectLo)
+    assert(r._4 <= r._2 && r._2 <= r._5,
+      "full mean inside the subagging band on this data")
+  }
+
+  test("x145: per-stratum HT estimate equals a scalar md5-rank replay") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expect = orders.groupBy(_._1).map { case (g, rows) =>
+      val n = rows.length
+      val q = (n + 3) / 4
+      val sampled = rows.sortBy { case (_, k, _) => (md5hex(k.toString), k) }
+        .take(q).map(_._3).sum
+      val truth = rows.map(_._3).sum
+      val est = sampled.toDouble * n / q
+      g -> ((n.toLong, q.toLong, sampled, truth, est,
+        (est - truth.toDouble) / truth.toDouble))
+    }
+    val got = ext.Sampling.horvitzThompson.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === expect)
+    // the quarter sample should estimate within ±15% on every stratum here
+    got.values.foreach { case (_, _, _, _, _, rel) => assert(math.abs(rel) < 0.15) }
+  }
 }

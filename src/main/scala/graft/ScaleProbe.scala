@@ -546,7 +546,18 @@ object ScaleProbe {
       "x141_pchart_returns",
       // x142: 1 row; priority strings don't shift — the 5-row group
       // table absorbs f× rows in one map-side-combined agg
-      "x142_anova_priority")
+      "x142_anova_priority",
+      // x143: rides x2's signature/band cost (disjoint shingle spaces →
+      // candidates replicate per copy, linear); output stays a handful
+      // of error-band rows
+      "x143_minhash_calibration",
+      // x144: 1 row; one scan with a constant 64-column agg state, all
+      // ranking on the 32-row replicate frame
+      "x144_subagging_ci",
+      // x145: 5 rows; one stratum-keyed rank window (per-copy order keys
+      // shift but priorities don't — strata absorb f× rows, the window
+      // stays parallel across the f× key range)
+      "x145_ht_stratified_total")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -562,7 +562,137 @@ object Trend {
       .orderBy(col("event_type"))
   }
 
+  /** x146: maximum drawdown of the weekly revenue level per order
+    * priority — the worst peak-to-trough decline from any past high
+    * ("how bad did it get, from the best it ever was"): the risk metric
+    * every level series should report next to its trend (x106) and its
+    * change point (x97). Computed with the x137 reflection discipline
+    * inverted: running MAX of the level, drawdown_t = runmax_t − y_t,
+    * answer = max over t — two stacked windows over the weekly axis,
+    * exact pennies end to end; the one double is the final ratio.
+    * Deterministic argmax pick: (drawdown desc, week asc).
+    *
+    * Scale shape: one hash agg to the (priority, week) grain — the only
+    * full-data shuffle — then windows over the |groups|×|weeks| axis. */
+  val maxDrawdown = Q.withOracle(
+    "x146_max_drawdown",
+    "x146: worst peak-to-trough decline of weekly revenue per priority (exact pennies)",
+    """WITH wk AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, wk, y,
+      |    MAX(y) OVER (PARTITION BY g ORDER BY wk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |  FROM wk),
+      |d AS (
+      |  SELECT g, wk, y, runmax, runmax - y AS dd,
+      |    ROW_NUMBER() OVER (PARTITION BY g
+      |      ORDER BY runmax - y DESC, wk) AS pick
+      |  FROM c)
+      |SELECT g, wk AS trough_wk, CAST(runmax AS BIGINT) AS peak_pennies,
+      |  CAST(y AS BIGINT) AS trough_pennies, CAST(dd AS BIGINT) AS dd_pennies,
+      |  CASE WHEN runmax > 0 THEN CAST(dd AS DOUBLE) / runmax END AS dd_frac
+      |FROM d WHERE pick = 1 ORDER BY g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("g"),
+        Parity.week(col("o_orderdate")).as("wk"))
+      .agg(sum(Parity.dec(col("o_totalprice")) * 100).cast("long").as("y"))
+    val part = Window.partitionBy(col("g"))
+    val c = wk.withColumn("runmax", max(col("y")).over(part.orderBy(col("wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("runmax") - col("y"))
+    val d = c.withColumn("pick",
+      row_number().over(part.orderBy(col("dd").desc, col("wk"))))
+    d.filter(col("pick") === 1)
+      .select(col("g"), col("wk").as("trough_wk"),
+        col("runmax").cast("long").as("peak_pennies"),
+        col("y").cast("long").as("trough_pennies"),
+        col("dd").cast("long").as("dd_pennies"),
+        when(col("runmax") > 0, col("dd").cast("double") / col("runmax"))
+          .as("dd_frac"))
+      .orderBy(col("g"))
+  }
+
+  /** x147: in-sample one-step backtest of the x139 Holt smoother — MASE
+    * (mean absolute scaled error, Hyndman–Koehler 2006): the forecast
+    * family's evaluation member, the x88/x143 "evaluate the estimator
+    * with the engine itself" posture. For t ≥ 2 the smoother's one-step
+    * forecast for day t is l_{t−1} + b_{t−1}; the scaled error sums
+    *
+    *   MASE = Σ|y_t·S − (l+b)_{t−1}| / Σ|y_t − y_{t−1}|·S
+    *
+    * are EXACT integers because the Holt state itself is exact integer
+    * (x139), so the one float is the final division. MASE < 1 means the
+    * smoother beats the naive carry-forward on the same data.
+    *
+    * Same fold machinery as x139 with a wider accumulator (state + both
+    * error sums + previous y); oracle replays per-type chains WITH
+    * RECURSIVE. */
+  val holtBacktest = Q.withOracle(
+    "x147_holt_backtest",
+    "x147: one-step MASE of the Holt smoother vs naive carry-forward per event type",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |ax AS MATERIALIZED (
+       |  SELECT event_type, day, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS k,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM d),
+       |h AS (
+       |  SELECT event_type, k, n, y AS py, y * $HoltScale AS l,
+       |    CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS sh, CAST(0 AS BIGINT) AS sn
+       |  FROM ax WHERE k = 1
+       |  UNION ALL
+       |  SELECT a.event_type, a.k, a.n, a.y,
+       |    (a.y * $HoltScale + h.l + h.b) // 2,
+       |    (((a.y * $HoltScale + h.l + h.b) // 2) - h.l + h.b) // 2,
+       |    h.sh + abs(a.y * $HoltScale - (h.l + h.b)),
+       |    h.sn + abs(a.y - h.py) * $HoltScale
+       |  FROM h JOIN ax a ON a.event_type = h.event_type AND a.k = h.k + 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |  CAST(sh AS BIGINT) AS sae_holt_scaled,
+       |  CAST(sn AS BIGINT) AS sae_naive_scaled,
+       |  CASE WHEN sn > 0 THEN CAST(sh AS DOUBLE) / sn END AS mase
+       |FROM h WHERE k = n ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ax"),
+        count(lit(1)).cast("long").as("n_days"))
+      .select(col("event_type"), col("n_days"), expr(
+        s"""aggregate(slice(ax, 2, CAST(size(ax) - 1 AS INT)),
+           |  named_struct(
+           |    'py', element_at(ax, 1).y,
+           |    'l', element_at(ax, 1).y * CAST($HoltScale AS BIGINT),
+           |    'b', CAST(0 AS BIGINT),
+           |    'sh', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT)),
+           |  (acc, x) -> named_struct(
+           |    'py', x.y,
+           |    'l', (x.y * $HoltScale + acc.l + acc.b) div 2,
+           |    'b', (((x.y * $HoltScale + acc.l + acc.b) div 2) - acc.l + acc.b)
+           |      div 2,
+           |    'sh', acc.sh + abs(x.y * $HoltScale - (acc.l + acc.b)),
+           |    'sn', acc.sn + abs(x.y - acc.py) * $HoltScale))"""
+          .stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.sh").as("sae_holt_scaled"),
+        col("st.sn").as("sae_naive_scaled"),
+        when(col("st.sn") > 0,
+          col("st.sh").cast("double") / col("st.sn")).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
-      cusumChangePoint, rollingSlope, autocorrelation, holtForecast)
+      cusumChangePoint, rollingSlope, autocorrelation, holtForecast,
+      maxDrawdown, holtBacktest)
 }

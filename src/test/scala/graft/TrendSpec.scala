@@ -299,4 +299,67 @@ class TrendSpec extends SparkSuite {
       .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
     assert(got === expect)
   }
+
+  test("x146 crafted: drawdown lands at the worst trough below the running peak") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    // one priority, four ISO weeks: 100, 300, 120, 250 dollars
+    Seq(("2024-01-01", 100.0), ("2024-01-08", 300.0),
+        ("2024-01-15", 120.0), ("2024-01-22", 250.0))
+      .zipWithIndex.map { case ((d, v), i) =>
+        (i.toLong, i.toLong, "O", v, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "P1") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = analytics.Trend.maxDrawdown.fn(spark, dir)
+      .as[(String, java.sql.Date, Long, Long, Long, Option[Double])].collect().head
+    assert(r._2.toString === "2024-01-15")
+    assert((r._3, r._4, r._5) === ((30000L, 12000L, 18000L)))
+    assert(r._6 === Some(18000.0 / 30000.0))
+  }
+
+  test("x147 crafted: hand-computed MASE on a three-day series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mase").toString
+    // day counts 4, 8, 10 → sh = 4S + 3S, sn = 4S + 2S → mase = 7/6
+    val rows = (1 to 4).map(i => (i.toLong, "2024-01-01")) ++
+      (5 to 12).map(i => (i.toLong, "2024-01-02")) ++
+      (13 to 22).map(i => (i.toLong, "2024-01-03"))
+    rows.map { case (id, d) =>
+      (id, java.sql.Timestamp.valueOf(s"$d 08:00:00"), 1L, "view", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val S = 1L << 20
+    val r = analytics.Trend.holtBacktest.fn(spark, dir)
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(r === (("view", 3L, 7 * S, 6 * S, Some(7.0 / 6.0))))
+  }
+
+  test("x147 real data: error sums equal a scalar sequential replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = 1L << 20
+    val axis = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .orderBy(col("event_type"), col("day"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.toString).map(_._3)).toMap
+    val expect = axis.map { case (et, ys) =>
+      var l = ys.head * S; var b = 0L; var py = ys.head
+      var sh = 0L; var sn = 0L
+      ys.tail.foreach { y =>
+        sh += math.abs(y * S - (l + b)); sn += math.abs(y - py) * S
+        val l2 = (y * S + l + b) / 2
+        b = (l2 - l + b) / 2; l = l2; py = y
+      }
+      et -> ((sh, sn))
+    }
+    val got = analytics.Trend.holtBacktest.fn(spark, sf)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got === expect)
+  }
 }

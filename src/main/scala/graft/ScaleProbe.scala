@@ -557,7 +557,12 @@ object ScaleProbe {
       // x145: 5 rows; one stratum-keyed rank window (per-copy order keys
       // shift but priorities don't — strata absorb f× rows, the window
       // stays parallel across the f× key range)
-      "x145_ht_stratified_total")
+      "x145_ht_stratified_total",
+      // x146: 5 rows; one (priority, week) hash agg — the only full-data
+      // shuffle — then windows over the constant calendar axis
+      "x146_max_drawdown",
+      // x147: 5 rows; the x139 regime with a wider fold accumulator
+      "x147_holt_backtest")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -1023,7 +1023,193 @@ object Graph {
     top
   }
 
+  // ---- x148: personalized PageRank from a seed set -------------------
+
+  /** Seed predicate for x148 (portable md5 bucket — 1/16 of parts). */
+  private val SeedSql = "substr(md5(CAST(%s AS VARCHAR)), 1, 1) = '0'"
+
+  private def pprOracle: String = {
+    val rounds = (1 to Rounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT d.src AS v,
+         |    (CASE WHEN ${SeedSql.format("d.src")}
+         |      THEN ${RScale * 15 / 100} ELSE 0 END)
+         |      + ($DampNum * COALESCE(s.m, 0)) // 100 AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT p.dst, SUM(r.r // g.d) AS m
+         |    FROM pairs p JOIN r${k - 1} r ON p.src = r.v
+         |    JOIN deg g ON g.src = p.src
+         |    GROUP BY p.dst) s ON d.src = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS v,
+       |    CASE WHEN ${SeedSql.format("src")}
+       |      THEN CAST($RScale AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM deg),
+       |$rounds
+       |SELECT v AS part,
+       |  CAST(CASE WHEN ${SeedSql.format("v")} THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_seed,
+       |  CAST(r AS BIGINT) AS ppr
+       |FROM r$Rounds WHERE r > 0 ORDER BY ppr DESC, part LIMIT 100""".stripMargin
+  }
+
+  /** x148: personalized PageRank — the seed-anchored relevance score
+    * behind "more like these" expansion (recsys candidate generation,
+    * related-entity discovery): PageRank's teleport mass lands ONLY on a
+    * deterministic md5-bucket seed set (1/16 of parts), so rank measures
+    * proximity to the seeds rather than global centrality. Same
+    * fixed-point integer arithmetic, same per-round one-keyed-join +
+    * one-agg shape, same headroom bound as x59; non-seed nodes start at
+    * 0 and only earn mass through ≤[[Rounds]]-hop paths from a seed
+    * (rows with r = 0 are pruned — unreached at this horizon). */
+  val personalizedPagerank = Q.withOracle(
+    "x148_personalized_pagerank",
+    s"x148: $Rounds-round personalized PageRank from the md5-bucket seed set (top-100)",
+    pprOracle) { (s, dir) =>
+    val pairs = coEdges(s, dir).localCheckpoint()
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
+    def seed(c: org.apache.spark.sql.Column) =
+      substring(md5(c.cast("string")), 1, 1) === "0"
+    var ranks = deg.select(col("src").as("v"),
+      when(seed(col("src")), lit(RScale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to Rounds) {
+      val contrib = pairs
+        .join(deg, "src")
+        .join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = deg
+        .select(col("src").as("v"))
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (when(seed(col("v")), lit(RScale * 15 / 100)).otherwise(lit(0L))
+            + expr(s"($DampNum * coalesce(m, 0L)) div 100")).as("r"))
+    }
+    val out = ranks.filter(col("r") > 0)
+      .select(col("v").as("part"),
+        when(seed(col("v")), 1L).otherwise(0L).as("is_seed"),
+        col("r").as("ppr"))
+      .orderBy(col("ppr").desc, col("part")).limit(100)
+      .localCheckpoint()
+    pairs.unpersist()
+    deg.unpersist()
+    out
+  }
+
+  // ---- x149: modularity of the LPA partition --------------------------
+
+  private def modularityOracle: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v, label FROM (
+         |    SELECT e.dst AS v, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM pairs e JOIN l${k - 1} l ON l.v = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v, src AS label FROM pairs),
+       |$rounds,
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM pairs),
+       |ec AS (
+       |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+       |  FROM pairs p
+       |  JOIN l$LpaRounds la ON la.v = p.src
+       |  JOIN l$LpaRounds lb ON lb.v = p.dst AND lb.label = la.label
+       |  GROUP BY 1),
+       |dc AS (
+       |  SELECT la.label, CAST(SUM(d.d) AS BIGINT) AS d_c
+       |  FROM l$LpaRounds la JOIN deg d ON d.src = la.v GROUP BY 1),
+       |terms AS (
+       |  SELECT dc.label, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+       |  FROM dc LEFT JOIN ec ON ec.label = dc.label)
+       |SELECT mm.m2 AS m_directed,
+       |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(SUM(CAST(e_c AS DECIMAL(18,0)) * mm.m2
+       |    - CAST(d_c AS DECIMAL(18,0)) * CAST(d_c AS DECIMAL(18,0)))
+       |    AS BIGINT) AS q_num,
+       |  CAST(CAST(SUM(CAST(e_c AS DECIMAL(18,0)) * mm.m2
+       |    - CAST(d_c AS DECIMAL(18,0)) * CAST(d_c AS DECIMAL(18,0)))
+       |    AS BIGINT) AS DOUBLE)
+       |    / (CAST(mm.m2 AS DOUBLE) * CAST(mm.m2 AS DOUBLE)) AS modularity
+       |FROM terms CROSS JOIN mm GROUP BY mm.m2""".stripMargin
+  }
+
+  /** x149: Newman modularity of the x70 LPA partition — the evaluation
+    * member of the graph family (the x88/x143/x147 posture): did label
+    * propagation find real structure? Q = Σ_c (e_c/M − (D_c/M)²) over
+    * the directed symmetrized edge set, computed as one EXACT integer
+    * numerator Q·M² = Σ_c (e_c·M − D_c²) — each term a DECIMAL(18,0)
+    * product (the x95 wide-product rule), the cross-community sum an
+    * order-independent integer — and ONE final double division.
+    * |Q·M²| ≤ M² needs M < 3e9 directed edges in the BIGINT cast;
+    * past that keep it decimal (the x74 posture).
+    *
+    * Scale shape: the x70 rounds plus two label-keyed joins (edge
+    * endpoints → labels) and one degree join — all node/edge-keyed hash
+    * joins, output is ONE row. */
+  val lpaModularity = Q.withOracle(
+    "x149_lpa_modularity",
+    s"x149: Newman modularity of the $LpaRounds-round LPA partition (exact integer numerator)",
+    modularityOracle) { (s, dir) =>
+    val pairs = coEdges(s, dir).localCheckpoint()
+    var labels = pairs.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val prev = labels
+      labels = lpaRound(pairs, labels).localCheckpoint()
+      prev.unpersist()
+    }
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).cast("long").as("d"))
+    val la = labels.select(col("v").as("sv"), col("label").as("la"))
+    val lb = labels.select(col("v").as("dv"), col("label").as("lb"))
+    val ec = pairs
+      .join(la, col("sv") === col("src"))
+      .join(lb, col("dv") === col("dst") && col("lb") === col("la"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).cast("long").as("e_c"))
+    val dc = labels.join(deg, col("v") === col("src"))
+      .groupBy(col("label")).agg(sum(col("d")).cast("long").as("d_c"))
+    val mm = pairs.agg(count(lit(1)).cast("long").as("m2"))
+    val terms = dc.join(ec, Seq("label"), "left")
+      .select(col("label"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+    val out = terms.crossJoin(broadcast(mm))
+      .groupBy(col("m2"))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        sum(col("e_c").cast("decimal(18,0)") * col("m2")
+          - col("d_c").cast("decimal(18,0)") * col("d_c").cast("decimal(18,0)"))
+          .cast("long").as("q_num"))
+      .select(col("m2").as("m_directed"), col("n_communities"), col("q_num"),
+        (col("q_num").cast("double")
+          / (col("m2").cast("double") * col("m2").cast("double")))
+          .as("modularity"))
+      .localCheckpoint()
+    labels.unpersist()
+    pairs.unpersist()
+    out
+  }
+
   val all: Seq[Q] =
     Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
-      clusteringCoeff, assortativity, linkPredict, hits)
+      clusteringCoeff, assortativity, linkPredict, hits,
+      personalizedPagerank, lpaModularity)
 }

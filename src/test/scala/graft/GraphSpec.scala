@@ -351,4 +351,64 @@ class GraphSpec extends SparkSuite {
     // scores are strictly positive integers (every listed node has >=1 edge)
     assert(rows.forall(_._3 > 0))
   }
+
+  private def md5First(v: Long): Char = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8"))
+    f"${(d(0) >> 4) & 0xf}%x".head
+  }
+
+  test("x148 crafted: two-node chain replays the integer PPR recursion") {
+    // find a seed id (md5 first nibble '0') and a non-seed id
+    val seed = (1L to 500L).find(md5First(_) == '0').get
+    val other = (1L to 500L).find(md5First(_) != '0').get
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppr").toString
+    write(dir, Seq((1L, seed), (1L, other))) // one order → edge both ways
+    val R = 1000000000000L
+    // replay: deg 1 each; r0 = (R, 0)
+    var rs = R; var ro = 0L
+    (1 to 3).foreach { _ =>
+      val ns = (R * 15 / 100) + (85L * ro) / 100
+      val no = 0L + (85L * rs) / 100
+      rs = ns; ro = no
+    }
+    val gotFull = ext.Graph.personalizedPagerank.fn(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotFull(seed) === ((1L, rs)))
+    assert(gotFull(other) === ((0L, ro)))
+  }
+
+  test("x148 real data: seeds hold the teleport floor, flags match md5") {
+    val rows = ext.Graph.personalizedPagerank.fn(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (part, isSeed, ppr) =>
+      assert(isSeed === (if (md5First(part) == '0') 1L else 0L), s"part $part")
+      if (isSeed == 1L) assert(ppr >= 150000000000L, s"seed $part below floor")
+      assert(ppr > 0)
+    }
+  }
+
+  test("x149 crafted: two disjoint triangles score modularity exactly 1/2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    write(dir, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),   // clique {1,2,3}
+      (2L, 11L), (2L, 12L), (2L, 13L))) // clique {11,12,13}
+    val r = ext.Graph.lpaModularity.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().head
+    // M = 12 directed edges; LPA collapses each clique to one label;
+    // e_c = 6, D_c = 6 → Q·M² = 2·(6·12 − 36) = 72 → Q = 0.5
+    assert(r === ((12L, 2L, 72L, 0.5)))
+  }
+
+  test("x149 real data: modularity within bounds and deterministic") {
+    val a = ext.Graph.lpaModularity.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().head
+    val b = ext.Graph.lpaModularity.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(a === b)
+    assert(a._4 > -0.5 && a._4 < 1.0)
+    assert(a._2 >= 1L && a._2 <= a._1)
+  }
 }

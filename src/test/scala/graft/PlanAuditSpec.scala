@@ -42,6 +42,10 @@ class PlanAuditSpec extends SparkSuite {
     "x121_trailing_distinct_users", // broadcast of the 1-row high-water-week scalar
     "x124_kendall_tau",            // axis-densification of the (n/B)² count grid from two 1-row max scalars, plus three 1-row inversion-term scalars composed by cross join
     "x132_vocab_coverage",         // broadcast of the 1-row total-occurrences scalar
+    "x138_cuped_ab",               // broadcast of the 1-row midpoint-date scalar into the scan
+    "x141_pchart_returns",         // broadcast of the 1-row pooled-rate scalar onto the weekly axis
+    "x142_anova_priority",         // 1-row fold ⨯ 1-row totals composed by cross join
+    "x149_lpa_modularity",         // broadcast of the 1-row edge-count scalar onto the |labels|-row terms
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -562,7 +562,14 @@ object ScaleProbe {
       // shuffle — then windows over the constant calendar axis
       "x146_max_drawdown",
       // x147: 5 rows; the x139 regime with a wider fold accumulator
-      "x147_holt_backtest")
+      "x147_holt_backtest",
+      // x148: top-100 bounded; the x59 regime (checkpointed disjoint
+      // edge replicas, per-round keyed join + agg) with a seed-masked
+      // teleport — expect x59's linear-in-edges curve
+      "x148_personalized_pagerank",
+      // x149: 1 row; the x70 rounds plus two label-keyed joins and a
+      // degree join — expect the x70 curve plus edge-join noise
+      "x149_lpa_modularity")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -199,5 +199,74 @@ object Funnel {
       .orderBy(col("qnum"))
   }
 
-  val all: Seq[Q] = Seq(funnel, attribution, latencyQuartiles)
+  /** x150: sequence pattern WITH NEGATION — users who converted
+    * (view → … → purchase) with NO error event strictly between: the
+    * MATCH_RECOGNIZE-with-NOT class x57's positive-only fold can't
+    * express, and the pattern every incident-impact analysis needs
+    * ("did the error actually block the purchase?"). The engine runs it
+    * as ONE user-keyed fold (NFA state: has-view, open-since-last-error,
+    * matched flags — four ints per user); the oracle states the same
+    * semantics RELATIONALLY (EXISTS pair + NOT EXISTS error between,
+    * tuple-comparison total order) — two independent formulations, one
+    * hash gate. Equivalence argument in the fold: a purchase is clean
+    * iff the latest view/error marker before it is a view, which holds
+    * iff SOME (view, purchase) pair has no error inside it.
+    *
+    * Scale shape: one user-keyed exchange, per-user state O(1); the
+    * oracle's O(events²/user) join is the oracle's price, not the
+    * engine's. Output is ONE bounded row. */
+  val patternNegation = Q.withOracle(
+    "x150_pattern_negation",
+    "x150: users converting view->purchase with NO error between (NFA fold vs EXISTS/NOT-EXISTS oracle)",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |  FROM events WHERE event_type IN ('view', 'purchase', 'error')),
+      |u AS MATERIALIZED (SELECT DISTINCT user_id FROM ev),
+      |anyc AS MATERIALIZED (
+      |  SELECT DISTINCT v.user_id FROM ev v JOIN ev p ON p.user_id = v.user_id
+      |    AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |    AND (v.us, v.event_id) < (p.us, p.event_id)),
+      |clean AS MATERIALIZED (
+      |  SELECT DISTINCT v.user_id FROM ev v JOIN ev p ON p.user_id = v.user_id
+      |    AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |    AND (v.us, v.event_id) < (p.us, p.event_id)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM ev e WHERE e.user_id = v.user_id
+      |      AND e.event_type = 'error'
+      |      AND (e.us, e.event_id) > (v.us, v.event_id)
+      |      AND (e.us, e.event_id) < (p.us, p.event_id)))
+      |SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+      |  CAST((SELECT COUNT(*) FROM anyc) AS BIGINT) AS users_any_conversion,
+      |  CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS users_clean_conversion,
+      |  CAST((SELECT COUNT(*) FROM anyc) - (SELECT COUNT(*) FROM clean)
+      |    AS BIGINT) AS users_error_blocked""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type").as("t")).as("e"))
+    val folded = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(expr(
+        """aggregate(es,
+          |  named_struct('hv', CAST(0 AS BIGINT), 'open', CAST(0 AS BIGINT),
+          |               'anyc', CAST(0 AS BIGINT), 'clean', CAST(0 AS BIGINT)),
+          |  (acc, e) -> named_struct(
+          |    'hv', CASE WHEN e.t = 'view' THEN CAST(1 AS BIGINT) ELSE acc.hv END,
+          |    'open', CASE WHEN e.t = 'view' THEN CAST(1 AS BIGINT)
+          |                 WHEN e.t = 'error' THEN CAST(0 AS BIGINT)
+          |                 ELSE acc.open END,
+          |    'anyc', CASE WHEN e.t = 'purchase' AND acc.hv = 1
+          |                 THEN CAST(1 AS BIGINT) ELSE acc.anyc END,
+          |    'clean', CASE WHEN e.t = 'purchase' AND acc.open = 1
+          |                  THEN CAST(1 AS BIGINT) ELSE acc.clean END))"""
+          .stripMargin).as("st"))
+    folded.agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("st.anyc")).cast("long").as("users_any_conversion"),
+        sum(col("st.clean")).cast("long").as("users_clean_conversion"),
+        (sum(col("st.anyc")) - sum(col("st.clean"))).cast("long")
+          .as("users_error_blocked"))
+  }
+
+  val all: Seq[Q] = Seq(funnel, attribution, latencyQuartiles, patternNegation)
 }

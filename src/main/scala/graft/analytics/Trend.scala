@@ -691,8 +691,72 @@ object Trend {
       .orderBy(col("event_type"))
   }
 
+  /** x151: Theil–Sen robust slope of daily volume per event type — the
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i), the
+    * breakdown-resistant alternative to x78's OLS (one wild outlier day
+    * moves OLS arbitrarily, Theil–Sen tolerates ~29% contamination).
+    * The pair set is O(|days|²) PER TYPE — quadratic only in the
+    * calendar axis, never in events (435 pairs for a 30-day month), so
+    * the robustness is free at any data scale.
+    *
+    * Determinism: the median pick is a rank over (slope double, num,
+    * den, xi, xj) — the double is one division of exact integers
+    * (bit-identical), and the integer tiebreak makes the rank total.
+    * Lower median at even n (rank (n+1) div 2), stated. The reported
+    * slope is picked-pair num/den — one exact division.
+    *
+    * Scale shape: one daily hash agg (the only full-data shuffle), a
+    * per-type self-join and rank window over the calendar axis. */
+  val theilSen = Q.withOracle(
+    "x151_theil_sen",
+    "x151: Theil-Sen median pairwise slope of daily volume per event type",
+    """WITH d AS MATERIALIZED (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pr AS MATERIALIZED (
+      |  SELECT a.event_type, a.x AS xi, b.x AS xj,
+      |    b.y - a.y AS num, CAST(b.x - a.x AS BIGINT) AS den
+      |  FROM d a JOIN d b ON b.event_type = a.event_type AND b.x > a.x),
+      |rk AS (
+      |  SELECT event_type, num, den,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(num AS DOUBLE) / den, num, den, xi, xj) AS rn
+      |  FROM pr)
+      |SELECT event_type, n_pairs,
+      |  CAST(num AS BIGINT) AS med_num, den AS med_den,
+      |  CAST(num AS DOUBLE) / den AS theil_sen
+      |FROM rk WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val a = d.select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
+    val b = d.select(col("event_type").as("et_b"), col("x").as("xj"),
+      col("y").as("yj"))
+    val pr = a.join(b, col("et_b") === col("event_type") && col("xj") > col("xi"))
+      .select(col("event_type"), col("xi"), col("xj"),
+        (col("yj") - col("yi")).as("num"), (col("xj") - col("xi")).as("den"))
+    val part = Window.partitionBy(col("event_type"))
+    val rk = pr
+      .withColumn("n_pairs", count(lit(1)).over(part).cast("long"))
+      .withColumn("rn", row_number().over(part.orderBy(
+        col("num").cast("double") / col("den"), col("num"), col("den"),
+        col("xi"), col("xj"))))
+    rk.filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("num").cast("long").as("med_num"), col("den").as("med_den"),
+        (col("num").cast("double") / col("den")).as("theil_sen"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
       cusumChangePoint, rollingSlope, autocorrelation, holtForecast,
-      maxDrawdown, holtBacktest)
+      maxDrawdown, holtBacktest, theilSen)
 }

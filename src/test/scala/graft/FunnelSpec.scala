@@ -128,4 +128,48 @@ class FunnelSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1).map(_._4)
     assert(got === want)
   }
+
+  test("x150 crafted: negation semantics — error blocks, later view reopens") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-neg").toString
+    def ev(id: Long, u: Long, t: String, hh: Int) =
+      (id, Timestamp.valueOf(f"2024-01-01 $hh%02d:00:00"), u, t, 1.0, "")
+    Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "purchase", 2),                   // clean
+      ev(3, 2, "view", 1), ev(4, 2, "error", 2), ev(5, 2, "purchase", 3), // blocked
+      ev(6, 3, "view", 1), ev(7, 3, "error", 2), ev(8, 3, "view", 3),
+      ev(9, 3, "purchase", 4),                                        // reopened → clean
+      ev(10, 4, "purchase", 1), ev(11, 4, "view", 2),                 // wrong order
+      ev(12, 5, "error", 1), ev(13, 5, "view", 2), ev(14, 5, "purchase", 3), // clean
+      ev(15, 6, "view", 1))                                           // no purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = analytics.Funnel.patternNegation.fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((6L, 4L, 3L, 1L)))
+  }
+
+  test("x150 real data: the NFA fold equals a per-user scalar replay") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2, e._3)).map(_._4)).toMap
+    var anyC = 0L; var clean = 0L
+    byUser.values.foreach { ts =>
+      var hv = false; var open = false; var a = false; var c = false
+      ts.foreach {
+        case "view" => hv = true; open = true
+        case "error" => open = false
+        case "purchase" => if (hv) a = true; if (open) c = true
+        case _ =>
+      }
+      if (a) anyC += 1; if (c) clean += 1
+    }
+    val r = analytics.Funnel.patternNegation.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((byUser.size.toLong, anyC, clean, anyC - clean)))
+  }
 }

@@ -362,4 +362,50 @@ class TrendSpec extends SparkSuite {
       .map(r => r._1 -> ((r._3, r._4))).toMap
     assert(got === expect)
   }
+
+  test("x151 crafted: one outlier day cannot move the Theil-Sen slope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    // daily counts 0?: days must have >=1 event to appear; use 2,4,6,100
+    // on consecutive days → underlying slope 2, one wild outlier
+    val counts = Seq(("2024-01-01", 2), ("2024-01-02", 4),
+      ("2024-01-03", 6), ("2024-01-04", 100))
+    val rows = counts.zipWithIndex.flatMap { case ((d, n), di) =>
+      (1 to n).map(i => ((di * 1000 + i).toLong,
+        java.sql.Timestamp.valueOf(s"$d 08:00:00"), 1L, "view", 1.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = analytics.Trend.theilSen.fn(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().head
+    // slopes: 2,2,2 then (0,3):98/3, (1,3):96/2, (2,3):94/1 → median rank
+    // (6+1) div 2 = 3 → the third slope-2 pair by (num, den, xi, xj)
+    assert((r._2, r._5) === ((6L, 2.0)))
+    assert(r._3.toDouble / r._4 === 2.0)
+  }
+
+  test("x151 real data: rows equal a scalar all-pairs replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val axis = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val expect = axis.map { case (et, pts) =>
+      val pairs = for {
+        (xi, yi) <- pts; (xj, yj) <- pts if xj > xi
+      } yield (yj - yi, xj - xi, xi, xj)
+      val sorted = pairs.sortBy { case (n, d, xi, xj) =>
+        (n.toDouble / d, n, d, xi, xj) }
+      val pick = sorted((pairs.size + 1) / 2 - 1)
+      et -> ((pairs.size.toLong, pick._1, pick._2, pick._1.toDouble / pick._2))
+    }
+    val got = analytics.Trend.theilSen.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === expect)
+  }
 }

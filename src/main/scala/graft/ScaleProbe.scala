@@ -569,7 +569,12 @@ object ScaleProbe {
       "x148_personalized_pagerank",
       // x149: 1 row; the x70 rounds plus two label-keyed joins and a
       // degree join — expect the x70 curve plus edge-join noise
-      "x149_lpa_modularity")
+      "x149_lpa_modularity",
+      // x150: 1 row; one user-keyed fold with O(1) state — the x57 shape
+      "x150_pattern_negation",
+      // x151: 5 rows; one daily hash agg, the pair join and rank run on
+      // the constant calendar axis
+      "x151_theil_sen")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

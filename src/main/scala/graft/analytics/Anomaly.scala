@@ -174,5 +174,73 @@ object Anomaly {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[Q] = Seq(ewmaSurprise, debounce)
+  /** Trailing window width (days, inclusive) for the x152 Hampel filter. */
+  private val HampelWin = 7
+
+  /** Hampel decision threshold: flag when |y − med| > 3·MAD (the
+    * textbook k = 3, compared in exact integers — no σ scaling factor,
+    * stated as the raw-MAD form). */
+  private val HampelK = 3
+
+  /** x152: Hampel filter — robust outlier days per event type: a day is
+    * anomalous when its count deviates from the trailing-$HampelWin-day
+    * rolling MEDIAN by more than $HampelK× the rolling MAD. The robust
+    * time-series screen that survives what breaks x65's EWMA (a single
+    * wild day drags a mean-based baseline; the median/MAD baseline
+    * ignores it — spec-pinned). All order statistics are LOWER medians
+    * of integer counts, so every value the decision compares is an
+    * EXACT integer: no σ-consistency constant, no interpolation, no
+    * float anywhere in the flag.
+    *
+    * Scale shape: one daily hash agg (the only full-data shuffle); the
+    * rolling window, the sorts, and both median picks run on arrays of
+    * ≤ $HampelWin values over the |types|×|days| calendar axis. */
+  val hampelOutliers = Q.withOracle(
+    "x152_hampel_outliers",
+    s"x152: Hampel-filter outlier days (rolling $HampelWin-day lower median ± $HampelK*MAD, exact integers)",
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, day, y,
+       |    list_sort(list(y) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN ${HampelWin - 1} PRECEDING AND CURRENT ROW)) AS vs
+       |  FROM d),
+       |m AS (
+       |  SELECT event_type, day, y, vs,
+       |    vs[(len(vs) + 1) // 2] AS rollmed
+       |  FROM w),
+       |h AS (
+       |  SELECT event_type, day, y, rollmed,
+       |    list_sort(list_transform(vs, v -> abs(v - rollmed)))
+       |      [(len(vs) + 1) // 2] AS rollmad
+       |  FROM m)
+       |SELECT event_type, day, y,
+       |  CAST(rollmed AS BIGINT) AS rollmed, CAST(rollmad AS BIGINT) AS rollmad,
+       |  CAST(abs(y - rollmed) AS BIGINT) AS dev,
+       |  CAST(CASE WHEN abs(y - rollmed) > $HampelK * rollmad
+       |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
+       |FROM h ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(HampelWin - 1), Window.currentRow)
+    d.withColumn("vs", sort_array(collect_list(col("y")).over(tw)))
+      .withColumn("rollmed",
+        expr("element_at(vs, CAST((size(vs) + 1) div 2 AS INT))"))
+      .withColumn("rollmad", expr(
+        "element_at(sort_array(transform(vs, v -> abs(v - rollmed))), CAST((size(vs) + 1) div 2 AS INT))"))
+      .select(col("event_type"), col("day"), col("y"),
+        col("rollmed").cast("long").as("rollmed"),
+        col("rollmad").cast("long").as("rollmad"),
+        abs(col("y") - col("rollmed")).cast("long").as("dev"),
+        when(abs(col("y") - col("rollmed")) > col("rollmad") * HampelK, 1L)
+          .otherwise(0L).as("outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val all: Seq[Q] = Seq(ewmaSurprise, debounce, hampelOutliers)
 }

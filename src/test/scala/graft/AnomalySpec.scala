@@ -124,4 +124,36 @@ class AnomalySpec extends SparkSuite {
     assert(runDebounce(hostileDir) === base)
     assert(base.size === 4)
   }
+
+  test("x152 crafted: the spike is flagged and cannot drag the baseline") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-hampel").toString
+    // 9 days of 5 events, except day 8 spikes to 50
+    val counts = (1 to 9).map(d => d -> (if (d == 8) 50 else 5))
+    val rows = counts.flatMap { case (d, n) =>
+      (1 to n).map(i => ((d * 1000 + i).toLong,
+        Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"), 1L, "view", 1.0, "")) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = analytics.Anomaly.hampelOutliers.fn(spark, dir)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2.toString -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // day 8: window has six 5s + 50 → med 5, MAD 0, dev 45 → flagged
+    assert(got("2024-01-08") === ((50L, 5L, 0L, 45L, 1L)))
+    // day 9: the spike sits INSIDE the trailing window but the median
+    // baseline ignores it — med still 5, day 9 unflagged
+    assert(got("2024-01-09") === ((5L, 5L, 0L, 0L, 0L)))
+    // no other day flagged
+    assert(got.values.map(_._5).sum === 1L)
+  }
+
+  test("x152 real data: flags recompute from the returned row columns") {
+    val rows = analytics.Anomaly.hampelOutliers.fn(spark, sf)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, y, med, mad, dev, fl) =>
+      assert(dev === math.abs(y - med))
+      assert((fl == 1L) === (dev > 3 * mad))
+    }
+  }
 }

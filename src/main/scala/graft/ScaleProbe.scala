@@ -574,7 +574,10 @@ object ScaleProbe {
       "x150_pattern_negation",
       // x151: 5 rows; one daily hash agg, the pair join and rank run on
       // the constant calendar axis
-      "x151_theil_sen")
+      "x151_theil_sen",
+      // x152: |types|×|days| rows (constant); one daily hash agg, order
+      // statistics on ≤7-element arrays over the calendar axis
+      "x152_hampel_outliers")
     // Probe-only variants that are not registry entries: the registered
     // x32 is windowed to vec_id < 500 (so its oracle can compare against
     // exact all-pairs x14) — timing that window at growing corpus sizes

@@ -279,7 +279,18 @@ object Curation {
     * "inspect the quality distribution before choosing a filter
     * threshold" step. Exact NTILE over a (score, doc_id) total order;
     * no double is ever summed (min/max of per-row-identical doubles,
-    * exact BIGINT sums otherwise), so parity is bit-exact. */
+    * exact BIGINT sums otherwise), so parity is bit-exact.
+    *
+    * Scale shape (round 12): the naive form — `ntile(10) OVER (ORDER BY
+    * score, doc_id)` — is a corpus-wide SINGLE-PARTITION window, the one
+    * plan that funnels every document through one reducer for a global
+    * sort. The exact decile is instead DERIVED from the exact global
+    * rank via [[SegmentedRank]] (the x111 machinery): segment on
+    * `floor(score · 4096)` (monotone in score), rank per segment in
+    * parallel, broadcast the ≤4097-row segment-offset table, apply SQL's
+    * own NTILE formula. Identical semantics — the oracle is still plain
+    * `NTILE(10) OVER (ORDER BY score, doc_id)` — but no executor ever
+    * sorts more than one score-segment's rows. */
   val qualityDeciles = Q.withOracle(
     "x25_quality_deciles",
     "x25: quality-score deciles with per-bin stats",
@@ -297,8 +308,11 @@ object Curation {
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       qualityScore.as("score"))
-    base.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+    // segment = floor(score·4096): monotone in score (multiplying a
+    // double by a positive power of two is exact), ≤4097 segments
+    val ranked = SegmentedRank.withGlobalRank(base,
+      floor(col("score") * 4096).cast("long"), Seq(col("score"), col("doc_id")))
+    ranked.withColumn("decile", SegmentedRank.ntileExpr(10).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("score")).as("min_score"),

@@ -284,33 +284,14 @@ object Layout {
        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  MIN(price) AS lo_price, MAX(price) AS hi_price
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val o = graft.Tables.orders(s, dir)
       .select(col("o_totalprice").as("price"), col("o_orderkey").as("key"))
-      .withColumn("pb", shiftright(
-        (col("price").cast("decimal(12,2)") * 100).cast("long"), RpBktBits))
-    val wIn = Window.partitionBy(col("pb")).orderBy(col("price"), col("key"))
-    val offW = Window.orderBy(col("pb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the offsets/total table is |segments|-sized — a broadcast scalar
-    val offsets = o.groupBy(col("pb")).agg(count(lit(1)).as("bn"))
-      .withColumn("off", coalesce(sum(col("bn")).over(offW), lit(0L)))
-      .withColumn("n", sum(col("bn")).over(Window.partitionBy()))
-      .select(col("pb"), col("off"), col("n"))
-    val ranked = o.withColumn("ir", row_number().over(wIn))
-      .join(broadcast(offsets), "pb")
-      .select(col("price"), (col("off") + col("ir")).as("r"), col("n"))
-    // NTILE from the exact rank — integer `div` throughout (Column has
-    // no integer division; the SQL fragment keeps both engines' floor
-    // semantics identical on these positive operands)
-    val bucket = expr(
-      s"""CASE WHEN r <= (n % $RangeBuckets) * ((n div $RangeBuckets) + 1)
-         |  THEN (r - 1) div ((n div $RangeBuckets) + 1) + 1
-         |  ELSE (n % $RangeBuckets)
-         |    + (r - (n % $RangeBuckets) * ((n div $RangeBuckets) + 1) - 1)
-         |        div greatest(n div $RangeBuckets, 1L) + 1
-         |END""".stripMargin)
-    ranked.withColumn("bucket", bucket.cast("long"))
+    // segment = high bits of the fixed-point price — monotone in price
+    val segCol = shiftright(
+      (col("price").cast("decimal(12,2)") * 100).cast("long"), RpBktBits)
+    val ranked = SegmentedRank.withGlobalRank(o, segCol,
+      Seq(col("price"), col("key")))
+    ranked.withColumn("bucket", SegmentedRank.ntileExpr(RangeBuckets).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         min(col("price")).as("lo_price"), max(col("price")).as("hi_price"))

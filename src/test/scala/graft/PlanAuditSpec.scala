@@ -119,6 +119,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"unbounded broadcast hints in: $offenders")
   }
 
+  test("no unpartitioned window runs over an unbounded (corpus-sized) input") {
+    // A `Window.orderBy(...)` with no partitionBy is planned as a
+    // SINGLE-PARTITION window: every input row funnels through one
+    // reducer for a global sort — the one shape that cannot survive a
+    // 100× scale-up. Registry-wide rule (round 12, after x25 moved to
+    // the SegmentedRank machinery): an unpartitioned Window is legal
+    // ONLY over a bounded axis, witnessed STRUCTURALLY by a bounding
+    // operator (Aggregate / limit / Deduplicate / Sample) somewhere
+    // below it in the same plan — per-segment count tables, weekly
+    // axes, top-k prefixes — or by an explicit allow-list entry naming
+    // the bounded input. Corpus-over-the-wire global sorts must use
+    // graft.ext.SegmentedRank instead.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val unboundedOk = Set.empty[String] // every bounded axis is currently structural
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: Window if w.partitionSpec.isEmpty =>
+          w.child.collect {
+            case p @ (_: Aggregate | _: GlobalLimit | _: LocalLimit |
+                      _: Deduplicate | _: Sample) => p
+          }.isEmpty
+      }
+      if (bad.contains(true) && !unboundedOk(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: $offenders")
+  }
+
   test("x25b plans no Window at all (the decile bin is a map, not a sort)") {
     // x25's exact NTILE is the one sanctioned global-window query; its
     // scale twin must get the same answer shape with zero Window operators

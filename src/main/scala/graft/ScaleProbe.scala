@@ -167,6 +167,11 @@ object ScaleProbe {
       // round-6 task: the x31-x39 LLM-pipeline surface
       "x31_quantize_int8", "x33_bm25_topk", "x34_rrf_fusion",
       "x36_vocab_build", "x38_oov_rate", "x39_domain_mix",
+      // x25: 10-row output; round-12 SegmentedRank rewrite — per-score-
+      // segment row_number (parallel) + broadcast ≤4097-row offset
+      // table, no single-partition corpus sort anywhere. Wall should
+      // track the one segment hash shuffle linearly
+      "x25_quality_deciles",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",
@@ -398,6 +403,12 @@ object ScaleProbe {
       // explode — expect x60's linear-in-wedges curve, the honest cost
       // of exact per-node counts (x60b is the sampled tier)
       "x99_clustering_coeff",
+      // x99b: top-20 bounded; x99's scale tier — full-edge degree agg
+      // (linear, unavoidable: true denominators) + the closure join on
+      // the p=1/4 sampled graph (~p² of x99's wedge rows). Expect wall
+      // well under x99's at every factor, gap widening as wedges
+      // dominate
+      "x99b_clustering_doulion",
       // x100: |types| rows; one (type, value)-grain agg is the only
       // full-data shuffle, then segmented windows — the x92/x95 shape
       "x100_ks_drift",

@@ -47,6 +47,49 @@ class GraphSpec extends SparkSuite {
       s"DOULION estimate $est vs exact $exact (sampled edges $sampledEdges)")
   }
 
+  test("x99b estimator vs exact per-node triangles on sf0.1: top-degree nodes within tolerance") {
+    // The pin the oracle can't give (it replays the same sampled count,
+    // never checking against TRUTH): for the registered top-20-by-degree
+    // nodes at sf0.1, the p=1/4 DOULION per-node estimate must track the
+    // exact triangle count. Per-node std-dev ~ sqrt(63·tri(v)), so the
+    // relative error shrinks with triangle count — top-degree nodes at
+    // sf0.1 carry thousands of triangles each.
+    val big = "/root/testdata/sf0.1"
+    val est = ext.Graph.clusteringApprox.fn(spark, big)
+      .select($"part", $"degree", $"est_tri").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(est.size === 20)
+    // exact per-node triangle credits via the same public oriented-edge
+    // machinery x99 uses (explode each closed wedge into three credits)
+    val o = ext.Graph.orientedEdges(spark, big).localCheckpoint()
+    val wedges = o.as("a").join(o.as("b"),
+        $"a.src" === $"b.src" && $"a.kdst" < $"b.kdst")
+      .select($"a.src".as("s"), $"a.dst".as("wu"), $"b.dst".as("wv"))
+    val exact = wedges.join(o.as("c"), $"wu" === $"c.src" && $"wv" === $"c.dst")
+      .select(explode(array($"s", $"wu", $"wv")).as("p"))
+      .filter($"p".isin(est.keys.toSeq: _*))
+      .groupBy($"p").agg(count(lit(1)).as("tri"))
+      .as[(Long, Long)].collect().toMap
+    // Per-node: variance-based z bound. est = 64·st with st ≈
+    // Binomial(tri, p³), so std(est) ≈ √(64²·tri·p³(1−p³)) = √(63·tri);
+    // 6σ absorbs the shared-edge covariance the independence model drops.
+    var sumEst = 0L; var sumTruth = 0L
+    est.foreach { case (p, (_, estTri)) =>
+      val truth = exact.getOrElse(p, 0L)
+      assert(truth > 0, s"part $p: top-degree node with zero exact triangles")
+      sumEst += estTri; sumTruth += truth
+      val z = math.abs(estTri - truth) / math.sqrt(63.0 * truth)
+      assert(z < 6.0, s"part $p: est $estTri vs exact $truth (z=$z)")
+    }
+    // Panel aggregate: measured −15.9% (10432 vs 12405; z ≈ 2.2 under
+    // the independence model, inflated by shared-edge covariance and by
+    // the top-degree nodes sharing hub edges with each other). The
+    // sample is DETERMINISTIC, so this is a stable number, not a flake;
+    // the bound documents the p = 1/4 quality floor (p is the lever).
+    val panelErr = math.abs(sumEst - sumTruth).toDouble / sumTruth
+    assert(panelErr < 0.25, s"panel estimate $sumEst vs exact $sumTruth ($panelErr)")
+  }
+
   test("x59 crafted: symmetric 2-cycle is stationary at exactly RScale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph2").toString
     write(dir, Seq((1L, 10L), (1L, 20L)))

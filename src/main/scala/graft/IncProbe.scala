@@ -370,8 +370,8 @@ object IncProbe {
         .withColumn("ts",
           timestamp_micros(unix_micros(col("ts")) + lit(k * monthUs)))
       var store: DataFrame =
-        Seq.empty[(String, java.sql.Date, Long, Long, Long)]
-          .toDF("event_type", "last_day", "l", "b", "n_days")
+        Seq.empty[(String, java.sql.Date, Long, Long, Long, Long)]
+          .toDF("event_type", "last_day", "l", "b", "n_days", "n_ignored")
       (0 until f).foreach { k =>
         HoltFeed.applyBatch(store, shifted(k))
           .write.mode("overwrite").parquet(s"$dir/state.parquet")

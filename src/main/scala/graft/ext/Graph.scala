@@ -36,14 +36,16 @@ object Graph {
   /** Fixed-point scale for PageRank ranks (1.0 ≡ 1e12).
     *
     * Headroom bound (the LPA PackBase discipline): total rank mass is
-    * conserved at N·RScale, so the damping step's `85 * sum` needs
-    * N·RScale·85 < 2^63, i.e. N < ~1.08e5 nodes PER CONNECTED
-    * COMPONENT worth of mass funneling into one hub's in-neighbor sum.
-    * Beyond that, Spark under ANSI throws on the multiply while DuckDB
-    * silently widens SUM to HUGEINT — a loud-vs-silent divergence, not
-    * a wrong answer. For graphs whose hubs can absorb ≥1e5 nodes' mass,
-    * carry contributions in decimal(38,0) (the x74 checksum posture) or
-    * drop RScale to 1e9 (headroom ~1e8 nodes at 1e-9 rank resolution). */
+    * conserved at N·RScale. Since round 12 the in-neighbor contribution
+    * sum and the `85·sum` damping multiply are carried in decimal(38,0)
+    * — matching DuckDB's silent SUM→HUGEINT widening, so the two
+    * engines stay in lockstep instead of loud-vs-silent diverging. The
+    * remaining ceiling is the final rank VALUE's cast back to BIGINT:
+    * a single hub would need ~1.08e7 nodes' ENTIRE conserved mass in
+    * its in-neighborhood before r exceeds 2^63 — two orders beyond the
+    * old 85·sum long bound, and unreachable for any graph whose hubs
+    * hold a bounded mass share. If even that bound bites, drop RScale
+    * to 1e9 (headroom ~1e10 full-mass nodes at 1e-9 resolution). */
   private val RScale = 1000000000000L
   /** Damping = 85/100 in exact integer arithmetic. */
   private val DampNum = 85L
@@ -108,12 +110,18 @@ object Graph {
         .join(deg, "src")
         .join(ranks, col("src") === col("v"))
         .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        // decimal(38,0) carry (round 12): the long path threw on the
+        // 85·sum damping multiply once ~1.08e5 nodes' mass funneled
+        // into one hub's in-neighbor sum; DuckDB widens SUM to HUGEINT
+        // silently, so decimal is also the parity-preserving choice.
+        .groupBy(col("dst")).agg(sum(col("c").cast("decimal(38,0)")).as("m"))
       ranks = deg
         .select(col("src").as("v"))
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"),
-          (lit(RScale * 15 / 100) + expr(s"($DampNum * coalesce(m, 0L)) div 100")).as("r"))
+          (lit(RScale * 15 / 100) + expr(
+            s"CAST(($DampNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))) div 100 AS BIGINT)"))
+            .as("r"))
     }
     // Materialize the final ranks (N rows) and release the edge/degree
     // checkpoints (E rows) they were built from: repeated invocations —
@@ -926,9 +934,15 @@ object Graph {
     * the symmetric form, so even that bet is off the table. Negative r
     * (hubs avoid hubs) is the expected shape for co-occurrence graphs.
     *
-    * Scale: the edge table joins the degree table twice on node keys
-    * (the x59 shape), one keyless agg of 4 exact sums — no window, no
-    * sort, output is a single row. */
+    * Scale (round 12 — the 20×-probe spill fix): the directed-multiset
+    * x-moments never need the edge join at all. Node u is the x-end of
+    * exactly d(u) directed edges, so Σx = Σ_v d(v)², Σx² = Σ_v d(v)³,
+    * and M = Σ_v d(v) — three exact sums over the NODE table. Only the
+    * cross-moment needs edges: Σxy = 2·Σ_{(u,v)∈E} d(u)·d(v), one
+    * degree-joined pass over the UNDIRECTED edge set (half the previous
+    * join output, and the 2E-row union feeding the keyless 4-sum agg —
+    * the r11 spill onset — is gone entirely). Same exact integers, same
+    * doubles, same oracle. */
   val assortativity = Q.withOracle(
     "x102_assortativity",
     "x102: Newman degree-assortativity coefficient of the part graph",
@@ -936,21 +950,22 @@ object Graph {
     val e = undirected(s, dir)
     val deg = e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    // d ≤ |V| < 10^13 keeps d³ exact well inside decimal(38,0)
+    val dDec = col("d").cast("decimal(13,0)")
+    val nodeMoments = deg.agg(
+      sum(col("d")).cast("long").as("m2"),
+      sum(dDec * dDec).cast("double").as("sx"),
+      sum(dDec * dDec * dDec).cast("double").as("sxx"))
     val du = deg.select(col("p").as("u"), col("d").as("xdu"))
     val dv = deg.select(col("p").as("v"), col("d").as("xdv"))
-    val joined = e.join(du, "u").join(dv, "v")
-    val dd = joined.select(col("xdu").as("x"), col("xdv").as("y"))
-      .unionAll(joined.select(col("xdv").as("x"), col("xdu").as("y")))
-    val a = dd.agg(count(lit(1)).cast("long").as("m2"),
-      sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
-      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
-        .cast("double").as("sxx"),
-      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
-        .cast("double").as("sxy"))
+    val crossMoment = e.join(du, "u").join(dv, "v")
+      .agg((sum(col("xdu").cast("decimal(13,0)") * col("xdv").cast("decimal(13,0)"))
+        * 2).cast("double").as("sxy"))
     // NO unpersist here: the result is returned lazily, and dropping a
     // lineage-truncated localCheckpoint before execution is unrecoverable
     // — e is the single edge generation this query ever holds, and the
     // callers' sweep/ContextCleaner reclaims it after materialization.
+    val a = nodeMoments.crossJoin(crossMoment) // two 1-row scalars
     a.select(expr("m2 div 2").cast("long").as("n_edges"),
       when(col("m2") * col("sxx") - col("sx") * col("sx") =!= 0.0,
         (col("m2") * col("sxy") - col("sx") * col("sx"))
@@ -1183,13 +1198,16 @@ object Graph {
         .join(deg, "src")
         .join(ranks, col("src") === col("v"))
         .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        // decimal(38,0) carry — same overflow posture as x59's rounds
+        .groupBy(col("dst")).agg(sum(col("c").cast("decimal(38,0)")).as("m"))
       ranks = deg
         .select(col("src").as("v"))
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"),
           (when(seed(col("v")), lit(RScale * 15 / 100)).otherwise(lit(0L))
-            + expr(s"($DampNum * coalesce(m, 0L)) div 100")).as("r"))
+            + expr(
+              s"CAST(($DampNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))) div 100 AS BIGINT)"))
+            .as("r"))
     }
     val out = ranks.filter(col("r") > 0)
       .select(col("v").as("part"),

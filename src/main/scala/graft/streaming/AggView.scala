@@ -301,9 +301,11 @@ object AggView {
       }
       .start()
 
-  /** Current view (bucket column dropped), one row per live group. */
+  /** Current view (bucket column dropped), one row per live group —
+    * manifest-driven via the shared store layer (stat-validated,
+    * self-healing), listing fallback for pre-manifest views. */
   def readView(spark: SparkSession, viewDir: String): DataFrame =
-    spark.read.parquet(viewDir).drop("b")
+    BucketStore.readBuckets(spark, viewDir, None).drop("b")
 
   /** Per-group (cnt, sum_<c>…) contributions of `rows`, optionally
     * negated (the subtract side of a replacement delta). */
@@ -352,6 +354,10 @@ object AggView {
       touched.filterNot(present).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(viewDir, s"b=$b"), true)
       }
+      // overwrite-commit refresh: touched entries := current listings
+      // (emptied buckets drop out); crash before this line leaves a
+      // stale manifest that the next read stat-detects and rebuilds
+      BucketStore.refreshTouched(spark, viewDir, touched)
     }
     if (!Cdc.storeExists(spark, viewDir)) {
       val init0 = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
@@ -363,12 +369,12 @@ object AggView {
       }
       init.repartition(col("b")).write.partitionBy("b").mode("overwrite").parquet(viewDir)
       Cdc.writeBucketsFile(spark, viewDir, numBuckets)
+      BucketStore.rebuildManifest(spark, viewDir) // creation pays ONE recursive listing
     } else if (minMaxCols.isEmpty) {
       val withB = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
       val touched = withB.select(col("b")).distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
-      val existing = spark.read.parquet(viewDir)
-        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+      val existing = BucketStore.readBuckets(spark, viewDir, Some(touched))
       writeOut(existing.unionByName(withB)
         .groupBy((g :+ col("b")): _*)
         .agg(sum(col("cnt")).as("cnt"),
@@ -379,8 +385,7 @@ object AggView {
       // extremum is conditional on what left vs what remains.
       val touched = deltas.withColumn("b", Cdc.bucketColFor(groupCols, n))
         .select(col("b")).distinct().collect().map(_.getInt(0)).toSeq
-      val ex = spark.read.parquet(viewDir)
-        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+      val ex = BucketStore.readBuckets(spark, viewDir, Some(touched))
         .drop("b")
         .select(g ++ Seq(col("cnt").as("__ex_cnt")) ++
           sumCols.map(c => col(s"sum_$c").as(s"__ex_sum_$c")) ++

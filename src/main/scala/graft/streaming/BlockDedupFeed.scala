@@ -61,9 +61,11 @@ object BlockDedupFeed {
   private def bucketCol(n: Int) =
     pmod(xxhash64(col("bh")), lit(n.toLong)).cast("int").as("b")
 
-  /** Partition-pruned index read: only the `touched` bucket directories
-    * reach the scan (BlockDedupFeedSpec asserts the pruned file set).
-    * The explicit schema keeps an empty-but-pinned store readable. */
+  /** Manifest-driven index read of only the `touched` buckets' files
+    * (BlockDedupFeedSpec asserts the pruned file set); the shared store
+    * layer stat-validates entries and falls back to a partition-pruned
+    * listing scan for pre-manifest stores. The explicit schema keeps an
+    * empty-but-pinned store readable. */
   private[graft] def readIndex(spark: SparkSession, indexDir: String,
       touched: Seq[Int]): DataFrame = {
     if (!Cdc.storeExists(spark, indexDir) || touched.isEmpty)
@@ -71,8 +73,7 @@ object BlockDedupFeed {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
         .drop("b")
     else
-      spark.read.schema(idxSchema).parquet(indexDir)
-        .filter(col("b").isin(touched: _*)) // partition-pruned scan
+      BucketStore.readBuckets(spark, indexDir, Some(touched), Some(idxSchema))
         .drop("b")
   }
 
@@ -93,6 +94,9 @@ object BlockDedupFeed {
       .localCheckpoint() // read three times (touched + flag + append); batch-sized
     val touched = blocks.select(bucketCol(n)).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // one-time migration: a pre-manifest store's files must be in the
+    // manifest BEFORE an append commit extends it
+    if (pinned > 0) BucketStore.ensureManifest(spark, indexDir)
     val idx = readIndex(spark, indexDir, touched)
     val flagged = blocks
       .withColumn("bf", col("p") === min(col("p")).over(Window.partitionBy(col("bh"))))
@@ -103,12 +107,21 @@ object BlockDedupFeed {
     // Unconditional append (round 8): a replay's new-owner frame is
     // empty and writes nothing — probing it with isEmpty first was one
     // extra Spark job per batch for no behavior change.
+    //
+    // Append-commit protocol (round 12): snapshot the touched dirs,
+    // write, then commit exactly the before/after difference to the
+    // manifest. A crash between write and commit leaves the new files
+    // as INVISIBLE orphans — the replayed batch recomputes identical
+    // decisions (its blocks still read as absent), re-appends, and
+    // commits; orphans are reclaimed by [[compact]]'s dir overwrite.
+    val before = BucketStore.snapshotBuckets(spark, indexDir, touched)
     flagged
       .filter(col("bf") && col("owner").isNull)
       .select(col("bh"), col("p").as("owner"))
       .withColumn("b", bucketCol(n))
       .repartition(col("b")) // one file per touched bucket per batch, not tasks × buckets
       .write.partitionBy("b").mode("append").parquet(indexDir)
+    BucketStore.commitAppended(spark, indexDir, touched, before)
     Rewrite.reassemble(flagged.select(col("doc_id"), col("blk"), col("btxt"), col("keep")))
   }
 
@@ -125,12 +138,23 @@ object BlockDedupFeed {
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val n = Cdc.pinnedBuckets(spark, indexDir)
     if (n > 0) {
-      spark.read.schema(idxSchema).parquet(indexDir)
+      BucketStore.ensureManifest(spark, indexDir)
+      // read the manifest-VISIBLE rows: the dir overwrite then deletes
+      // any invisible orphans from crashed appends along with the
+      // replaced per-batch files — compaction doubles as garbage
+      // collection for the append-commit protocol
+      val all = BucketStore.readBuckets(spark, indexDir, None, Some(idxSchema))
         .localCheckpoint()
+      val touched = all.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+      all
         .repartition(col("b")) // each bucket wholly in one task → one file per dir
         .write.partitionBy("b").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(indexDir)
+      // post-overwrite the dirs contain exactly the compacted files, so
+      // the listing refresh is the correct commit here
+      BucketStore.refreshTouched(spark, indexDir, touched)
     }
   }
 

@@ -61,133 +61,31 @@ object Cdc {
       }
       .start()
 
-  private def bucketsPath(storeDir: String) = new Path(storeDir, "_BUCKETS")
-
-  private def manifestPath(storeDir: String) = new Path(storeDir, "_MANIFEST")
-
-  /** The store's live data files per bucket, from the `_MANIFEST` cache
-    * (one `<bucket>\t<relative-path>` line per file; underscore-prefixed
-    * → invisible to partition discovery). `None` for a pre-manifest
-    * store — every reader falls back to directory listing and the next
-    * merge self-heals by writing one.
-    *
-    * The manifest exists because the alternative is O(buckets) listing
-    * per merge: `spark.read.parquet(store)` lists the root plus every
-    * `b=<k>` directory before it can prune to the touched ones, and
-    * with buckets ∝ snapshot size that listing GROWS WITH HISTORY —
-    * the one non-flat IncProbe row of round 10 (2.4× at 10× history,
-    * all of it metadata). With the manifest, a merge stats only the
-    * touched buckets' files: cost follows the BATCH, which is the
-    * whole incremental contract. This is the table-format move
-    * (Delta/Iceberg put file lists in the commit log for the same
-    * reason).
-    *
-    * Crash contract: the manifest is written AFTER the data commit, so
-    * a crash between the two leaves it stale (pointing at files the
-    * dynamic-partition overwrite deleted). Recovery = delete
-    * `_MANIFEST` (or call [[rebuildManifest]]); every path here falls
-    * back to listing when it is absent, and the next merge rewrites
-    * it — the same replay-reconverges posture as the partition swap
-    * itself. */
+  // Store metadata machinery lives in the shared [[BucketStore]] layer
+  // since round 12 (it was born here in rounds 8–11); these forwarders
+  // keep Cdc's surface stable for its callers and specs.
   private[graft] def readManifest(spark: SparkSession,
-      storeDir: String): Option[Map[Int, Seq[String]]] = {
-    val p = manifestPath(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(text.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, f) = line.split("\t", 2)
-        (b.toInt, f)
-      }.toSeq.groupMap(_._1)(_._2))
-    }
-  }
+      storeDir: String): Option[Map[Int, Seq[String]]] =
+    BucketStore.readManifest(spark, storeDir)
 
-  private def writeManifest(spark: SparkSession, storeDir: String,
-      entries: Map[Int, Seq[String]]): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val tmp = new Path(storeDir, "_MANIFEST.tmp")
-    val fs = tmp.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .flatMap { case (b, fsq) => fsq.sorted.map(f => s"$b\t$f") }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(storeDir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private[streaming] def rebuildManifest(spark: SparkSession, storeDir: String): Unit =
+    BucketStore.rebuildManifest(spark, storeDir)
 
-  /** Data files of one `b=<k>` directory as manifest-relative paths —
-    * one targeted listing, O(files-in-bucket) = O(1) with the
-    * one-file-per-bucket write discipline. */
-  private def listBucketFiles(spark: SparkSession, storeDir: String,
-      bucket: Int): Seq[String] = {
-    val dir = new Path(storeDir, s"b=$bucket")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
-      .map(st => s"b=$bucket/${st.getPath.getName}")
-  }
+  private[streaming] def pinnedBuckets(spark: SparkSession, storeDir: String): Int =
+    BucketStore.pinnedBuckets(spark, storeDir)
 
-  /** Rebuild `_MANIFEST` from one recursive listing — store creation,
-    * and the recovery path after a crash mid-merge. */
-  private[streaming] def rebuildManifest(spark: SparkSession, storeDir: String): Unit = {
-    val root = new Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(root, true)
-    val entries = scala.collection.mutable.Map.empty[Int, List[String]]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      val parent = st.getPath.getParent.getName
-      if (st.isFile && parent.startsWith("b=") &&
-          !name.startsWith("_") && !name.startsWith(".")) {
-        val b = parent.drop(2).toInt
-        entries.updateWith(b)(old => Some(s"$parent/$name" :: old.getOrElse(Nil)))
-      }
-    }
-    writeManifest(spark, storeDir, entries.view.mapValues(_.toSeq).toMap)
-  }
-
-  /** The store's pinned bucket count, or 0 if the store is unborn. The
-    * count is fixed at creation (a later different `numBuckets` argument
-    * is ignored) — re-hashing an existing store would silently split
-    * keys across buckets. */
-  private[streaming] def pinnedBuckets(spark: SparkSession, storeDir: String): Int = {
-    val p = bucketsPath(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
-    }
-  }
-
-  /** Whether a bucketed store has been created at `dir` (its `_BUCKETS`
-    * pin exists). Shared with [[AggView]]'s view store, which uses the
-    * same layout. */
   private[streaming] def storeExists(spark: SparkSession, dir: String): Boolean =
-    pinnedBuckets(spark, dir) > 0
+    BucketStore.storeExists(spark, dir)
 
   /** [[AggView]]'s access to the bucket-assignment column. */
   private[streaming] def bucketColFor(cols: Seq[String], n: Int) =
-    bucketCol(cols, n)
+    BucketStore.bucketCol(cols, n)
 
-  private[streaming] def writeBucketsFile(spark: SparkSession, storeDir: String, n: Int): Unit = {
-    val p = bucketsPath(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(n.toString.getBytes("UTF-8"))
-    finally out.close()
-  }
+  private[streaming] def writeBucketsFile(spark: SparkSession, storeDir: String, n: Int): Unit =
+    BucketStore.writeBucketsFile(spark, storeDir, n)
 
   private def bucketCol(keys: Seq[String], n: Int) =
-    pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int").as("b")
+    BucketStore.bucketCol(keys, n)
 
   /** MERGE a batch of row images into the bucketed parquet snapshot.
     * Newest image per key wins GLOBALLY, not just within the batch: the
@@ -219,20 +117,13 @@ object Cdc {
     } else {
       val touched = batch.select(bucketCol(keys, n)).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val manifest = readManifest(spark, storeDir)
-      val existing = manifest match {
-        case Some(m) =>
-          // Manifest fast path: the exact file list of the touched
-          // buckets — stats O(batch-keys) files, never lists the root.
-          // basePath re-attaches the b partition column from the paths.
-          val files = touched.flatMap(b => m.getOrElse(b, Nil))
-            .map(f => s"$storeDir/$f")
-          if (files.isEmpty) newest.filter(lit(false)) // all-fresh buckets
-          else spark.read.option("basePath", storeDir).parquet(files: _*)
-        case None => // pre-manifest store: the listing path, self-heals below
-          spark.read.parquet(storeDir)
-            .filter(col("b").isin(touched: _*)) // partition-pruned scan
-      }
+      // Manifest fast path (with stale-entry stat validation + self-heal
+      // in BucketStore): the exact file list of the touched buckets —
+      // stats O(batch-keys) files, never lists the root. basePath
+      // re-attaches the b partition column from the paths. Pre-manifest
+      // stores take one partition-pruned listing read and heal below.
+      val existing = BucketStore.readBuckets(spark, storeDir, Some(touched),
+        schemaHint = Some(newest.schema))
       val merged = Etl.dedupFirst(
         existing.withColumn("__src", lit(0))
           .unionByName(newest.withColumn("__src", lit(1))),
@@ -242,25 +133,17 @@ object Cdc {
         .write.partitionBy("b").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(storeDir)
-      manifest match {
-        case Some(m) =>
-          // Refresh only the touched buckets' entries — O(touched)
-          // targeted listings, each one file under the write discipline.
-          writeManifest(spark, storeDir,
-            m ++ touched.map(b => b -> listBucketFiles(spark, storeDir, b)))
-        case None => rebuildManifest(spark, storeDir) // self-heal: one full listing
-      }
+      // Overwrite-commit refresh: touched buckets' entries become their
+      // current listings — O(touched) targeted listings, each one file
+      // under the write discipline; pre-manifest stores self-heal with
+      // one full listing.
+      BucketStore.refreshTouched(spark, storeDir, touched)
     }
   }
 
   /** Current store contents (bucket column dropped) — manifest-driven
-    * when available (no directory walk), listing fallback otherwise. */
+    * when available (stat-validated, self-healing; no directory walk),
+    * listing fallback otherwise. */
   def readStore(spark: SparkSession, storeDir: String): DataFrame =
-    readManifest(spark, storeDir) match {
-      case Some(m) if m.nonEmpty =>
-        spark.read.option("basePath", storeDir)
-          .parquet(m.values.flatten.map(f => s"$storeDir/$f").toSeq: _*)
-          .drop("b")
-      case _ => spark.read.parquet(storeDir).drop("b")
-    }
+    BucketStore.readBuckets(spark, storeDir, None).drop("b")
 }

@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   * carry any number of NEW complete days for any mix of keys; days at or
   * before a key's high-water `last_day` are IGNORED (replays and late
   * partial days cannot corrupt the state — re-applying an old batch is a
-  * no-op, spec-pinned). Fresh keys seed exactly as x139 does (l₁ = y₁·S,
+  * no-op, spec-pinned). The contract is also OBSERVABLE, not just
+  * documented: every ignored (event_type, day) row increments the
+  * state's cumulative `n_ignored` counter, so a late-arriving correction
+  * to an already-folded day — which the fold must absorb as a no-op —
+  * leaves a visible signal instead of silently diverging from the batch
+  * oracle. A monitoring layer alerts on `n_ignored` growth under
+  * exactly-once delivery (replays legitimately inflate it; divergence
+  * without replays means the day-complete contract was violated). Fresh keys seed exactly as x139 does (l₁ = y₁·S,
   * b₁ = 0), and folding the same days in any batch split reproduces the
   * batch query's state bit-for-bit because each step is the identical
   * scaled-integer update ([[Trend.holtForecast]]'s α = β = 1/2 dyadic
@@ -38,7 +45,7 @@ object HoltFeed {
       .stripMargin
 
   /** Merge one micro-batch of events into a
-    * (event_type, last_day, l, b, n_days) state table. */
+    * (event_type, last_day, l, b, n_days, n_ignored) state table. */
   def applyBatch(store: DataFrame, batch: DataFrame): DataFrame = {
     val daily = batch
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -51,10 +58,15 @@ object HoltFeed {
         sort_array(collect_list(when(
           col("last_day").isNull || col("day") > col("last_day"),
           struct(col("day"), col("y"))))).as("ax"),
+        // days the high-water guard dropped THIS batch (contract
+        // observability — null-comparison arms fall to the 0 branch)
+        sum(when(col("day").isNotNull && col("day") <= col("last_day"), 1L)
+          .otherwise(0L)).as("ign"),
         first(col("l"), ignoreNulls = true).as("l0"),
         first(col("b"), ignoreNulls = true).as("b0"),
         first(col("last_day"), ignoreNulls = true).as("ld0"),
-        first(col("n_days"), ignoreNulls = true).as("nd0"))
+        first(col("n_days"), ignoreNulls = true).as("nd0"),
+        first(col("n_ignored"), ignoreNulls = true).as("ni0"))
       .select(col("event_type"),
         expr("""CASE WHEN size(ax) = 0 THEN ld0
                |ELSE element_at(ax, -1).day END""".stripMargin).as("last_day"),
@@ -69,9 +81,12 @@ object HoltFeed {
              |  ELSE aggregate(ax, named_struct('l', l0, 'b', b0), $step)
              |END""".stripMargin).as("st"),
         (coalesce(col("nd0"), lit(0L)) + size(col("ax"))).cast("long")
-          .as("n_days"))
+          .as("n_days"),
+        (coalesce(col("ni0"), lit(0L)) + col("ign")).cast("long")
+          .as("n_ignored"))
       .select(col("event_type"), col("last_day"),
-        col("st.l").as("l"), col("st.b").as("b"), col("n_days"))
+        col("st.l").as("l"), col("st.b").as("b"), col("n_days"),
+        col("n_ignored"))
   }
 
   /** The forecast view over a state table — column-identical to

@@ -50,19 +50,22 @@ object PqIndexFeed {
   def readCodebooks(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(codebooksDir(storeDir))
 
-  /** All accumulated codes. */
+  /** All accumulated codes — manifest-driven via the shared store layer
+    * (stat-validated, self-healing), listing fallback for pre-manifest
+    * stores. */
   def readCodes(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(codesSchema).parquet(codesDir(storeDir)).drop("b")
+    BucketStore.readBuckets(spark, codesDir(storeDir), None, Some(codesSchema))
+      .drop("b")
 
-  /** Partition-pruned read of only the `touched` bucket dirs. */
+  /** Manifest-driven read of only the `touched` buckets' files. */
   private def readTouched(spark: SparkSession, storeDir: String,
       touched: Seq[Int]): DataFrame =
     if (touched.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema).drop("b")
     else
-      spark.read.schema(codesSchema).parquet(codesDir(storeDir))
-        .filter(col("b").isin(touched: _*))
+      BucketStore.readBuckets(spark, codesDir(storeDir), Some(touched),
+        Some(codesSchema))
         .drop("b")
 
   /** Encode one batch against the frozen codebooks and append its codes.
@@ -79,23 +82,35 @@ object PqIndexFeed {
       .localCheckpoint() // read twice (touched + append); batch-sized
     val touched = codes.select(col("b")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+    // one-time migration for pre-manifest stores, then the append-commit
+    // protocol: snapshot → write → commit the difference ([[BlockDedupFeed]]
+    // has the crash analysis; orphans stay invisible, replay reconverges)
+    BucketStore.ensureManifest(spark, codesDir(storeDir))
     val known = readTouched(spark, storeDir, touched)
       .select(col("vec_id")).distinct()
+    val before = BucketStore.snapshotBuckets(spark, codesDir(storeDir), touched)
     codes.join(known, Seq("vec_id"), "left_anti")
       .repartition(col("b")) // one file per touched bucket per batch
       .write.partitionBy("b").mode("append").parquet(codesDir(storeDir))
+    BucketStore.commitAppended(spark, codesDir(storeDir), touched, before)
     codes.drop("b")
   }
 
   /** Fold each bucket's per-batch appends into one file ([[BlockDedupFeed]]'s
     * LSM posture; rows are immutable so re-grouping is replay-safe). */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    val n = Cdc.pinnedBuckets(spark, codesDir(storeDir))
-    val all = spark.read.schema(codesSchema).parquet(codesDir(storeDir))
+    // manifest-visible rows only: the dir overwrite deletes crashed
+    // appends' invisible orphans together with the per-batch files
+    BucketStore.ensureManifest(spark, codesDir(storeDir))
+    val all = BucketStore.readBuckets(spark, codesDir(storeDir), None,
+        Some(codesSchema))
       .localCheckpoint() // materialize before replacing source files
+    val touched = all.select(col("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     all.repartition(col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(codesDir(storeDir))
+    BucketStore.refreshTouched(spark, codesDir(storeDir), touched)
   }
 
   /** ADC shortlist for a query frame against the accumulated store —

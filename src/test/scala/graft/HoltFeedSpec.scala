@@ -11,8 +11,8 @@ class HoltFeedSpec extends SparkSuite {
   import spark.implicits._
 
   private def emptyStore: DataFrame =
-    Seq.empty[(String, java.sql.Date, Long, Long, Long)]
-      .toDF("event_type", "last_day", "l", "b", "n_days")
+    Seq.empty[(String, java.sql.Date, Long, Long, Long, Long)]
+      .toDF("event_type", "last_day", "l", "b", "n_days", "n_ignored")
 
   private def chunk(lo: Int, hi: Int): DataFrame =
     Tables.events(spark, sf)
@@ -44,6 +44,27 @@ class HoltFeedSpec extends SparkSuite {
     // and so is an empty batch
     val empt = streaming.HoltFeed.applyBatch(after, chunk(1, 31).limit(0))
     assert(snap(empt) === snap(after))
+  }
+
+  test("ignored-day counter makes contract violations observable") {
+    var store = streaming.HoltFeed.applyBatch(emptyStore, chunk(1, 31))
+      .localCheckpoint()
+    def ignored() = store.select(col("event_type"), col("n_ignored"))
+      .as[(String, Long)].collect().toMap
+    // a clean day-complete run never drops anything
+    assert(ignored().values.forall(_ === 0L))
+    // a replay (or a late correction to a folded day) is absorbed as a
+    // state no-op but COUNTED: one increment per dropped (key, day) row
+    val lateDays = chunk(10, 12)
+    val perKeyLate = lateDays
+      .groupBy(col("event_type")).agg(countDistinct(to_date(col("ts"))).as("nd"))
+      .as[(String, Long)].collect().toMap
+    val before = ignored()
+    store = streaming.HoltFeed.applyBatch(store, lateDays).localCheckpoint()
+    val after = ignored()
+    perKeyLate.foreach { case (k, nd) =>
+      assert(after(k) - before(k) === nd, s"key $k")
+    }
   }
 
   test("one-shot apply equals the batch query (fresh-key seeding path)") {

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSuite {
     "x90_benford_digits",          // broadcast of the 1-row total-count scalar
     "x91_decayed_popularity",      // broadcast of the 1-row high-water-date scalar
     "x98_kmv_intersect",           // non-equi (type<type) pair join over the |types|-row sketch table
+    "x102_assortativity",          // two 1-row moment scalars (node + cross) composed by cross join
     "x103_chi2_independence",      // R×C grid from two broadcast dimension-total tables + 1-row n
     "x109_weekly_acf",             // broadcast of the 4-row literal lag dimension
     "x114_rfm_segments",           // two 1-row scalars (high-water date, customer count)

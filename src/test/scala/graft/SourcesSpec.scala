@@ -227,6 +227,63 @@ class SourcesSpec extends SparkSuite {
       === Set(bucketOf(1L), bucketOf(freshKey)))
   }
 
+  test("stale manifest (crash between data commit and manifest rewrite) self-heals on read") {
+    import graft.streaming.{BucketStore, Cdc}
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("graft-stale-man").toString
+    def merge(rows: Seq[(Long, String, Long)]): Unit =
+      Cdc.mergeIntoStore(rows.toDF("k", "v", "seq"), store, Seq("k"), "seq", numBuckets = 8)
+    merge((1L to 40L).map(k => (k, s"v$k", 1L)))
+    // Simulate the crash window: a data file the manifest still lists is
+    // gone (the dynamic-partition overwrite deleted it before the
+    // manifest rewrite landed). Delete one listed file directly.
+    val fs = new Path(store).getFileSystem(spark.sessionState.newHadoopConf())
+    val m0 = BucketStore.readManifest(spark, store).get
+    val (b0, victimFile) = m0.toSeq.map { case (b, fl) => (b, fl.head) }.head
+    fs.delete(new Path(store, victimFile), false)
+    // Pre-round-12 this threw FileNotFoundException on every read until
+    // someone manually deleted _MANIFEST; now the read stat-detects the
+    // stale entry, rebuilds from listing, and proceeds.
+    val healedRead = Cdc.readStore(spark, store).count()
+    assert(healedRead < 40) // the victim's rows are genuinely gone
+    assert(BucketStore.readManifest(spark, store).get.values.flatten
+      .forall(f => fs.exists(new Path(store, f))), "healed manifest still stale")
+    // and a subsequent merge is clean
+    merge(Seq((500L, "x", 2L)))
+    assert(Cdc.readStore(spark, store).count() === healedRead + 1)
+  }
+
+  test("append-commit protocol: orphan files from a crashed append stay invisible") {
+    import graft.streaming.BucketStore
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("graft-append-man").toString
+    val n = 4
+    def withB(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+      .withColumn("b", BucketStore.bucketCol(Seq("k"), n))
+    def appendCommitted(rows: Seq[(Long, String)]): Unit = {
+      val df = withB(rows).localCheckpoint()
+      val touched = df.select($"b").distinct().collect().map(_.getInt(0)).toSeq
+      val before = BucketStore.snapshotBuckets(spark, store, touched)
+      df.repartition($"b").write.partitionBy("b").mode("append").parquet(store)
+      BucketStore.commitAppended(spark, store, touched, before)
+    }
+    BucketStore.writeBucketsFile(spark, store, n)
+    BucketStore.ensureManifest(spark, store)
+    appendCommitted(Seq((1L, "a"), (2L, "b")))
+    // crashed append: data written, commitAppended never ran
+    withB(Seq((3L, "ORPHAN"))).repartition($"b")
+      .write.partitionBy("b").mode("append").parquet(store)
+    val visible = BucketStore.readBuckets(spark, store, None)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(visible === Set((1L, "a"), (2L, "b")), "orphan leaked into a manifest read")
+    // the replayed batch re-appends and commits; exactly one copy visible
+    appendCommitted(Seq((3L, "ORPHAN")))
+    val after = BucketStore.readBuckets(spark, store, None)
+      .select($"k", $"v").as[(Long, String)].collect().toSeq
+    assert(after.count(_ == ((3L, "ORPHAN"))) === 1)
+    assert(after.toSet === Set((1L, "a"), (2L, "b"), (3L, "ORPHAN")))
+  }
+
   test("merge matches null keys null-safely (no infinite re-insert of failed parses)") {
     val current = Seq((Option(1L), "a"), (None, "bad")).toDF("k", "tag")
     val updates = Seq((Option.empty[Long], "BAD2")).toDF("k", "tag")

@@ -39,8 +39,9 @@ def main():
     new, new_total = load(new_path)
 
     # A failed query is recorded with value -1 — not a timing; keep it
-    # out of every comparison and call it out instead.
-    failed = sorted(q for d in (old, new) for q in d if d[q]["value"] < 0)
+    # out of every comparison and call it out instead (deduped: a query
+    # failing in BOTH runs is still one callout).
+    failed = sorted({q for d in (old, new) for q in d if d[q]["value"] < 0})
     old = {q: d for q, d in old.items() if d["value"] >= 0}
     new = {q: d for q, d in new.items() if d["value"] >= 0}
 
@@ -53,10 +54,13 @@ def main():
     lines = []
     lines.append(f"# Bench delta: {new_path} vs {old_path}")
     lines.append("")
-    lines.append(f"- old total: **{old_total['value']:.1f}s** over {old_total['n']} queries, "
-                 f"{old_total['failures']} failures")
-    lines.append(f"- new total: **{new_total['value']:.1f}s** over {new_total['n']} queries, "
-                 f"{new_total['failures']} failures")
+    # a partial/aborted run's jsonl may carry no metric=total line
+    for label, tot in (("old", old_total), ("new", new_total)):
+        if tot is None:
+            lines.append(f"- {label} total: — (no total line in the jsonl; partial run?)")
+        else:
+            lines.append(f"- {label} total: **{tot['value']:.1f}s** over {tot['n']} queries, "
+                         f"{tot['failures']} failures")
     ratio = new_common / old_common if old_common else float("nan")
     lines.append(f"- common-query set ({len(common)} queries): "
                  f"**{new_common:.1f}s vs {old_common:.1f}s = {ratio:.2f}x** "

@@ -630,6 +630,12 @@ object ScaleProbe {
       // deployment sizes m to the holdout (~10 bits/gram). The probe
       // turns that lever: m = next power of two ≥ 16 × holdout docs'
       // grams-per-doc estimate, memoized on the warmup invocation.
+      // x104 diagnosis row (round 12): candidate-pair volume vs factor.
+      // Fingerprints are copy-disjoint under the token rename (md5 gram
+      // hashes), so candidates should be LINEAR in f; a superlinear wall
+      // with linear candidates indicts shuffle/memory pressure, not the
+      // plan.
+      "x104_cand_probe" -> ((s, dir) => graft.ext.Winnowing.candidateStats(s, dir)),
       "x53_bloom_scaled" -> ((s, dir) => {
         val d = Tables.documents(s, dir)
         val m = kCache.getOrElseUpdate(dir + "#bloom", {

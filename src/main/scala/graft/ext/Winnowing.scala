@@ -93,5 +93,30 @@ object Winnowing {
       .orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(TopK)
   }
 
+  /** Diagnostic for the scale probe (not registered): the candidate-join
+    * volume x104 actually pays, as one row — fingerprint rows, distinct
+    * fingerprints, candidate pairs under the max-df guard, and the df
+    * tail. Gram hashes are md5 of the raw 3-token text, so the probe's
+    * token-renamed copies produce copy-DISJOINT fingerprints (cross-copy
+    * collisions ~2⁻⁶⁰); if candidates scale linearly with the factor
+    * while wall does not, the superlinear wall segment is memory/shuffle
+    * pressure, not candidate growth. */
+  def candidateStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.Winnow3.register(s)
+    val fp = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.Winnow3.winnow3(
+          split(col("text"), " "), lit(W))).as("fp"))
+      .localCheckpoint()
+    val df = fp.groupBy(col("fp")).agg(count(lit(1)).as("df")).localCheckpoint()
+    val cand = df.filter(col("df") <= MaxDf)
+      .agg(sum(expr("df * (df - 1) div 2")).as("n_cand_pairs"))
+    val stats = df.agg(count(lit(1)).as("n_distinct_fp"),
+      sum(col("df")).as("n_fp_rows"),
+      max(col("df")).as("max_df"),
+      sum(when(col("df") > MaxDf, 1L).otherwise(0L)).as("n_hot_fp"))
+    stats.crossJoin(cand)
+  }
+
   val all: Seq[Q] = Seq(fingerprintPairs)
 }

@@ -73,6 +73,24 @@ class WinnowSpec extends SparkSuite {
     }
   }
 
+  test("x104 guard: candidate pairs bounded by (MaxDf-1)/2 per fingerprint row") {
+    // The max-df guard's structural promise — the one that keeps the
+    // fp-keyed pair join linear in corpus size: every fingerprint kept
+    // for pairing contributes at most df·(df−1)/2 ≤ (MaxDf−1)/2·df
+    // pairs, so total candidates ≤ 9.5 × fingerprint rows regardless of
+    // corpus shape (boilerplate fps with df > MaxDf never pair at all).
+    // The r12 scaled-probe diagnosis backs the same claim empirically:
+    // candidates grew exactly 2.002× from factor 10 to 20 (3,459,074 →
+    // 6,923,426 over 1.01M → 2.03M fp rows — SCALING.md, x104 row);
+    // fingerprints are copy-disjoint because gram hashes are md5 of the
+    // raw token text.
+    val r = ext.Winnowing.candidateStats(spark, sf).collect().head
+    val (nFp, nRows, cand) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    assert(nFp > 0 && cand >= 0)
+    assert(cand <= nRows * 19 / 2,
+      s"candidate pairs $cand exceed the (MaxDf-1)/2 bound over $nRows fp rows")
+  }
+
   test("x104 plan: fingerprint selection is a pure map — no Window anywhere") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = ext.Winnowing.fingerprintPairs.fn(spark, sf)

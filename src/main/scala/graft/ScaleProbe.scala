@@ -145,9 +145,13 @@ object ScaleProbe {
     // new entry without re-timing the whole surface; the driver-facing
     // SCALING.md is still regenerated from full runs).
     val only = args.lift(1).map(_.split(",").toSet)
+    // SPARK_GRAFT_CPUS (the Bench knob) also works here — a local[16]
+    // vs local[32] probe at a FIXED factor separates shuffle-saturation
+    // effects from genuine work growth (the r12 x149 diagnosis).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

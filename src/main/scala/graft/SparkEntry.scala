@@ -36,6 +36,7 @@ object SparkEntry {
       functions.Scalars.all ++
       ext.Dedup.all ++
       ext.Winnowing.all ++
+      ext.Pca.all ++
       ext.Rewrite.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++

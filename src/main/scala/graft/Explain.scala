@@ -43,6 +43,8 @@ object Explain {
     "d5_fact_upsert_new_rows" -> "left-anti sort-merge on (custkey, derived day) between two filtered scans; neither side broadcastable by design (both scale with the fact)",
     "x12_ivf_ann_topk" -> "broadcast centroids; packed-long argmin in HashAggregate; probe join shuffles (query, cell) pairs only",
     "v1_rating_parse" -> "ONE regexp_extract per row survives optimization (hoisted via a nullable intermediate; was 6 in the expanded plan)",
+    "x153_pca_power" -> "scatter as pure-map upper-triangle explode into ONE 2080-group hash agg (no vector shuffle); 8 power rounds on 64-row frames with broadcast integer rescalers",
+    "x154_edit1_blocking" -> "deletion-key explode -> bounded-bucket equi-join (MaxBucket guard both engines); exact levenshtein only on candidates; no cross product",
     "x41_semdedup" -> "shared x12 quantizer (broadcast centroids, checkpointed); multi-probe candidates; prune join shuffles (cell) pairs only",
     "x42_repeated_spans" -> "repeated-gram flag as window-min/max over the gram key: ONE scan of the exploded corpus (was agg + join-back = 3)",
     "x43_block_dedup_rewrite" -> "keep-first as window-min of a packed long over block content; totals + kept + reconstruction from one per-doc agg: 1 scan, 2 shuffles",

@@ -176,6 +176,12 @@ object ScaleProbe {
       // table, no single-partition corpus sort anywhere. Wall should
       // track the one segment hash shuffle linearly
       "x25_quality_deciles",
+      // x154: key-shifted customer copies DUPLICATE c_name, so deletion
+      // buckets inflate ×f and cross the MaxBucket guard at f ≥ ~7 —
+      // output goes (near-)empty BY THE GUARD'S DESIGN (this is the
+      // pathological-duplication case it exists for); the meaningful
+      // probe axis is wall, which must track the explode+agg linearly
+      "x154_edit1_blocking",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -37,6 +37,7 @@ object SparkEntry {
       ext.Dedup.all ++
       ext.Winnowing.all ++
       ext.Pca.all ++
+      ext.Fuzzy.all ++
       ext.Rewrite.all ++
       ext.Similarity.all ++
       ext.Ivf.all ++

@@ -1,83 +1,84 @@
 package graft.ext
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Approximate string join (entity resolution) — the missing join type
-  * when keys are TYPED BY HUMANS: facility names, product labels,
-  * author strings. The naive form is an all-pairs Levenshtein scan —
-  * |labels|² comparisons, a cross join no cluster survives. The
-  * deployed shape (FastSS, Bocek et al. 2007) turns it into an
-  * equi-join: every label emits its 1-deletion neighborhood (the label
-  * plus each single-character deletion — ≤ len+1 variants), candidates
-  * are labels SHARING a variant, and only candidates pay the exact
-  * Levenshtein verify. Completeness is a theorem, not a hope: two
-  * strings at edit distance ≤ 1 always share a variant (equality →
-  * the string itself; insert/delete → the deletion at that position;
-  * substitution at i → both i-deletions coincide), so blocking loses
-  * NOTHING against the all-pairs semantics — which is exactly why the
-  * DuckDB oracle can state the contract as the naive all-pairs query.
+/** Edit-distance-1 entity blocking — the record-linkage primitive next
+  * to x30's token-set fuzzy join: find identifier pairs one typo apart
+  * (fat-fingered customer numbers, OCR'd invoice ids) WITHOUT the
+  * all-pairs O(n²) distance matrix.
   *
-  * Scale shape: the label table is the DISTINCT of the corpus column
-  * (one hash agg over the 100 TB scan — the corpus never self-joins);
-  * the variant table is |labels| × avg_len rows, shuffled once on the
-  * variant string; candidate groups are variant-equality buckets
-  * (bounded by how many labels share a deletion — the data's real
-  * ambiguity, not an artifact); the verify touches candidates only.
-  * Edit distance ≤ k generalizes with k-deletion neighborhoods
-  * (O(len^k) variants — the standard FastSS tradeoff).
-  */
+  * The SymSpell/FastSS deletion-neighborhood trick (Schulz & Mihov's
+  * universal deletion dictionary): every string s emits blocking keys
+  * {s} ∪ {s with one char deleted}. Two strings at Levenshtein
+  * distance ≤ 1 ALWAYS share a key — a substitution at position p makes
+  * del_p(a) = del_p(b); an insertion makes one string a deletion of the
+  * other, caught by the undeleted key — so candidate generation is an
+  * equi-join on ~|s| keys per row instead of a cross product, and the
+  * exact `levenshtein = 1` filter runs only on candidates. Bucket
+  * fan-out is alphabet-bounded on identifier-shaped data (≤10 digit
+  * variants per deletion slot here); a [[MaxBucket]] guard drops
+  * degenerate boilerplate keys the same way x104's max-df guard does,
+  * in BOTH engines, so the join is bounded by construction.
+  *
+  * Scale shape: one explode (|s|+1 keys/row), one key-keyed equi-join
+  * with bounded buckets, one distinct on candidate pairs, a scalar
+  * Levenshtein filter, and a TakeOrdered top-[[TopK]] — no window, no
+  * cross product, linear in rows × name length. */
 object Fuzzy {
 
-  /** The 1-deletion neighborhood of a string column, self included. */
-  private[graft] def deletionVariants(s: Column): Column =
-    concat(array(s), transform(sequence(lit(1), length(s)), i =>
-      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+  /** Blocking keys shared by more rows than this are dropped from
+    * pairing (degenerate key shapes; quadratic bucket). */
+  private val MaxBucket = 64
+  private val TopK = 50
 
-  /** Distinct (name_a, name_b) candidate pairs sharing a variant. */
-  private[graft] def candidatePairs(names: DataFrame, col0: String): DataFrame = {
-    // two-step select: a generator referencing a same-select alias trips
-    // Spark 4's LateralColumnAliasReference check (INTERNAL_ERROR)
-    val vr = names.select(col(col0).as("name"))
-      .select(col("name"), explode(deletionVariants(col("name"))).as("v"))
-    vr.as("a").join(vr.as("b"),
-        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+  private def edit1Oracle: String =
+    s"""WITH k AS MATERIALIZED (
+       |  SELECT c_custkey, c_name, c_name AS k
+       |  FROM customer
+       |  UNION
+       |  SELECT c_custkey, c_name,
+       |    substr(c_name, 1, ix.i - 1) || substr(c_name, ix.i + 1) AS k
+       |  FROM customer,
+       |    LATERAL (SELECT unnest(generate_series(1, len(c_name))) AS i) ix),
+       |keep AS MATERIALIZED (
+       |  SELECT k FROM (SELECT k, COUNT(*) AS df FROM k GROUP BY 1)
+       |  WHERE df <= $MaxBucket),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
+       |    a.c_custkey AS key_a, b.c_custkey AS key_b
+       |  FROM k a JOIN keep USING (k)
+       |  JOIN k b ON b.k = a.k AND a.c_name < b.c_name)
+       |SELECT name_a, name_b, key_a, key_b
+       |FROM cand WHERE levenshtein(name_a, name_b) = 1
+       |ORDER BY name_a, name_b LIMIT $TopK""".stripMargin
+
+  val edit1Blocking = Q.withOracle(
+    "x154_edit1_blocking",
+    s"x154: Levenshtein-1 identifier pairs via deletion-neighborhood blocking (top $TopK)",
+    edit1Oracle) { (s, dir) =>
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    // {name} ∪ one-char deletions; array_distinct collapses the equal
+    // keys that runs of identical chars produce (the pair DISTINCT
+    // below dedups across rows either way — this just trims the join)
+    val keys = c.select(col("c_custkey"), col("c_name"), explode(expr(
+      """array_distinct(concat(array(c_name),
+        |  transform(sequence(1, length(c_name)),
+        |    i -> concat(substring(c_name, 1, i - 1),
+        |                substring(c_name, i + 1, length(c_name))))))""".stripMargin))
+      .as("k"))
+    val keep = keys.groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxBucket).select(col("k"))
+    val a = keys.join(keep, "k")
+      .select(col("k"), col("c_name").as("name_a"), col("c_custkey").as("key_a"))
+    val b = keys
+      .select(col("k"), col("c_name").as("name_b"), col("c_custkey").as("key_b"))
+    a.join(b, Seq("k")).filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("key_a"), col("key_b"))
       .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .orderBy(col("name_a"), col("name_b")).limit(TopK)
   }
 
-  private def fuzzyOracle: String =
-    s"""WITH names AS MATERIALIZED (
-       |  SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY p_name)
-       |SELECT a.name AS name_a, b.name AS name_b,
-       |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
-       |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
-       |FROM names a JOIN names b ON a.name < b.name
-       |WHERE levenshtein(a.name, b.name) <= 1
-       |ORDER BY name_a, name_b""".stripMargin
-
-  /** x55: fuzzy label pairs — distinct part names at edit distance ≤ 1,
-    * with corpus frequencies (the resolution signal: the heavier
-    * spelling is the canonical one). Engine: FastSS deletion-variant
-    * blocking + Levenshtein verify on candidates; oracle: the naive
-    * all-pairs semantics the blocking provably preserves. */
-  val fuzzyNamePairs = Q.withOracle(
-    "x55_fuzzy_name_pairs",
-    "x55: distinct labels at edit distance <= 1 (FastSS blocking + verify)",
-    fuzzyOracle) { (s, dir) =>
-    val names = Tables.part(s, dir)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
-    val verified = candidatePairs(names.select(col("p_name")), "p_name")
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
-    verified
-      .join(names.select(col("p_name").as("name_a"), col("n").as("n_a")), "name_a")
-      .join(names.select(col("p_name").as("name_b"), col("n").as("n_b")), "name_b")
-      .select(col("name_a"), col("name_b"), col("dist"),
-        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
-      .orderBy(col("name_a"), col("name_b"))
-  }
-
-  val all: Seq[Q] = Seq(fuzzyNamePairs)
+  val all: Seq[Q] = Seq(edit1Blocking)
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over a DERIVED co-occurrence graph — the two classic
@@ -372,6 +373,105 @@ object Graph {
     }
     pairs.unpersist() // final dist is materialized; edges no longer needed
     dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  // ---- x155: effective diameter (sampled hop-plot) -------------------
+
+  /** Seed panel size for x155 — FIXED, so the per-seed BFS costs
+    * K·|V| pair-labels at any graph size (a fraction-of-nodes seed rule
+    * would make the pair table quadratic). */
+  private val DiamSeeds = 16
+  /** Hop horizon: co-occurrence graphs are shallow; 4 rounds bounds the
+    * oracle CTE chain and the hop axis. */
+  private val DiamHops = 4
+
+  private def diameterOracle: String = {
+    val rounds = (1 to DiamHops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT s, v, MIN(hop) AS hop FROM (
+         |    SELECT s, v, hop FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT d.s, p.dst AS v, $k AS hop
+         |    FROM d${k - 1} d JOIN pairs p ON p.src = d.v
+         |    WHERE d.hop = ${k - 1})
+         |  GROUP BY s, v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst FROM li a
+       |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |seeds AS MATERIALIZED (
+       |  SELECT p FROM (SELECT DISTINCT src AS p FROM pairs)
+       |  ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT $DiamSeeds),
+       |d0 AS MATERIALIZED (
+       |  SELECT p AS s, p AS v, 0 AS hop FROM seeds),
+       |$rounds,
+       |hist AS MATERIALIZED (
+       |  SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM d$DiamHops GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT hop, n_pairs,
+       |    CAST(SUM(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs,
+       |    CAST(SUM(n_pairs) OVER () AS BIGINT) AS total
+       |  FROM hist),
+       |d90 AS (
+       |  SELECT CAST(MIN(hop) AS BIGINT) AS eff_diameter
+       |  FROM cum WHERE cum_pairs * 10 >= total * 9)
+       |SELECT CAST(cum.hop AS BIGINT) AS hop, cum.n_pairs, cum.cum_pairs,
+       |  CAST(cum.cum_pairs AS DOUBLE) / CAST(cum.total AS DOUBLE) AS cum_frac,
+       |  d90.eff_diameter
+       |FROM cum, d90 ORDER BY hop""".stripMargin
+  }
+
+  /** x155: sampled hop-plot + effective diameter — "how many hops until
+    * 90% of reachable pairs are covered" (Palmer et al.'s ANF question,
+    * answered here with an EXACT per-seed BFS over a FIXED
+    * [[DiamSeeds]]-seed panel instead of probabilistic counters, so the
+    * DuckDB oracle replays it bit-for-bit). Seeds are the
+    * [[DiamSeeds]] lowest (md5, id) nodes — the x12/x60b deterministic
+    * sampling pattern; the d90 threshold compares exact integers
+    * (cum·10 ≥ total·9), never floats.
+    *
+    * Scale: per round one frontier⋈edges equi-join keyed on the node —
+    * the x63 regime with a (seed, node) composite label; the pair table
+    * is K·|V| with K FIXED, so the whole walk is K× a single-source
+    * BFS, shuffles on node keys, histogram axis bounded by
+    * [[DiamHops]]. */
+  val effectiveDiameter = Q.withOracle(
+    "x155_effective_diameter",
+    s"x155: $DiamSeeds-seed exact hop-plot + 90% effective diameter (≤ $DiamHops hops)",
+    diameterOracle) { (s, dir) =>
+    val pairs = coEdges(s, dir).localCheckpoint() // read once per round
+    val seeds = pairs.select(col("src").as("p")).distinct()
+      .orderBy(md5(col("p").cast("string")), col("p")).limit(DiamSeeds)
+    var dist = seeds.select(col("p").as("s"), col("p").as("v"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (k <- 1 to DiamHops) {
+      val reached = dist.filter(col("hop") === k - 1)
+        .join(pairs, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v"), lit(k).as("hop"))
+      val prev = dist
+      dist = dist.unionAll(reached)
+        .groupBy(col("s"), col("v")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint() // each round's labels feed the next frontier
+      prev.unpersist() // superseded generation — the x73 hygiene
+    }
+    pairs.unpersist() // final dist is materialized; edges no longer needed
+    val hist = dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_pairs"))
+    // ≤ DiamHops+1 rows: the bounded-axis windows the plan audit allows
+    val wCum = Window.orderBy(col("hop"))
+    val cum = hist
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(wCum).cast("long"))
+      .withColumn("total", sum(col("n_pairs")).over(Window.partitionBy()).cast("long"))
+    val d90 = cum.filter(col("cum_pairs") * 10 >= col("total") * 9)
+      .agg(min(col("hop")).cast("long").as("eff_diameter"))
+    cum.crossJoin(broadcast(d90))
+      .select(col("hop").cast("long").as("hop"), col("n_pairs"), col("cum_pairs"),
+        (col("cum_pairs").cast("double") / col("total").cast("double")).as("cum_frac"),
+        col("eff_diameter"))
       .orderBy(col("hop"))
   }
 
@@ -1324,7 +1424,7 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(pagerank, triangles, trianglesApprox, bfs, labelProp, kcore, sssp,
+    Seq(pagerank, triangles, trianglesApprox, bfs, effectiveDiameter, labelProp, kcore, sssp,
       clusteringCoeff, clusteringApprox, assortativity, linkPredict, hits,
       personalizedPagerank, lpaModularity)
 }

@@ -90,6 +90,43 @@ class GraphSpec extends SparkSuite {
     assert(panelErr < 0.25, s"panel estimate $sumEst vs exact $sumTruth ($panelErr)")
   }
 
+  test("x155 crafted: path graph hop-plot and d90 are hand-countable") {
+    // Path 0-1-2-…-9 (orders = consecutive part pairs). Fewer than 16
+    // nodes → EVERY node seeds, so the pair table is the full exact
+    // hop matrix truncated at 4 hops: per seed the reachable-within-4
+    // set is its ±4 window on the path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-diam").toString
+    write(dir, (0L until 9L).flatMap(i => Seq((100 + i, i), (100 + i, i + 1))))
+    val got = ext.Graph.effectiveDiameter.fn(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    // hop h ∈ 1..4 on a 10-path: pairs at exact distance h = 2·(10−h)
+    val expect = Map(0L -> 10L, 1L -> 18L, 2L -> 16L, 3L -> 14L, 4L -> 12L)
+    assert(got.map(r => r._1 -> r._2).toMap === expect)
+    val total = expect.values.sum
+    var cum = 0L
+    got.sortBy(_._1).foreach { case (h, n, c, f, _) =>
+      cum += n
+      assert(c === cum)
+      assert(f === cum.toDouble / total)
+    }
+    // cum at hop 3 = 58/70 < 0.9; hop 4 = 70/70 → d90 = 4 on every row
+    assert(got.map(_._5).distinct === Seq(4L))
+  }
+
+  test("x155 real graph: monotone cum, valid fractions, d90 consistent") {
+    val rows = ext.Graph.effectiveDiameter.fn(spark, sf)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._1 === 0L)
+    assert(rows.map(_._3) === rows.map(_._3).sorted) // cum monotone
+    val total = rows.last._3
+    assert(rows.last._4 === 1.0)
+    val d90 = rows.map(_._5).distinct
+    assert(d90.size === 1)
+    // d90 really is the first hop crossing 90%
+    val firstCross = rows.find(r => r._3 * 10 >= total * 9).get._1
+    assert(d90.head === firstCross)
+  }
+
   test("x59 crafted: symmetric 2-cycle is stationary at exactly RScale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph2").toString
     write(dir, Seq((1L, 10L), (1L, 20L)))

@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSuite {
     "x103_chi2_independence",      // R×C grid from two broadcast dimension-total tables + 1-row n
     "x109_weekly_acf",             // broadcast of the 4-row literal lag dimension
     "x153_pca_power",              // 1-row scalars (n, rescalers, Rayleigh, trace) into ≤64-row frames
+    "x155_effective_diameter",     // broadcast of the 1-row d90 scalar onto the ≤5-row hop axis
     "x114_rfm_segments",           // two 1-row scalars (high-water date, customer count)
     "x121_trailing_distinct_users", // broadcast of the 1-row high-water-week scalar
     "x124_kendall_tau",            // axis-densification of the (n/B)² count grid from two 1-row max scalars, plus three 1-row inversion-term scalars composed by cross join

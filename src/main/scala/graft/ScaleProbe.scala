@@ -176,6 +176,16 @@ object ScaleProbe {
       // table, no single-partition corpus sort anywhere. Wall should
       // track the one segment hash shuffle linearly
       "x25_quality_deciles",
+      // x153: 64-row output always; the scatter agg (pure-map pair
+      // explode → 2080-group hash agg with map-side combine) is the only
+      // corpus-bound stage — the flattest full-scan shape after x74.
+      // Sign-flipped copies shift the mixture's dominant direction; the
+      // wall, not the loadings, is the probe axis
+      "x153_pca_power",
+      // x155: ≤5-row output; 16 FIXED seeds land in ~16 of the f
+      // disjoint copies, so per-seed BFS work is constant — the linear
+      // term is each round's frontier⋈edges shuffle of the f×-edge table
+      "x155_effective_diameter",
       // x154: key-shifted customer copies DUPLICATE c_name, so deletion
       // buckets inflate ×f and cross the MaxBucket guard at f ≥ ~7 —
       // output goes (near-)empty BY THE GUARD'S DESIGN (this is the

@@ -46,5 +46,63 @@ object Recall {
       .orderBy(col("query_id"))
   }
 
-  val all: Seq[Q] = Seq(annRecall)
+  /** lcm(1..5)·TopK — the exact-rational AP denominator: AP@5 · 300 is
+    * an INTEGER (60/i is integral for every rank i ≤ 5), so the
+    * rank-weighted metric needs no float sum at all. */
+  private val ApDenom = 60 * Similarity.TopK
+
+  /** x156: average precision@5 of the IVF index vs the exact top-k —
+    * recall (x88) ignores WHERE in the list the hits land; AP weights
+    * early hits more (precision-at-each-relevant-rank, the MAP
+    * constituent every retrieval eval reports next to recall). All
+    * arithmetic exact: rel ∈ {0,1} from the id join, the prefix count
+    * is a 5-row partitioned window, and AP·300 = Σ rel_i·cum_i·(60/i)
+    * is an integer sum — ONE double division at the end, so the oracle
+    * replays the metric bit-for-bit (the x88 posture: the evaluation
+    * is as hash-verifiable as the operators it evaluates).
+    *
+    * Scale: joins/windows touch only queries·k id rows — evaluation
+    * metadata, never the corpus. */
+  val annAp = Q.withOracle(
+    "x156_ann_ap",
+    s"x156: average precision@${Similarity.TopK} of x12 IVF vs x5 exact, per query",
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |${Similarity.bruteForceKnn.oracle.get})),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |${Ivf.ivfAnn.oracle.get})),
+       |rel AS MATERIALIZED (
+       |  SELECT c.query_id, c.rank,
+       |    CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM cand c LEFT JOIN exact e
+       |    ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id),
+       |pre AS MATERIALIZED (
+       |  SELECT query_id, rank, rel,
+       |    SUM(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+       |  FROM rel)
+       |SELECT query_id,
+       |  CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |  CAST(SUM(rel * cum * (60 // rank)) AS BIGINT) AS ap_num,
+       |  CAST(SUM(rel * cum * (60 // rank)) AS DOUBLE) / $ApDenom.0 AS ap
+       |FROM pre GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.bruteForceKnn.fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val cand = Ivf.ivfAnn.fn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val rel = cand.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        when(col("hit").isNull, 0L).otherwise(1L).as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    rel.withColumn("cum", sum(col("rel")).over(w))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).cast("long").as("n_hits"),
+        sum(col("rel") * col("cum") * expr("60 div rank")).cast("long").as("ap_num"),
+        (sum(col("rel") * col("cum") * expr("60 div rank")).cast("double")
+          / lit(ApDenom.toDouble)).as("ap"))
+      .orderBy(col("query_id"))
+  }
+
+  val all: Seq[Q] = Seq(annRecall, annAp)
 }

@@ -179,4 +179,35 @@ class IvfSpec extends SparkSuite {
     val avg = got.values.map(_._2).sum / got.size
     assert(avg > 0.3, s"avg recall $avg — index degenerated")
   }
+
+  test("x156 AP equals an independent rank-aware recompute; bounded by recall") {
+    import spark.implicits._
+    val got = ext.Recall.annAp.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = ext.Similarity.bruteForceKnn.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ranked = ext.Ivf.ivfAnn.fn(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val recall = ext.Recall.annRecall.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === exact.keySet)
+    for ((q, (hits, apNum, ap)) <- got) {
+      val rels = ranked.getOrElse(q, Seq.empty).map(n => if (exact(q)(n)) 1L else 0L)
+      var cum = 0L; var num = 0L
+      rels.zipWithIndex.foreach { case (r, i0) =>
+        cum += r; num += r * cum * (60L / (i0 + 1))
+      }
+      assert(hits === rels.sum, s"query $q")
+      assert(apNum === num, s"query $q")
+      assert(ap === num.toDouble / 300.0, s"query $q")
+      assert(ap >= 0.0 && ap <= 1.0)
+      // AP@k with R = k can never exceed recall@k (each of the R slots
+      // contributes at most 1/R, and only when it is a hit)
+      assert(ap <= recall(q) + 1e-12, s"query $q: ap $ap > recall ${recall(q)}")
+    }
+  }
 }

@@ -114,8 +114,9 @@ object Pca {
 
   /** The 2080-entry upper-triangle (j, k, q_j, q_k) pairs of one
     * quantized vector, as a pure-map explode — no self-join, no shuffle
-    * of vectors; the scatter agg is the only corpus-bound stage. */
-  private val pairExplode: Column = expr(
+    * of vectors; the scatter agg is the only corpus-bound stage.
+    * Shared with [[graft.streaming.PcaFeed]]'s incremental sums. */
+  private[graft] val pairExplode: Column = expr(
     """flatten(transform(sequence(0, size(q) - 1),
       |  j -> transform(sequence(j, size(q) - 1),
       |    k -> struct(j AS j, k AS k, q[j] AS qj, q[k] AS qk))))""".stripMargin)
@@ -149,6 +150,17 @@ object Pca {
         (col("np").cast("decimal(38,0)")
           - col("svj").cast("decimal(18,0)") * col("svk").cast("decimal(18,0)"))
           .as("sc"))
+    solve(su)
+  }
+
+  /** Steps 3–5 of the object doc — rescale, power rounds, Rayleigh —
+    * from an upper-triangle scatter frame (j, k, sc decimal(38,0)).
+    * Shared by the registered x153 (scatter from one corpus scan) and
+    * [[graft.streaming.PcaFeed]] (scatter from incrementally maintained
+    * sums): identical exact-integer inputs ⇒ identical output frames,
+    * which is the feed's spec contract. */
+  private[graft] def solve(suIn: DataFrame): DataFrame = {
+    val su = suIn
       .localCheckpoint() // the corpus scan lands HERE; everything below is ≤64×64 rows
     val mq = su.agg(greatest(expr(s"max(abs(sc)) div $S"), lit(1L)).as("m"))
     val half = su.crossJoin(broadcast(mq))

@@ -755,8 +755,96 @@ object Trend {
       .orderBy(col("event_type"))
   }
 
+  /** x157: weighted isotonic regression (PAVA) of the daily mean event
+    * value per event type — the monotone-calibration primitive ("fit the
+    * best NON-DECREASING curve through this noisy series"), the same fit
+    * ML pipelines use to calibrate classifier scores. Rather than the
+    * sequential pool-adjacent-violators loop, the fit is computed through
+    * the closed-form minimax identity of weighted isotonic L2 regression
+    *
+    *   fit_i = max_{a≤i} min_{b≥i} ( Σ_{a..b} sy ) / ( Σ_{a..b} sw )
+    *
+    * (sy = exact daily penny sum, sw = daily event count), which is
+    * embarrassingly parallel: one pair self-join over the per-type day
+    * axis, one running min, one grouped max — no sequential state. Every
+    * segment mean is a single long→double division of exact integers
+    * (both < 2^53: identical bits in both engines), and min/max over
+    * doubles are value-based, so the whole fit replays bit-exactly in
+    * DuckDB. Output stays in penny units (document-ed, no /100 noise).
+    *
+    * Scale shape: the ONLY corpus-bound stage is the daily hash agg (the
+    * x97 posture); the pair join, running min, and grouped max all live
+    * on the (type × day) calendar axis — |types|·|days|² rows, bounded by
+    * the calendar regardless of input scale, and every window is
+    * partitioned (per-type / per-(type, a)), never corpus-wide. */
+  val isotonic = Q.withOracle(
+    "x157_isotonic",
+    "x157: weighted isotonic (PAVA minimax) fit of daily mean pennies per event type",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT), 0) AS sy,
+      |    CAST(COUNT(*) AS BIGINT) AS sw
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT event_type, day,
+      |    ROW_NUMBER() OVER w AS k,
+      |    CAST(SUM(sy) OVER w AS BIGINT) AS pp,
+      |    CAST(SUM(sw) OVER w AS BIGINT) AS ww, sy, sw
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pair AS (
+      |  SELECT a.event_type, a.k AS ka, b.k AS kb, b.day AS day,
+      |    b.sy AS sy, b.sw AS sw,
+      |    CAST(b.pp - (a.pp - a.sy) AS DOUBLE)
+      |      / CAST(b.ww - (a.ww - a.sw) AS DOUBLE) AS seg
+      |  FROM pr a JOIN pr b ON a.event_type = b.event_type AND b.k >= a.k),
+      |rm AS (
+      |  SELECT event_type, kb, day, sy, sw,
+      |    MIN(seg) OVER (PARTITION BY event_type, ka ORDER BY kb DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM pair)
+      |SELECT event_type, day,
+      |  CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE) AS day_mean_pennies,
+      |  MAX(m) AS fitted_pennies
+      |FROM rm GROUP BY event_type, day, sy, sw
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), Parity.day(col("ts")).as("day"))
+      .agg(coalesce((sum(Parity.dec(col("value"))) * 100).cast("long"), lit(0L))
+          .as("sy"),
+        count(lit(1)).as("sw"))
+    val part = Window.partitionBy(col("event_type"))
+    val cum = part.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pr = d
+      .withColumn("k", row_number().over(part.orderBy(col("day"))))
+      .withColumn("pp", sum(col("sy")).over(cum).cast("long"))
+      .withColumn("ww", sum(col("sw")).over(cum).cast("long"))
+    val a = pr.select(col("event_type"), col("k").as("ka"),
+      (col("pp") - col("sy")).as("pp0"), (col("ww") - col("sw")).as("ww0"))
+    val b = pr.select(col("event_type"), col("k").as("kb"), col("day"),
+      col("sy"), col("sw"), col("pp"), col("ww"))
+    val pair = a.join(b, Seq("event_type")).filter(col("kb") >= col("ka"))
+      .select(col("event_type"), col("ka"), col("kb"), col("day"),
+        col("sy"), col("sw"),
+        ((col("pp") - col("pp0")).cast("double")
+          / (col("ww") - col("ww0")).cast("double")).as("seg"))
+    val rmw = Window.partitionBy(col("event_type"), col("ka"))
+      .orderBy(col("kb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pair.withColumn("m", min(col("seg")).over(rmw))
+      .groupBy(col("event_type"), col("day"), col("sy"), col("sw"))
+      .agg(max(col("m")).as("fitted_pennies"))
+      .select(col("event_type"), col("day"),
+        (col("sy").cast("double") / col("sw").cast("double"))
+          .as("day_mean_pennies"),
+        col("fitted_pennies"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
       cusumChangePoint, rollingSlope, autocorrelation, holtForecast,
-      maxDrawdown, holtBacktest, theilSen)
+      maxDrawdown, holtBacktest, theilSen, isotonic)
 }

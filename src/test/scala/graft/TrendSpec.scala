@@ -408,4 +408,61 @@ class TrendSpec extends SparkSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got === expect)
   }
+
+  test("x157 crafted: PAVA pools the violating pair; monotone input is identity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iso").toString
+    writeEvents(dir, Seq(
+      // "v": day means 10, 30, 20, 40 → pool (30, 20) → 10, 25, 25, 40
+      (1L, "2024-01-01 08:00:00", "v", 10.0),
+      (2L, "2024-01-02 08:00:00", "v", 30.0),
+      (3L, "2024-01-03 08:00:00", "v", 20.0),
+      (4L, "2024-01-04 08:00:00", "v", 40.0),
+      // "m": already monotone → fitted == means exactly
+      (5L, "2024-01-01 08:00:00", "m", 1.0),
+      (6L, "2024-01-02 08:00:00", "m", 2.0),
+      (7L, "2024-01-03 08:00:00", "m", 3.0),
+      // "w": weighted pool — mean 30 (w=1) then 10 (w=3) → (3000+3000)/4 = 15
+      (8L, "2024-01-05 08:00:00", "w", 30.0),
+      (9L, "2024-01-06 08:00:00", "w", 10.0),
+      (10L, "2024-01-06 09:00:00", "w", 10.0),
+      (11L, "2024-01-06 10:00:00", "w", 10.0)))
+    val got = analytics.Trend.isotonic.fn(spark, dir)
+      .as[(String, java.sql.Date, Double, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got(("v", "2024-01-01")) === ((1000.0, 1000.0)))
+    assert(got(("v", "2024-01-02")) === ((3000.0, 2500.0)))
+    assert(got(("v", "2024-01-03")) === ((2000.0, 2500.0)))
+    assert(got(("v", "2024-01-04")) === ((4000.0, 4000.0)))
+    Seq("2024-01-01" -> 100.0, "2024-01-02" -> 200.0, "2024-01-03" -> 300.0)
+      .foreach { case (d, m) => assert(got(("m", d)) === ((m, m))) }
+    assert(got(("w", "2024-01-05")) === ((3000.0, 1500.0)))
+    assert(got(("w", "2024-01-06")) === ((1000.0, 1500.0)))
+  }
+
+  test("x157 real data: monotone, bounded by the mean range, mean-preserving") {
+    import org.apache.spark.sql.functions._
+    val r = analytics.Trend.isotonic.fn(spark, sf)
+      .as[(String, java.sql.Date, Double, Double)].collect()
+      .groupBy(_._1)
+    assert(r.nonEmpty)
+    r.foreach { case (_, rows) =>
+      val byDay = rows.sortBy(_._2.toString)
+      // non-decreasing fit, bounded by the observed mean range
+      byDay.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4); case _ => }
+      assert(byDay.forall(x =>
+        x._4 >= byDay.map(_._3).min - 1e-9 && x._4 <= byDay.map(_._3).max + 1e-9))
+    }
+    // PAVA preserves the weighted mean: Σ sw·fit = Σ sw·mean (= Σ pennies)
+    val wts = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("sw"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .map(x => (x._1, x._2.toString) -> x._3).toMap
+    r.foreach { case (et, rows) =>
+      val tot = rows.map(x => wts((et, x._2.toString)) * x._3).sum
+      val fit = rows.map(x => wts((et, x._2.toString)) * x._4).sum
+      assert(math.abs(tot - fit) / math.max(math.abs(tot), 1.0) < 1e-9)
+    }
+  }
 }

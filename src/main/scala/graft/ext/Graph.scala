@@ -386,7 +386,11 @@ object Graph {
     * oracle CTE chain and the hop axis. */
   private val DiamHops = 4
 
-  private def diameterOracle: String = {
+  /** The shared seed-panel BFS CTE prefix (edges, [[DiamSeeds]] seeds,
+    * [[DiamHops]] exact min-hop rounds ending in `d$DiamHops`) — the
+    * oracle-side twin of [[seedPanelDist]], consumed by both x155's
+    * hop-plot and x158's harmonic scores. */
+  private def panelCtes: String = {
     val rounds = (1 to DiamHops).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT s, v, MIN(hop) AS hop FROM (
@@ -397,7 +401,7 @@ object Graph {
          |    WHERE d.hop = ${k - 1})
          |  GROUP BY s, v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
        |pairs AS MATERIALIZED (
        |  SELECT a.p AS src, b.p AS dst FROM li a
@@ -408,7 +412,36 @@ object Graph {
        |  ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT $DiamSeeds),
        |d0 AS MATERIALIZED (
        |  SELECT p AS s, p AS v, 0 AS hop FROM seeds),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** Exact (seed, node, min-hop) labels for the [[DiamSeeds]]-seed panel
+    * after [[DiamHops]] frontier rounds — the shared walk behind x155
+    * (hop-plot) and x158 (harmonic scores). Returned frame is
+    * localCheckpointed; intermediate generations and the edge cache are
+    * released before returning (the x73 hygiene). */
+  private def seedPanelDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coEdges(s, dir).localCheckpoint() // read once per round
+    val seeds = pairs.select(col("src").as("p")).distinct()
+      .orderBy(md5(col("p").cast("string")), col("p")).limit(DiamSeeds)
+    var dist = seeds.select(col("p").as("s"), col("p").as("v"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (k <- 1 to DiamHops) {
+      val reached = dist.filter(col("hop") === k - 1)
+        .join(pairs, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v"), lit(k).as("hop"))
+      val prev = dist
+      dist = dist.unionAll(reached)
+        .groupBy(col("s"), col("v")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint() // each round's labels feed the next frontier
+      prev.unpersist() // superseded generation — the x73 hygiene
+    }
+    pairs.unpersist() // final dist is materialized; edges no longer needed
+    dist
+  }
+
+  private def diameterOracle: String = {
+    s"""WITH $panelCtes,
        |hist AS MATERIALIZED (
        |  SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_pairs
        |  FROM d$DiamHops GROUP BY 1),
@@ -444,22 +477,7 @@ object Graph {
     "x155_effective_diameter",
     s"x155: $DiamSeeds-seed exact hop-plot + 90% effective diameter (≤ $DiamHops hops)",
     diameterOracle) { (s, dir) =>
-    val pairs = coEdges(s, dir).localCheckpoint() // read once per round
-    val seeds = pairs.select(col("src").as("p")).distinct()
-      .orderBy(md5(col("p").cast("string")), col("p")).limit(DiamSeeds)
-    var dist = seeds.select(col("p").as("s"), col("p").as("v"), lit(0).as("hop"))
-      .localCheckpoint()
-    for (k <- 1 to DiamHops) {
-      val reached = dist.filter(col("hop") === k - 1)
-        .join(pairs, col("v") === col("src"))
-        .select(col("s"), col("dst").as("v"), lit(k).as("hop"))
-      val prev = dist
-      dist = dist.unionAll(reached)
-        .groupBy(col("s"), col("v")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint() // each round's labels feed the next frontier
-      prev.unpersist() // superseded generation — the x73 hygiene
-    }
-    pairs.unpersist() // final dist is materialized; edges no longer needed
+    val dist = seedPanelDist(s, dir)
     val hist = dist.groupBy(col("hop")).agg(count(lit(1)).cast("long").as("n_pairs"))
     // ≤ DiamHops+1 rows: the bounded-axis windows the plan audit allows
     val wCum = Window.orderBy(col("hop"))
@@ -473,6 +491,51 @@ object Graph {
         (col("cum_pairs").cast("double") / col("total").cast("double")).as("cum_frac"),
         col("eff_diameter"))
       .orderBy(col("hop"))
+  }
+
+  /** Per-hop harmonic weight, scaled by LCM(1..[[DiamHops]]) = 12 so
+    * every 1/d term is an INTEGER (12/1=12, 12/2=6, 12/3=4, 12/4=3) —
+    * the sum never touches floats, dodging the order-dependent
+    * double-sum trap outright. */
+  private val HarmonicLcm = 12L
+
+  /** x158: harmonic centrality, panel-estimated (Boldi–Vigna's
+    * centrality, Eppstein–Wang's pivot-sampling idea made EXACT over the
+    * same FIXED [[DiamSeeds]]-seed panel x155 walks): for each node v,
+    * score(v) = Σ over panel seeds s (d(s,v) ≥ 1) of 1/d(s,v). The sum
+    * is computed in integers scaled by [[HarmonicLcm]] — with hops
+    * capped at [[DiamHops]] = 4 every term 12/d is integral, so the
+    * score is an exact long and the DuckDB oracle replays it
+    * bit-for-bit (the double `harmonic` column is one final division).
+    * Top-20 by (score desc, node asc), with the seeds-reaching count —
+    * the "which nodes sit closest to everywhere" companion to x59's
+    * PageRank (influence by random walk) and x73's HITS (by mutual
+    * endorsement).
+    *
+    * Scale: rides [[seedPanelDist]] unchanged (K·|V| labels, K fixed);
+    * the scoring stage is one hash agg keyed on the node plus a
+    * constant-bound TakeOrdered(20). */
+  val harmonicCentrality = Q.withOracle(
+    "x158_harmonic_centrality",
+    s"x158: $DiamSeeds-seed exact harmonic centrality top-20 (1/d summed via LCM scaling)",
+    s"""WITH $panelCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+       |    CAST(SUM($HarmonicLcm // hop) AS BIGINT) AS score_scaled
+       |  FROM d$DiamHops WHERE hop >= 1 GROUP BY v)
+       |SELECT node, n_seeds, score_scaled,
+       |  CAST(score_scaled AS DOUBLE) / $HarmonicLcm.0 AS harmonic
+       |FROM sc ORDER BY score_scaled DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+    seedPanelDist(s, dir)
+      .filter(col("hop") >= 1)
+      .groupBy(col("v").as("node"))
+      .agg(count(lit(1)).cast("long").as("n_seeds"),
+        sum(expr(s"$HarmonicLcm div hop")).cast("long").as("score_scaled"))
+      .select(col("node"), col("n_seeds"), col("score_scaled"),
+        (col("score_scaled").cast("double") / lit(HarmonicLcm.toDouble))
+          .as("harmonic"))
+      .orderBy(col("score_scaled").desc, col("node"))
+      .limit(20)
   }
 
   // ---- x70: label propagation communities ---------------------------
@@ -1424,7 +1487,8 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(pagerank, triangles, trianglesApprox, bfs, effectiveDiameter, labelProp, kcore, sssp,
+    Seq(pagerank, triangles, trianglesApprox, bfs, effectiveDiameter,
+      harmonicCentrality, labelProp, kcore, sssp,
       clusteringCoeff, clusteringApprox, assortativity, linkPredict, hits,
       personalizedPagerank, lpaModularity)
 }

@@ -113,6 +113,34 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._5).distinct === Seq(4L))
   }
 
+  test("x158 crafted: 5-path harmonic scores are hand-countable") {
+    // Path 1-2-3-4-5 (≤ 16 nodes → every node seeds, hops ≤ 4 reach
+    // everything). score(v) = Σ 12/d(u,v): ends 12+6+4+3 = 25,
+    // second/fourth 12+12+6+4 = 34, center 6+12+12+6 = 36.
+    val dir = java.nio.file.Files.createTempDirectory("graft-harm").toString
+    write(dir, (1L until 5L).flatMap(i => Seq((100 + i, i), (100 + i, i + 1))))
+    val got = ext.Graph.harmonicCentrality.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expect = Seq(
+      (3L, 4L, 36L, 3.0), (2L, 4L, 34L, 34 / 12.0), (4L, 4L, 34L, 34 / 12.0),
+      (1L, 4L, 25L, 25 / 12.0), (5L, 4L, 25L, 25 / 12.0))
+    assert(got === expect) // order: score desc, node asc
+  }
+
+  test("x158 real graph: scores bounded by the panel, consistent with x155's walk") {
+    val rows = ext.Graph.harmonicCentrality.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size === 20)
+    rows.foreach { case (_, nSeeds, score, harm) =>
+      assert(nSeeds >= 1L && nSeeds <= 16L)
+      // per-seed term ∈ [12/4, 12/1] → n·3 ≤ score ≤ n·12
+      assert(score >= nSeeds * 3 && score <= nSeeds * 12)
+      assert(harm === score / 12.0)
+    }
+    // the returned list is the top-20 by (score desc, node asc)
+    assert(rows === rows.sortBy(r => (-r._3, r._1)))
+  }
+
   test("x155 real graph: monotone cum, valid fractions, d90 consistent") {
     val rows = ext.Graph.effectiveDiameter.fn(spark, sf)
       .as[(Long, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)

@@ -366,7 +366,72 @@ object Sampling {
       .orderBy(col("g"))
   }
 
+  /** Priority-sample size (k); the threshold τ is the (k+1)-th
+    * priority. */
+  private val PriK = 64
+  /** Hash-uniform modulus/multiplier — the x26 Knuth pair (prime P,
+    * 2654435761 mod P), kept modular so the multiply never overflows
+    * under ANSI at 100 TB key ranges. */
+  private val PriP = 1000003L
+  private val PriH = 2654435761L % PriP // = 427799
+
+  /** x159: priority sampling (Duffield–Lund–Thorup) — the fixed-size
+    * weighted sample that supports UNBIASED subset-sum estimation:
+    * each order draws a stable hash-uniform m ∈ [1, P], gets priority
+    * q = w·P / m (w = exact totalprice pennies), and the sample is the
+    * top-[[PriK]] priorities with threshold τ = the (k+1)-th. The
+    * estimator ŵ = max(w, τ) satisfies E[Σ_S ŵ·1{i∈A}] = Σ_A w for any
+    * item subset A — the sketch that answers "total spend of any
+    * future predicate" from k rows. Everything before the final
+    * max(w, τ) is exact integers; q is ONE division of exact
+    * integer-valued doubles (w·P ≤ 5·10¹³ < 2⁵³), so both engines
+    * compute identical priorities, identical top-k, identical τ.
+    *
+    * Scale shape: the selection is a TakeOrdered(k+1) — per-partition
+    * heaps, no global sort, no corpus-wide window (the 65-row rank
+    * window sits ABOVE the limit); weights and hashes are map-side. */
+  val prioritySample = Q.withOracle(
+    "x159_priority_sample",
+    s"x159: top-$PriK priority sample of orders with threshold estimator max(w, tau)",
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w,
+       |    ((o_orderkey % $PriP) * $PriH) % $PriP + 1 AS m
+       |  FROM orders),
+       |pq AS (
+       |  SELECT o_orderkey, w, CAST(w * $PriP AS DOUBLE) / m AS q FROM base),
+       |top AS (
+       |  SELECT o_orderkey, w, q FROM pq
+       |  ORDER BY q DESC, o_orderkey LIMIT ${PriK + 1}),
+       |rk AS (
+       |  SELECT o_orderkey, w, q,
+       |    ROW_NUMBER() OVER (ORDER BY q DESC, o_orderkey) AS rn FROM top),
+       |tau AS (SELECT q AS tau FROM rk WHERE rn = ${PriK + 1})
+       |SELECT rk.o_orderkey, rk.w AS w_pennies, rk.q AS priority, tau.tau,
+       |  GREATEST(CAST(rk.w AS DOUBLE), tau.tau) AS w_hat
+       |FROM rk, tau WHERE rk.rn <= $PriK
+       |ORDER BY rk.q DESC, rk.o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("w"),
+      (((col("o_orderkey") % PriP) * PriH) % PriP + 1).as("m"))
+    val pq = base.select(col("o_orderkey"), col("w"),
+      ((col("w") * PriP).cast("double") / col("m")).as("q"))
+    val top = pq.orderBy(col("q").desc, col("o_orderkey")).limit(PriK + 1)
+    // 65-row frame from here down: the unpartitioned window is bounded
+    // by the GlobalLimit below it (the PlanAuditSpec structural witness)
+    val rk = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("q").desc, col("o_orderkey"))))
+    val tau = rk.filter(col("rn") === PriK + 1).select(col("q").as("tau"))
+    rk.filter(col("rn") <= PriK).crossJoin(broadcast(tau))
+      .select(col("o_orderkey"), col("w").as("w_pennies"),
+        col("q").as("priority"), col("tau"),
+        greatest(col("w").cast("double"), col("tau")).as("w_hat"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+  }
+
   val all: Seq[Q] =
     Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles,
-      bootstrapCi, horvitzThompson)
+      bootstrapCi, horvitzThompson, prioritySample)
 }

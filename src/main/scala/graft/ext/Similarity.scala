@@ -408,5 +408,87 @@ object Similarity {
       .orderBy(col("vec_id"), col("pos"))
   }
 
-  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup, quantizeInt8, lshDedup)
+  /** Audit-panel size for x160 — FIXED (the x155/x12 rule), so the
+    * brute-force pass is K·N distance evals at any corpus size. */
+  private val AuditPanel = 64
+
+  /** x160: k-NN label-agreement audit — the classic mislabel screen
+    * ("is this example's label consistent with its neighborhood?",
+    * the distance-based core of confident-learning / deep-k-NN label
+    * QA): for each of [[AuditPanel]] deterministically md5-sampled
+    * vectors, find its exact cosine top-[[TopK]] neighbors and report
+    * how many share its `label`. A low agree_frac flags a likely
+    * labeling error or an off-manifold example — the rows a training
+    * pipeline routes to re-annotation before they poison a classifier
+    * head. Agreement counts are exact integers; cosine rides the same
+    * codegen'd [[graft.functions.CosineSimilarity]] fold every ANN
+    * query uses (bit-identical in DuckDB by construction).
+    *
+    * Scale shape: the panel broadcasts (64 rows), the corpus STREAMS
+    * through the distance evaluation map-side — no shuffle of vectors;
+    * per-query state is a 5-row heap (TopKPerKey regime via the
+    * partitioned rank). At real scale the exact pass swaps for x12's
+    * IVF routing with identical downstream agreement logic. */
+  val knnLabelAgreement = Q.withOracle(
+    "x160_knn_label_agreement",
+    s"x160: top-$TopK neighbor label agreement for a $AuditPanel-vector md5 panel",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, label FROM embeddings),
+       |panel AS (
+       |  SELECT vec_id FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AuditPanel),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.label AS label,
+       |    n.vec_id AS neighbor_id, n.label AS n_label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |      (a, x) -> a + x)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |        (a, x) -> a + x))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |        (a, x) -> a + x))) AS cos
+       |  FROM v q JOIN v n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (SELECT vec_id FROM panel)),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, CAST(label AS BIGINT) AS label,
+       |  CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $TopK AS agree_frac
+       |FROM ranked WHERE rank <= $TopK
+       |GROUP BY query_id, label ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"),
+        col("label"))
+    val q = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(AuditPanel)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"),
+        col("label").as("qlabel"))
+    val n = v.select(col("vec_id").as("neighbor_id"), col("vd").as("nv"),
+      col("label").as("n_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(s, col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("n_label") === col("qlabel"), 1L).otherwise(0L))
+        .cast("long").as("n_agree"))
+      .select(col("query_id"), col("qlabel").cast("long").as("label"),
+        col("n_agree"),
+        (col("n_agree").cast("double") / TopK).as("agree_frac"))
+      .orderBy(col("query_id"))
+  }
+
+  val all: Seq[Q] = Seq(bruteForceKnn, annLsh, cosineDedup, quantizeInt8, lshDedup,
+    knnLabelAgreement)
 }

@@ -206,6 +206,43 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.filter($"n" =!= 5 || $"mr" =!= 5).isEmpty)
   }
 
+  test("x160 crafted: the mislabeled point scores 0, clean clusters score high") {
+    // Two tight clusters; one cluster-A point carries a wrong label.
+    // ≤ 64 vectors → the md5 panel is EVERY vector, so agreement is
+    // exact semantics, not sampling: label-0 points see 4 agreeing
+    // neighbors + the mislabel (0.8); the mislabel sees 5 label-0 (0.0);
+    // cluster B is unanimous (1.0).
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    val rows =
+      (0 until 6).map(i => (i.toLong,
+        Array(1f, 0.01f * (i + 1), 0f, 0f), if (i == 2) 9 else 0)) ++
+      (0 until 6).map(i => ((10 + i).toLong,
+        Array(0f, 0f, 1f, 0.01f * (i + 1)), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = ext.Similarity.knnLabelAgreement.fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === 12)
+    assert(got(2L) === ((9L, 0L, 0.0)))
+    (Seq(0L, 1L, 3L, 4L, 5L)).foreach(i => assert(got(i) === ((0L, 4L, 0.8))))
+    (10L until 16L).foreach(i => assert(got(i) === ((1L, 5L, 1.0))))
+  }
+
+  test("x160 real data: md5 panel membership, exact fraction arithmetic") {
+    val got = ext.Similarity.knnLabelAgreement.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.size === 64)
+    got.foreach { case (_, _, n, f) =>
+      assert(n >= 0L && n <= 5L)
+      assert(f === n / 5.0)
+    }
+    val panel = Tables.embeddings(spark, sf)
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(64)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === panel)
+  }
+
   test("multimodal decode stub is deterministic and batch-size invariant") {
     val blobs = Multimodal.blobTable(spark, sf).as[(Long, Array[Byte])]
     val a = Multimodal.extractFeatures(blobs, batchSize = 7).collect().sortBy(_.doc_id)

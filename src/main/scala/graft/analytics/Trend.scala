@@ -843,8 +843,112 @@ object Trend {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Conformal miscoverage α = 1/[[ConfAlphaDen]] (80% target band). */
+  private val ConfAlphaDen = 5
+
+  /** x161: split-conformal prediction interval for the Holt one-step
+    * forecast — the distribution-free calibration step (Vovk et al.;
+    * Papadopoulos' inductive form) that turns ANY point forecaster into
+    * one with a finite-sample coverage guarantee: the calibration
+    * scores are the |one-step residuals| the x147 backtest walks
+    * (exact integers at [[HoltScale]], because the Holt state is exact
+    * integer), and the radius is the ⌈(m+1)·(1−α)⌉-th SMALLEST score —
+    * a pure order statistic, no distributional assumption. Under
+    * exchangeability P(|y_{n+1} − f| ≤ q̂) ≥ 1−α = 80%. The ceil index
+    * is integer arithmetic (((m+1)·(d−1) + d−1) div d); the only floats
+    * are three final /[[HoltScale]] divisions of exact longs.
+    *
+    * Scale shape: x139/x147's — one daily hash agg (the corpus-bound
+    * stage), then a per-type fold over the bounded calendar axis; the
+    * residual array, its sort, and the order-statistic pick all live
+    * on ≤|days| elements per key, map-side after the agg. */
+  val conformalInterval = Q.withOracle(
+    "x161_conformal_interval",
+    s"x161: split-conformal 80% band around the Holt one-step forecast per event type",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |ax AS MATERIALIZED (
+       |  SELECT event_type, day, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS k,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM d),
+       |h AS (
+       |  SELECT event_type, k, n, y * $HoltScale AS l,
+       |    CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS r
+       |  FROM ax WHERE k = 1
+       |  UNION ALL
+       |  SELECT a.event_type, a.k, a.n,
+       |    (a.y * $HoltScale + h.l + h.b) // 2,
+       |    (((a.y * $HoltScale + h.l + h.b) // 2) - h.l + h.b) // 2,
+       |    abs(a.y * $HoltScale - (h.l + h.b))
+       |  FROM h JOIN ax a ON a.event_type = h.event_type AND a.k = h.k + 1),
+       |scores AS (
+       |  SELECT event_type, n, r,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, k) AS rn
+       |  FROM h WHERE k >= 2),
+       |qd AS (
+       |  SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_days,
+       |    CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST((COUNT(*) + 1) * ${ConfAlphaDen - 1} AS BIGINT) AS num
+       |  FROM scores GROUP BY event_type),
+       |pick AS (
+       |  SELECT qd.event_type, qd.n_days, qd.m,
+       |    (qd.num + ${ConfAlphaDen - 1}) // $ConfAlphaDen AS idx,
+       |    s.r AS qhat_scaled
+       |  FROM qd LEFT JOIN scores s ON s.event_type = qd.event_type
+       |    AND s.rn = (qd.num + ${ConfAlphaDen - 1}) // $ConfAlphaDen),
+       |fc AS (
+       |  SELECT event_type, l + b AS f_scaled FROM h WHERE k = n)
+       |SELECT p.event_type, p.n_days, p.m, CAST(p.idx AS BIGINT) AS idx,
+       |  p.qhat_scaled,
+       |  CAST(fc.f_scaled AS DOUBLE) / $HoltScale AS forecast,
+       |  CAST(fc.f_scaled - p.qhat_scaled AS DOUBLE) / $HoltScale AS lo,
+       |  CAST(fc.f_scaled + p.qhat_scaled AS DOUBLE) / $HoltScale AS hi
+       |FROM pick p JOIN fc ON fc.event_type = p.event_type
+       |ORDER BY p.event_type""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ax"),
+        count(lit(1)).cast("long").as("n_days"))
+      .select(col("event_type"), col("n_days"), expr(
+        s"""aggregate(slice(ax, 2, CAST(size(ax) - 1 AS INT)),
+           |  named_struct(
+           |    'l', element_at(ax, 1).y * CAST($HoltScale AS BIGINT),
+           |    'b', CAST(0 AS BIGINT),
+           |    'rs', CAST(array() AS ARRAY<BIGINT>)),
+           |  (acc, x) -> named_struct(
+           |    'l', (x.y * $HoltScale + acc.l + acc.b) div 2,
+           |    'b', (((x.y * $HoltScale + acc.l + acc.b) div 2) - acc.l + acc.b)
+           |      div 2,
+           |    'rs', concat(acc.rs,
+           |      array(abs(x.y * $HoltScale - (acc.l + acc.b))))))"""
+          .stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        size(col("st.rs")).cast("long").as("m"),
+        expr(s"((size(st.rs) + 1) * ${ConfAlphaDen - 1} + ${ConfAlphaDen - 1})"
+          + s" div $ConfAlphaDen").cast("long").as("idx"),
+        expr("array_sort(st.rs)").as("sorted"),
+        (col("st.l") + col("st.b")).as("f_scaled"))
+      .select(col("event_type"), col("n_days"), col("m"), col("idx"),
+        when(col("idx") <= col("m"),
+          expr("element_at(sorted, CAST(idx AS INT))")).as("qhat_scaled"),
+        (col("f_scaled").cast("double") / HoltScale).as("forecast"),
+        ((col("f_scaled") - when(col("idx") <= col("m"),
+            expr("element_at(sorted, CAST(idx AS INT))"))).cast("double")
+          / HoltScale).as("lo"),
+        ((col("f_scaled") + when(col("idx") <= col("m"),
+            expr("element_at(sorted, CAST(idx AS INT))"))).cast("double")
+          / HoltScale).as("hi"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
       cusumChangePoint, rollingSlope, autocorrelation, holtForecast,
-      maxDrawdown, holtBacktest, theilSen, isotonic)
+      maxDrawdown, holtBacktest, theilSen, isotonic, conformalInterval)
 }

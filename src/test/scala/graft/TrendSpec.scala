@@ -439,6 +439,64 @@ class TrendSpec extends SparkSuite {
     assert(got(("w", "2024-01-06")) === ((1000.0, 1500.0)))
   }
 
+  test("x161 crafted: constant series gives a zero band; 2-day series has no quantile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    writeEvents(dir,
+      // "c": 4 events/day for 5 days → every residual 0 → qhat 0, band [4, 4]
+      (1 to 5).flatMap(d => (1 to 4).map(i =>
+        ((d * 10 + i).toLong, f"2024-01-0$d 08:00:00", "c", 1.0))) ++
+      // "s": 2 days → m = 1 < idx = 2 → qhat/lo/hi NULL
+      Seq((100L, "2024-01-01 08:00:00", "s", 1.0),
+        (101L, "2024-01-02 08:00:00", "s", 1.0)))
+    val got = analytics.Trend.conformalInterval.fn(spark, dir)
+      .as[(String, Long, Long, Long, Option[Long], Double, Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val c = got("c")
+    assert((c._2, c._3, c._4, c._5) === ((5L, 4L, 4L, Some(0L))))
+    assert((c._6, c._7, c._8) === ((4.0, Some(4.0), Some(4.0))))
+    val s2 = got("s")
+    assert((s2._3, s2._4, s2._5, s2._7, s2._8) ===
+      ((1L, 2L, None, None, None)))
+  }
+
+  test("x161 real data: the order statistic covers >= idx/m of the calibration scores") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = 1L << 20
+    // scalar replay of the Holt one-step residual walk per type
+    val series = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toString).map(_._3)).toMap
+    val resid = series.map { case (et, ys) =>
+      var l = ys.head * S; var b = 0L
+      val rs = ys.tail.map { y =>
+        val r = math.abs(y * S - (l + b))
+        val l2 = (y * S + l + b) / 2; b = (l2 - l + b) / 2; l = l2
+        r
+      }
+      et -> rs
+    }
+    val got = analytics.Trend.conformalInterval.fn(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Double, Option[Double],
+        Option[Double])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, _, m, idx, qhat, f, lo, hi) =>
+      val rs = resid(et)
+      assert(m === rs.size)
+      assert(idx === ((m + 1) * 4 + 4) / 5)
+      assert(qhat === Some(rs.sorted.apply(idx.toInt - 1)))
+      // finite-sample guarantee mechanics: >= idx of the m scores <= qhat
+      assert(rs.count(_ <= qhat.get) >= idx)
+      assert(lo === Some(f - qhat.get.toDouble / S) ||
+        math.abs(lo.get - (f - qhat.get.toDouble / S)) < 1e-9)
+      assert(hi.get >= lo.get)
+    }
+  }
+
   test("x157 real data: monotone, bounded by the mean range, mean-preserving") {
     import org.apache.spark.sql.functions._
     val r = analytics.Trend.isotonic.fn(spark, sf)

@@ -76,7 +76,11 @@ object ScaleProbe {
         if (k == 0) col("embedding")
         else transform(col("embedding"), (x, i) =>
           (x * (pmod(hash(lit(k), i), lit(2)) * lit(2) - lit(1))).cast("float"))
-      base.select((col("vec_id") + lit(k * n)).as("vec_id"), emb.as("embedding"))
+      // label rides along unchanged: sign-flips keep each copy's
+      // neighborhoods within-copy, so x160's agreement structure is the
+      // base corpus's in every copy
+      base.select((col("vec_id") + lit(k * n)).as("vec_id"), emb.as("embedding"),
+        col("label"))
     }.reduce(_ unionByName _)
   }
 
@@ -192,6 +196,32 @@ object ScaleProbe {
       // pathological-duplication case it exists for); the meaningful
       // probe axis is wall, which must track the explode+agg linearly
       "x154_edit1_blocking",
+      // x157: output CONSTANT (copies share the 5 types × 30 days grid,
+      // counts scale by f); the only corpus stage is the daily hash agg —
+      // the pair join / running min / grouped max live on the fixed
+      // calendar axis. The x97 shape: wall should be flat-ish
+      "x157_isotonic",
+      // x158: top-20 bounded; rides the same 16-seed panel walk as x155
+      // (frontier⋈edges per round on f×-edge tables) plus one node-keyed
+      // hash agg — its curve should TRACK x155's, the increment ~zero
+      "x158_harmonic_centrality",
+      // x159: output CONSTANT (64 sample rows); selection is a
+      // TakeOrdered(65) over map-side priorities — per-partition heaps,
+      // no shuffle of the corpus. Flattest-possible weighted-sample shape
+      "x159_priority_sample",
+      // x160: output CONSTANT (64 panel rows); the md5 panel re-selects
+      // across the f×-corpus, the K·N distance scan is map-side with
+      // 5-row heaps — wall tracks the one embeddings scan linearly
+      "x160_knn_label_agreement",
+      // x161: output CONSTANT (5 types); same daily-agg + bounded-axis
+      // fold shape as x139/x147 — wall rides the events scan
+      "x161_conformal_interval",
+      // x162: output CONSTANT (5 langs); one (lang, token) hash agg —
+      // the x36 shuffle with a lang prefix. Renamed copies make every
+      // copy's tokens hapax-disjoint: n_tokens/n_types/n1/n2 all scale
+      // exactly f, so unseen_mass is INVARIANT across factors (a
+      // correctness probe for free); wall tracks the one token agg
+      "x162_good_turing",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -431,6 +431,56 @@ object Corpus {
       .orderBy(col("k"))
   }
 
+  /** x162: Good–Turing unseen mass + Chao1 richness per language — "how
+    * much of this language's token distribution have we NOT seen, and
+    * how many types exist in the full population?" — the two classic
+    * coverage estimators a pretraining-corpus audit runs before calling
+    * a language 'covered'. Good–Turing's leave-one-out identity gives
+    * P(next token is a new type) = N₁/N (hapax count over token count);
+    * Chao1's abundance estimator gives richness ≥ V + N₁²/(2·N₂). Both
+    * are pure rationals of exact integer counts (one IEEE division each;
+    * N₁² ≤ 10¹² ≪ 2⁵³), so the oracle replays them bit-for-bit. N₂ = 0
+    * yields an honest NULL Chao1 (the estimator is undefined, not ∞).
+    *
+    * Scale shape: one (lang, token) hash agg over the corpus — the x36
+    * vocab shuffle with a lang prefix — then a |langs|-row rollup of
+    * the frequency-of-frequency counts. Nothing else touches the
+    * corpus; output is one row per language. */
+  val goodTuring = Q.withOracle(
+    "x162_good_turing",
+    "x162: per-language Good-Turing unseen mass + Chao1 richness estimate",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (
+      |  SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ff AS (
+      |  SELECT lang,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM counts GROUP BY 1)
+      |SELECT lang, n_tokens, n_types, n1, n2,
+      |  CAST(n1 AS DOUBLE) / n_tokens AS unseen_mass,
+      |  CASE WHEN n2 > 0
+      |    THEN n_types + CAST(n1 * n1 AS DOUBLE) / (2 * n2) END AS chao1
+      |FROM ff ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("n2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+        (col("n1").cast("double") / col("n_tokens")).as("unseen_mass"),
+        when(col("n2") > 0,
+          col("n_types") + (col("n1") * col("n1")).cast("double")
+            / (lit(2) * col("n2"))).as("chao1"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
-    oovRate, bigramLmScore, collocations, vocabCoverage)
+    oovRate, bigramLmScore, collocations, vocabCoverage, goodTuring)
 }

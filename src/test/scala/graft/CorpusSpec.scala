@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * would not localize — chunk geometry, rank-fusion monotonicity,
   * vocabulary density, and the scale-critical plan shapes. */
 class CorpusSpec extends SparkSuite {
+  import spark.implicits._
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
@@ -215,6 +216,35 @@ class CorpusSpec extends SparkSuite {
       .select(explode(split(col("text"), " "))).distinct().count()
     got.foreach { case (k, covered, _, cov) =>
       if (k >= vocab) { assert(covered === vocab); assert(cov === 1.0) }
+    }
+  }
+
+  test("x162 crafted: hand-counted Good-Turing mass and Chao1; N2=0 gives NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gt").toString
+    Seq(
+      // aa: counts a=2, b=2, c=1 → N=5 V=3 N1=1 N2=2 → 0.2, 3 + 1/4
+      (1L, "a a b", "aa"), (2L, "b c", "aa"),
+      // bb: x=1, y=1 → N1=2 N2=0 → unseen 1.0, Chao1 undefined
+      (3L, "x y", "bb"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Corpus.goodTuring.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("aa") === (("aa", 5L, 3L, 1L, 2L, 0.2, Some(3.25))))
+    assert(got("bb") === (("bb", 2L, 2L, 2L, 0L, 1.0, None)))
+  }
+
+  test("x162 real data: estimator bounds hold on every language") {
+    val got = ext.Corpus.goodTuring.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(got.size >= 2)
+    got.foreach { case (_, n, v, n1, n2, mass, chao1) =>
+      assert(n >= v && v >= n1 + n2) // types dominate hapax+doubletons
+      assert(n1 + 2 * n2 <= n)       // their token mass fits the corpus
+      assert(mass >= 0.0 && mass <= 1.0 && mass === n1.toDouble / n)
+      chao1.foreach(c => assert(c >= v.toDouble)) // richness ≥ observed
     }
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset splitting for a training pipeline.
@@ -367,13 +368,47 @@ object Sampling {
   }
 
   /** Priority-sample size (k); the threshold τ is the (k+1)-th
-    * priority. */
-  private val PriK = 64
+    * priority. Shared with [[graft.streaming.PrioritySampleFeed]]. */
+  private[graft] val PriK = 64
   /** Hash-uniform modulus/multiplier — the x26 Knuth pair (prime P,
     * 2654435761 mod P), kept modular so the multiply never overflows
     * under ANSI at 100 TB key ranges. */
-  private val PriP = 1000003L
-  private val PriH = 2654435761L % PriP // = 427799
+  private[graft] val PriP = 1000003L
+  private[graft] val PriH = 2654435761L % PriP // = 427799
+
+  /** Per-row priorities (o_orderkey, w, q) from an orders frame — stage
+    * 1 of x159, shared with the incremental feed (identical expressions
+    * ⇒ identical priorities ⇒ identical top-k whatever the batching). */
+  private[graft] def prioritized(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("w"),
+      (((col("o_orderkey") % PriP) * PriH) % PriP + 1).as("m"))
+    base.select(col("o_orderkey"), col("w"),
+      ((col("w") * PriP).cast("double") / col("m")).as("q"))
+  }
+
+  /** Stage 2: the (k+1)-row priority shortlist — a TakeOrdered, the
+    * ONLY state the sample needs (an order-statistic sketch: the global
+    * top-(k+1) of a union is the top-(k+1) of the per-part
+    * top-(k+1)s, which is what makes the feed's fold exact). */
+  private[graft] def selectTop(pq: DataFrame): DataFrame =
+    pq.orderBy(col("q").desc, col("o_orderkey")).limit(PriK + 1)
+
+  /** Stage 3: rank the ≤(k+1)-row shortlist, stamp τ, emit the sample
+    * frame (x159's output contract; empty when the shortlist has not
+    * yet filled — no τ exists, so no estimator is defensible). */
+  private[graft] def sampleFrame(top: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("q").desc, col("o_orderkey"))))
+    val tau = rk.filter(col("rn") === PriK + 1).select(col("q").as("tau"))
+    rk.filter(col("rn") <= PriK).crossJoin(broadcast(tau))
+      .select(col("o_orderkey"), col("w").as("w_pennies"),
+        col("q").as("priority"), col("tau"),
+        greatest(col("w").cast("double"), col("tau")).as("w_hat"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+  }
 
   /** x159: priority sampling (Duffield–Lund–Thorup) — the fixed-size
     * weighted sample that supports UNBIASED subset-sum estimation:
@@ -411,24 +446,9 @@ object Sampling {
        |  GREATEST(CAST(rk.w AS DOUBLE), tau.tau) AS w_hat
        |FROM rk, tau WHERE rk.rn <= $PriK
        |ORDER BY rk.q DESC, rk.o_orderkey""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.orders(s, dir).select(
-      col("o_orderkey"),
-      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("w"),
-      (((col("o_orderkey") % PriP) * PriH) % PriP + 1).as("m"))
-    val pq = base.select(col("o_orderkey"), col("w"),
-      ((col("w") * PriP).cast("double") / col("m")).as("q"))
-    val top = pq.orderBy(col("q").desc, col("o_orderkey")).limit(PriK + 1)
-    // 65-row frame from here down: the unpartitioned window is bounded
-    // by the GlobalLimit below it (the PlanAuditSpec structural witness)
-    val rk = top.withColumn("rn",
-      row_number().over(Window.orderBy(col("q").desc, col("o_orderkey"))))
-    val tau = rk.filter(col("rn") === PriK + 1).select(col("q").as("tau"))
-    rk.filter(col("rn") <= PriK).crossJoin(broadcast(tau))
-      .select(col("o_orderkey"), col("w").as("w_pennies"),
-        col("q").as("priority"), col("tau"),
-        greatest(col("w").cast("double"), col("tau")).as("w_hat"))
-      .orderBy(col("priority").desc, col("o_orderkey"))
+    // 65-row frame above sampleFrame's unpartitioned window: bounded by
+    // the GlobalLimit below it (the PlanAuditSpec structural witness)
+    sampleFrame(selectTop(prioritized(Tables.orders(s, dir))))
   }
 
   val all: Seq[Q] =

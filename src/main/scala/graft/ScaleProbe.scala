@@ -222,6 +222,11 @@ object ScaleProbe {
       // exactly f, so unseen_mass is INVARIANT across factors (a
       // correctness probe for free); wall tracks the one token agg
       "x162_good_turing",
+      // x163: output ≤K rows; the cost IS x64's training (shared
+      // quantizer) — the audit adds one map-side assignment, one
+      // (cell, label) hash agg, and a K-row rollup. Its curve should
+      // TRACK x64's with a ~zero increment
+      "x163_cluster_purity",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -66,5 +66,71 @@ object Kmeans {
       .orderBy(col("cell"), col("d"))
   }
 
-  val all: Seq[Q] = Seq(train)
+  /** Argmax-count pack base (the x70 rule): packed = (2³¹ − cnt)·2³¹ +
+    * label realizes "most frequent label, smallest on ties" as ONE
+    * integer min() — a hash aggregate with map-side partials, where a
+    * struct max_by would fall back to SortAggregate. Holds while
+    * per-cell label counts < 2³¹ and 0 ≤ label < 2³¹. */
+  private val PurityPack = 1L << 31
+
+  /** x163: cluster purity + Gini impurity — EXTERNAL validation of the
+    * x64 quantizer against the embedding table's ground-truth `label`
+    * ("do the learned cells recover the annotated classes?"): per
+    * nonempty cell, the majority label, its count, purity = top_n/n,
+    * and the Gini impurity 1 − Σ(n_l/n)² computed as the exact rational
+    * (n² − Σn_l²)/n² — one IEEE division of exact longs (headroom:
+    * n < 3·10⁹ members per cell; a constant-occupancy quantizer at
+    * 100 TB holds cells far below that by construction). With K = 10
+    * cells against 10 ground-truth labels this is the textbook
+    * confusion audit of the clustering x12/x41 route through.
+    *
+    * Scale shape: the training cost IS x64 (shared quantizer, one
+    * definition); the audit adds one map-side assignment pass, one
+    * (cell, label) hash agg, and a K-row rollup. */
+  val clusterPurity = Q.withOracle(
+    "x163_cluster_purity",
+    s"x163: per-cell majority-label purity + Gini impurity of the x64 quantizer (K=${Ivf.K})",
+    {
+      val (ctes, _) = Ivf.quantizerOracleCtes
+      s"""WITH $ctes,
+         |cl AS (
+         |  SELECT cells.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nl
+         |  FROM cells JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT cell, CAST(SUM(nl) AS BIGINT) AS n,
+         |    CAST(SUM(nl * nl) AS BIGINT) AS ss,
+         |    CAST(MIN(($PurityPack - nl) * $PurityPack + label) AS BIGINT)
+         |      AS packed
+         |  FROM cl GROUP BY 1)
+         |SELECT CAST(cell AS BIGINT) AS cell, n,
+         |  CAST(packed % $PurityPack AS BIGINT) AS top_label,
+         |  CAST($PurityPack - (packed // $PurityPack) AS BIGINT) AS top_n,
+         |  CAST($PurityPack - (packed // $PurityPack) AS DOUBLE) / n AS purity,
+         |  CAST(n * n - ss AS DOUBLE) / (n * n) AS gini
+         |FROM ag ORDER BY cell""".stripMargin
+    }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val vq = Ivf.quantized(e)
+      .localCheckpoint() // read once per Lloyd pass + the final assignment
+    val cs = Ivf.refinedCentsCollected(vq)
+    Ivf.assignCellsLit(vq, cs).select(col("vec_id"), col("cell"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("nl"))
+      .groupBy(col("cell"))
+      .agg(sum(col("nl")).cast("long").as("n"),
+        sum(col("nl") * col("nl")).cast("long").as("ss"),
+        min((lit(PurityPack) - col("nl")) * PurityPack + col("label"))
+          .cast("long").as("packed"))
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        (col("packed") % PurityPack).cast("long").as("top_label"),
+        (lit(PurityPack) - expr(s"packed div $PurityPack")).cast("long")
+          .as("top_n"),
+        ((lit(PurityPack) - expr(s"packed div $PurityPack")).cast("double")
+          / col("n")).as("purity"),
+        ((col("n") * col("n") - col("ss")).cast("double")
+          / (col("n") * col("n"))).as("gini"))
+      .orderBy(col("cell"))
+  }
+
+  val all: Seq[Q] = Seq(train, clusterPurity)
 }

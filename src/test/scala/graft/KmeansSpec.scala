@@ -68,4 +68,46 @@ class KmeansSpec extends SparkSuite {
     val got = ext.Kmeans.train.fn(spark, dir).collect().map(_.toSeq).toSeq
     assert(got === base)
   }
+
+  test("x163 crafted: tie-broken majority, exact Gini, singleton cells pure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-purity").toString
+    // 4 identical vectors labeled 1,1,3,3 collapse to one cell (distance
+    // ties break to the min cell): top = (label 1, count 2) by the pack
+    // rule, purity 1/2, gini (16-8)/16 = 1/2. Four far-apart singletons
+    // (label 5) are pure cells.
+    val home = Array.fill(64)(0.25f)
+    def far(i: Int) = Array.tabulate(64)(d => if (d == i) -0.9f else 0.05f)
+    (Seq((0L, home, 1), (1L, home, 1), (2L, home, 3), (3L, home, 3)) ++
+      (0 until 4).map(i => ((10 + i).toLong, far(i), 5)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = ext.Kmeans.clusterPurity.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val (big, singles) = got.partition(_._2 === 4L)
+    assert(big.size === 1 && singles.size === 4)
+    val b = big.head
+    assert((b._3, b._4, b._5, b._6) === ((1L, 2L, 0.5, 0.5)))
+    singles.foreach { s =>
+      assert((s._2, s._3, s._4, s._5, s._6) === ((1L, 5L, 1L, 1.0, 0.0)))
+    }
+  }
+
+  test("x163 real data: mass accounting and rational identities per cell") {
+    val got = ext.Kmeans.clusterPurity.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(got.map(_._2).sum === total) // every vector lands in one cell
+    got.foreach { case (_, n, lbl, topN, purity, gini) =>
+      assert(lbl >= 0L && lbl <= 9L)
+      assert(topN >= 1L && topN <= n)
+      assert(purity === topN.toDouble / n)
+      assert(gini >= 0.0 && gini < 1.0)
+      assert((gini == 0.0) === (topN == n)) // pure iff unanimous
+      // impurity floor given the majority count: gini >= 1 - purity^2 -
+      // (rest as one block)^2 is the MINIMUM split; check the weaker
+      // universal bound gini <= 1 - purity^2 + tiny
+      assert(gini <= 1.0 - purity * purity + 1e-12)
+    }
+  }
 }

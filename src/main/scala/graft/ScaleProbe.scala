@@ -227,6 +227,11 @@ object ScaleProbe {
       // (cell, label) hash agg, and a K-row rollup. Its curve should
       // TRACK x64's with a ~zero increment
       "x163_cluster_purity",
+      // x164: output CONSTANT (190 pairs — renamed copies keep the 20
+      // source names, so pair keys coincide and only the counts scale);
+      // wall = one (source, token) agg + a token join whose fan-out is
+      // bounded by |sources|
+      "x164_ruzicka_sources",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

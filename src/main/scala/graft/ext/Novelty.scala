@@ -122,5 +122,60 @@ object Novelty {
       .orderBy(col("src_a"), col("src_b"))
   }
 
-  val all: Seq[Q] = Seq(gramNovelty, sourceOverlap)
+  /** x164: weighted Jaccard (Ruzicka similarity) between source token
+    * DISTRIBUTIONS — x72's multiset counterpart: where x72 asks "how
+    * many distinct grams do two sources share?", x164 asks "how much
+    * token MASS do they share?", J_w = Σ_t min(w_a, w_b) / Σ_t
+    * max(w_a, w_b) — the measure that separates 'same vocabulary, very
+    * different usage' from genuine distributional overlap (near-1 J_w
+    * between sources means one of them adds little diversity to a
+    * training mix). The max-sum never materializes: Σmax = tot_a +
+    * tot_b − Σmin (min+max = a+b holds per token, including tokens
+    * absent on one side), so only the INNER join on shared tokens runs
+    * — everything is exact integer counts with one final division.
+    *
+    * Scale shape: one (source, token) hash agg, one token-keyed
+    * equi-join whose per-token fan-out is bounded by |sources|, one
+    * pair-keyed agg; totals broadcast. Output ≤ C(|sources|, 2) rows. */
+  val ruzickaSources = Q.withOracle(
+    "x164_ruzicka_sources",
+    "x164: weighted-Jaccard (Ruzicka) token-mass overlap between sources",
+    """WITH cnt AS MATERIALIZED (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT source, CAST(SUM(w) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |mn AS MATERIALIZED (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS min_sum
+      |  FROM cnt a JOIN cnt b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT mn.src_a, mn.src_b, mn.min_sum, ta.n AS tot_a, tb.n AS tot_b,
+      |  CAST(mn.min_sum AS DOUBLE) / (ta.n + tb.n - mn.min_sum) AS jw
+      |FROM mn JOIN tot ta ON ta.source = mn.src_a
+      |JOIN tot tb ON tb.source = mn.src_b
+      |ORDER BY mn.src_a, mn.src_b""".stripMargin) { (s, dir) =>
+    val cnt = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("w"))
+      .localCheckpoint() // feeds the totals, and BOTH sides of the pair join
+    val tot = cnt.groupBy(col("source")).agg(sum(col("w")).cast("long").as("n"))
+    val mn = cnt.as("a").join(cnt.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(least(col("a.w"), col("b.w"))).cast("long").as("min_sum"))
+    mn.join(broadcast(tot.select(col("source").as("src_a"), col("n").as("tot_a"))),
+        "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("tot_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("min_sum"), col("tot_a"),
+        col("tot_b"),
+        (col("min_sum").cast("double")
+          / (col("tot_a") + col("tot_b") - col("min_sum"))).as("jw"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val all: Seq[Q] = Seq(gramNovelty, sourceOverlap, ruzickaSources)
 }

@@ -40,4 +40,32 @@ class NoveltySpec extends SparkSuite {
     // only the (A, B) pair overlaps; zero-overlap pairs are absent
     assert(got === Seq(("A", "B", 1L, 2L, 1L, 0.5)))
   }
+
+  test("x164: weighted Jaccard on hand-counted token masses; duplicates score 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ruz").toString
+    write(dir, Seq(
+      (1L, "a a b", "p"),     // p: a=2, b=1, tot 3
+      (2L, "a b b b", "q"),   // q: a=1, b=3, tot 4 — min-sum 2 → 2/(3+4−2)
+      (3L, "a a b", "r"),     // exact copy of p → J_w(p, r) = 1
+      (4L, "z z", "s")))      // disjoint — its pairs are absent
+    val got = ext.Novelty.ruzickaSources.fn(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set(("p", "q"), ("p", "r"), ("q", "r")))
+    assert(got(("p", "q")) === (("p", "q", 2L, 3L, 4L, 0.4)))
+    assert(got(("p", "r")) === (("p", "r", 3L, 3L, 3L, 1.0)))
+    assert(got(("q", "r")) === (("q", "r", 2L, 4L, 3L, 0.4)))
+  }
+
+  test("x164 real data: bounds vs the totals, full pair coverage on this corpus") {
+    val got = ext.Novelty.ruzickaSources.fn(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size === 190) // C(20,2): every source pair shares a token here
+    got.foreach { case (a, b, mn, ta, tb, jw) =>
+      assert(a < b)
+      assert(mn >= 1L && mn <= math.min(ta, tb))
+      assert(jw === mn.toDouble / (ta + tb - mn))
+      assert(jw > 0.0 && jw <= 1.0)
+    }
+  }
 }

@@ -232,6 +232,11 @@ object ScaleProbe {
       // wall = one (source, token) agg + a token join whose fan-out is
       // bounded by |sources|
       "x164_ruzicka_sources",
+      // x165: output CONSTANT (6 configs); one signature pass (the x2
+      // cost) + per-config (band, bh) hash aggs over b rows/doc — counts
+      // only, never pairs, so even the r=1 mega-bucket config is a
+      // census not a blowup. Wall tracks the signature pass
+      "x165_lsh_tuning",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

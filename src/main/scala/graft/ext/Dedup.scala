@@ -436,18 +436,14 @@ object Dedup {
   /** DuckDB twin of the full x2 pipeline: same md5 signature family, same
     * banding, same exact-Jaccard verification (string shingles where the
     * Spark side joins their 64-bit hashes — identical sets, x4 contract). */
-  private def minhashOracle: String = {
-    val rowsPerBand = NumHashes / NumBands
+  /** The shingle→lanes→signature CTE prefix ending in `sig` (one row
+    * per doc, mh0..mh${NumHashes−1}) — shared by the x2 oracle and
+    * x165's banding sweep. */
+  private def sigCtes: String = {
     val sigCols = (0 until NumHashes)
       .map(j => s"MIN((hi + $j * lo) % $Mod32) AS mh$j")
       .mkString(",\n    ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val cat = (0 until rowsPerBand)
-        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH $JaccardCtes,
+    s"""$JaccardCtes,
        |lanes AS MATERIALIZED (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi,
@@ -456,7 +452,18 @@ object Dedup {
        |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM lanes GROUP BY doc_id),
+       |  FROM lanes GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val rowsPerBand = NumHashes / NumBands
+    val bandSelects = (0 until NumBands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigCtes,
        |banded AS MATERIALIZED (
        |  $bandSelects),
        |cand AS MATERIALIZED (
@@ -916,9 +923,93 @@ object Dedup {
       .orderBy(col("err_band"))
   }
 
+  /** The (bands, rows) factorizations of [[NumHashes]] x165 sweeps. */
+  private val LshConfigs: Seq[(Int, Int)] =
+    (0 to 5).map(i => (1 << i, NumHashes >> i)) // (1,32) (2,16) … (32,1)
+
+  /** x165: LSH banding-parameter sweep — the index-tuning table that
+    * justifies x2's (8, 4) choice with MEASURED data instead of folklore:
+    * for every (b bands × r rows) factorization of the [[NumHashes]]
+    * signature, the bucket census and the candidate PROBE VOLUME
+    * Σ c·(c−1)/2 over bucket sizes c — computed from sizes alone, so no
+    * pair list ever materializes even for the pathological r = 1 config
+    * whose mega-buckets would explode a pair join (that blowup is the
+    * phenomenon the table exists to SHOW). Probe volume counts per-band
+    * duplicates deliberately: it is the verification COST a config
+    * incurs, not the distinct-pair yield. The analytic detection
+    * probability at Jaccard 0.5, 1 − (1 − 0.5^r)^b, is a per-config
+    * CONSTANT computed once in Scala and inlined as a literal into both
+    * engines (shortest-round-trip doubles — no cross-engine pow).
+    *
+    * Scale shape: one signature pass (the x2 cost), then per config one
+    * (band, bh) hash agg over b rows/doc and a 6-row rollup — counts
+    * only, never pairs. */
+  val lshTuning = Q.withOracle(
+    "x165_lsh_tuning",
+    s"x165: LSH (bands x rows) sweep of $NumHashes-hash signatures - bucket census + probe volume",
+    {
+      val bandSelects = LshConfigs.map { case (b, r) =>
+        (0 until b).map { bb =>
+          val cat = (0 until r).map(i => s"CAST(mh${bb * r + i} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS cfg_bands, $r AS cfg_rows, $bb AS band, md5($cat) AS bh FROM sig"
+        }.mkString("\n  UNION ALL ")
+      }.mkString("\n  UNION ALL ")
+      // CAST('…' AS DOUBLE): a bare decimal literal would be typed
+      // DECIMAL first and lose bits on the re-cast; the string parse
+      // goes straight to the nearest double (= the Scala value, since
+      // Double.toString is shortest-round-trip)
+      val detectCase = LshConfigs.map { case (b, r) =>
+        val p = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+        s"WHEN cfg_rows = $r THEN CAST('$p' AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH $sigCtes,
+         |banded AS MATERIALIZED (
+         |  $bandSelects),
+         |sz AS MATERIALIZED (
+         |  SELECT cfg_bands, cfg_rows, band, bh, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM banded GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(cfg_bands AS BIGINT) AS cfg_bands,
+         |  CAST(cfg_rows AS BIGINT) AS cfg_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_colliding,
+         |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS probe_pairs,
+         |  CASE $detectCase END AS p_detect_50
+         |FROM sz GROUP BY cfg_bands, cfg_rows ORDER BY cfg_bands""".stripMargin
+    }) { (s, dir) =>
+    val sig = signatures(Tables.documents(s, dir))
+      .localCheckpoint() // one signature pass feeds all six bandings
+    val banded = LshConfigs.map { case (b, r) =>
+      val bands = explode(array((0 until b).map { bb =>
+        val cols = (0 until r).map(i => col(s"mh${bb * r + i}").cast("string"))
+        struct(lit(bb).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+      }: _*))
+      sig.select(lit(b.toLong).as("cfg_bands"), lit(r.toLong).as("cfg_rows"),
+        bands.as("x"))
+        .select(col("cfg_bands"), col("cfg_rows"),
+          col("x.band").as("band"), col("x.bh").as("bh"))
+    }.reduce(_ unionAll _)
+    val detect = LshConfigs.foldLeft(lit(null).cast("double")) { case (acc, (b, r)) =>
+      when(col("cfg_rows") === r,
+        lit(1.0 - math.pow(1.0 - math.pow(0.5, r), b))).otherwise(acc)
+    }
+    banded
+      .groupBy(col("cfg_bands"), col("cfg_rows"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cfg_bands"), col("cfg_rows"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).cast("long").as("n_colliding"),
+        max(col("c")).cast("long").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).cast("long").as("probe_pairs"))
+      .withColumn("p_detect_50", detect)
+      .orderBy(col("cfg_bands"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
-    containmentPairs, minhashCalibration)
+    containmentPairs, minhashCalibration, lshTuning)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

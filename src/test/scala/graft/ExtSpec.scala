@@ -206,6 +206,31 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.filter($"n" =!= 5 || $"mr" =!= 5).isEmpty)
   }
 
+  test("x165: sweep structure, S-curve monotonicity, and x2 consistency") {
+    val rows = ext.Dedup.lshTuning.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._2) // by cfg_rows ascending: r = 1 … 32
+    assert(rows.map(r => (r._1, r._2)) ===
+      Seq((32L, 1L), (16L, 2L), (8L, 4L), (4L, 8L), (2L, 16L), (1L, 32L)))
+    rows.foreach { case (b, r, nb, nc, mx, pp, p50) =>
+      assert(p50 === 1.0 - math.pow(1.0 - math.pow(0.5, r.toInt), b.toInt))
+      assert(nc <= nb)
+      assert((mx >= 2L) === (nc >= 1L))
+      assert(pp >= nc) // every colliding bucket contributes ≥ 1 pair
+    }
+    // detection probability strictly decreases as rows-per-band grow;
+    // measured probe volume must follow the same direction at the ends
+    assert(rows.map(_._7) === rows.map(_._7).sorted.reverse)
+    assert(rows.head._6 >= rows.last._6)
+    // the registered (8, 4) config's probe volume bounds x2's distinct
+    // candidate pairs (probe volume counts per-band duplicates)
+    val cfg84 = rows.find(r => r._1 == 8L && r._2 == 4L).get
+    val docs = Tables.documents(spark, sf)
+    val distinctCands = ext.Dedup.candidatePairs(
+      ext.Dedup.signatures(docs)).count()
+    assert(distinctCands <= cfg84._6)
+  }
+
   test("x160 crafted: the mislabeled point scores 0, clean clusters score high") {
     // Two tight clusters; one cluster-A point carries a wrong label.
     // ≤ 64 vectors → the md5 panel is EVERY vector, so agreement is

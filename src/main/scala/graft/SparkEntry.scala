@@ -63,7 +63,6 @@ object SparkEntry {
       ext.Bloom.all ++
       ext.Cms.all ++
       ext.Heavy.all ++
-      ext.Fuzzy.all ++
       ext.Profile.all ++
       ext.Graph.all ++
       ext.Itemsets.all ++

@@ -49,6 +49,9 @@ class PlanAuditSpec extends SparkSuite {
     "x141_pchart_returns",         // broadcast of the 1-row pooled-rate scalar onto the weekly axis
     "x142_anova_priority",         // 1-row fold ⨯ 1-row totals composed by cross join
     "x149_lpa_modularity",         // broadcast of the 1-row edge-count scalar onto the |labels|-row terms
+    "x156_ann_ap",                 // inherits x5's broadcast query-panel cross join through composition
+    "x159_priority_sample",        // broadcast of the 1-row threshold scalar onto the 64-row sample
+    "x160_knn_label_agreement",    // broadcast of the 64-row query panel into the streaming corpus scan
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -237,6 +237,13 @@ object ScaleProbe {
       // only, never pairs, so even the r=1 mega-bucket config is a
       // census not a blowup. Wall tracks the signature pass
       "x165_lsh_tuning",
+      // x166: single-row output; rides x4's pair generation (copy-local
+      // pairs scale f), audit itself is degree-linear + pair-keyed joins
+      // over the pair table — wall should track x4's curve
+      "x166_dedup_transitivity",
+      // x167: output CONSTANT (5 types × ≤7 dows — copies share the
+      // calendar); the daily hash agg is the only corpus stage
+      "x167_dow_profile",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -947,8 +947,63 @@ object Trend {
       .orderBy(col("event_type"))
   }
 
+  /** x167: day-of-week seasonal profile of daily event volume per type —
+    * the additive weekday effect (mean volume on this weekday minus the
+    * type's overall daily mean) every traffic/ops dashboard carries and
+    * every forecast residual check subtracts first. Days are weighted
+    * equally (the daily agg is the unit, not the event), and the effect
+    * is the exact rational (s_d·n − s·n_d)/(n_d·n) — the x97
+    * multiply-through discipline, so no mean is ever materialized and
+    * the one float per row is the final division. DOW convention:
+    * 0 = Sunday — DuckDB's EXTRACT(dow) natively; Spark's extract(DOW)
+    * is 1-based (an alias of dayofweek, measured), so the Spark side
+    * computes dayofweek − 1.
+    *
+    * Scale shape: one daily hash agg (the x97/x157/x161 corpus stage),
+    * then two aggs on the bounded calendar axis; output ≤ |types|·7. */
+  val dowProfile = Q.withOracle(
+    "x167_dow_profile",
+    "x167: day-of-week volume profile per event type (exact additive effects)",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, CAST(EXTRACT(dow FROM day) AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(y) AS BIGINT) AS sd
+      |  FROM d GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_all,
+      |    CAST(SUM(y) AS BIGINT) AS s_all
+      |  FROM d GROUP BY 1)
+      |SELECT g.event_type, g.dow, g.n_days, g.sd AS sum_events,
+      |  CAST(g.sd AS DOUBLE) / g.n_days AS dow_mean,
+      |  CAST(g.sd * t.n_all - t.s_all * g.n_days AS DOUBLE)
+      |    / (g.n_days * t.n_all) AS effect
+      |FROM g JOIN t USING (event_type)
+      |ORDER BY g.event_type, g.dow""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val g = d.groupBy(col("event_type"),
+        (dayofweek(col("day")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("y")).cast("long").as("sd"))
+    val t = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_all"),
+        sum(col("y")).cast("long").as("s_all"))
+    g.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("sd").as("sum_events"),
+        (col("sd").cast("double") / col("n_days")).as("dow_mean"),
+        ((col("sd") * col("n_all") - col("s_all") * col("n_days"))
+          .cast("double") / (col("n_days") * col("n_all"))).as("effect"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val all: Seq[Q] =
     Seq(groupRegression, timeWeightedPrice, decayedPopularity, weightedMedian,
       cusumChangePoint, rollingSlope, autocorrelation, holtForecast,
-      maxDrawdown, holtBacktest, theilSen, isotonic, conformalInterval)
+      maxDrawdown, holtBacktest, theilSen, isotonic, conformalInterval,
+      dowProfile)
 }

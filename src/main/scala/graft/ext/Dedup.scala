@@ -1007,9 +1007,71 @@ object Dedup {
       .orderBy(col("cfg_bands"))
   }
 
+  /** x166: transitivity audit of the near-dup threshold graph — the
+    * cluster-coherence question a threshold-based dedup (x16) silently
+    * assumes away: similarity is NOT transitive, so a ≥0.5 pair graph
+    * can chain A~B~C with A≁C and a connected-component "cluster"
+    * swallows documents that share nothing. The global clustering
+    * coefficient 3·triangles / wedges over x4's exact pair graph
+    * measures exactly how often the assumption holds (1.0 = every
+    * cluster is a clique; low = chaining is rife and the survivor
+    * choice is doing real work). Wedges come from the degree table
+    * (Σ d(d−1)/2, no joins); triangles from two equi-joins over the
+    * (tiny relative to the corpus) pair set with the a<b<c canonical
+    * order. All exact integers, one final division, NULL when no
+    * wedge exists.
+    *
+    * Scale shape: rides x4's pair generation (at real scale the
+    * candidate tier is x2's LSH — same audit applies to its verified
+    * pairs); the audit itself is degree-linear + pair-keyed joins over
+    * the pair table, never the corpus. */
+  val dedupTransitivity = Q.withOracle(
+    "x166_dedup_transitivity",
+    "x166: global clustering coefficient of the >= 0.5 near-dup pair graph",
+    s"""WITH $JaccardCtes,
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM scored WHERE jac >= 0.5),
+       |deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |  GROUP BY v),
+       |wg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM e x JOIN e y ON y.a = x.b JOIN e z
+       |    ON z.a = x.a AND z.b = y.b),
+       |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT wg.n_nodes, ec.n_edges, wg.n_wedges, tri.n_triangles,
+       |  CASE WHEN wg.n_wedges > 0
+       |    THEN CAST(3 * tri.n_triangles AS DOUBLE) / wg.n_wedges
+       |  END AS transitivity
+       |FROM wg, ec, tri""".stripMargin) { (s, dir) =>
+    val e = scoredPairs(s, dir).filter(col("jac") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint() // pair set read five ways below
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wg = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    val tri = e.as("x")
+      .join(e.as("y"), col("y.a") === col("x.b"))
+      .join(e.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val ec = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    wg.crossJoin(broadcast(ec)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (col("n_triangles") * 3).cast("double") / col("n_wedges"))
+          .as("transitivity"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
-    containmentPairs, minhashCalibration, lshTuning)
+    containmentPairs, minhashCalibration, lshTuning, dedupTransitivity)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

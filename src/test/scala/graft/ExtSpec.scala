@@ -231,6 +231,42 @@ class ExtSpec extends SparkSuite {
     assert(distinctCands <= cfg84._6)
   }
 
+  test("x166 crafted: clique + edge give hand-counted wedges/triangles") {
+    // 3 identical docs = a jac-1.0 triangle; 2 identical docs = one
+    // isolated edge. Edges 4, wedges 3 (triangle corners only),
+    // triangles 1 → transitivity 1.0 (every wedge closes).
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "zeta eta theta iota kappa"
+    (Seq((1L, t1), (2L, t1), (3L, t1), (10L, t2), (11L, t2)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = ext.Dedup.dedupTransitivity.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r === ((5L, 4L, 3L, 1L, Some(1.0))))
+  }
+
+  test("x166 real data: scalar replay of wedges, triangles, and the ratio") {
+    val pairs = SparkEntry.queries("x4_jaccard_pairs")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val deg = pairs.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- pairs; c <- deg.keys
+      if c > b && pairs((b, c)) && pairs((a, c))
+    } yield (a, b, c)).size.toLong
+    val r = ext.Dedup.dedupTransitivity.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r._1 === deg.size.toLong)
+    assert(r._2 === pairs.size.toLong)
+    assert(r._3 === wedges)
+    assert(r._4 === tris)
+    if (wedges > 0) assert(r._5 === Some(3.0 * tris / wedges))
+  }
+
   test("x160 crafted: the mislabeled point scores 0, clean clusters score high") {
     // Two tight clusters; one cluster-A point carries a wrong label.
     // ≤ 64 vectors → the md5 panel is EVERY vector, so agreement is

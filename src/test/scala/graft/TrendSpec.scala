@@ -497,6 +497,37 @@ class TrendSpec extends SparkSuite {
     }
   }
 
+  test("x167 crafted: hand-counted weekday effects (2024-01-07 is a Sunday)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dow").toString
+    writeEvents(dir,
+      (1 to 2).map(i => (i.toLong, "2024-01-07 08:00:00", "v", 1.0)) ++    // Sun: 2
+      (3 to 6).map(i => (i.toLong, "2024-01-08 08:00:00", "v", 1.0)) ++    // Mon: 4
+      (7 to 12).map(i => (i.toLong, "2024-01-15 08:00:00", "v", 1.0)))     // Mon: 6
+    val got = analytics.Trend.dowProfile.fn(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    // overall daily mean 12/3 = 4; Sunday mean 2 (effect −2), Monday 5 (+1)
+    assert(got(0L) === (("v", 0L, 1L, 2L, 2.0, -2.0)))
+    assert(got(1L) === (("v", 1L, 2L, 10L, 5.0, 1.0)))
+    assert(got.size === 2)
+  }
+
+  test("x167 real data: day-weighted effects cancel per type; dows valid") {
+    val got = analytics.Trend.dowProfile.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, dow, nd, sd, mean, _) =>
+      assert(dow >= 0L && dow <= 6L)
+      assert(mean === sd.toDouble / nd)
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      // Σ n_d · effect = 0 exactly in the rationals; floats within ulps
+      val cancel = rows.map(r => r._3 * r._6).sum
+      val scale = rows.map(r => math.abs(r._3 * r._6)).sum.max(1.0)
+      assert(math.abs(cancel) / scale < 1e-12)
+    }
+  }
+
   test("x157 real data: monotone, bounded by the mean range, mean-preserving") {
     import org.apache.spark.sql.functions._
     val r = analytics.Trend.isotonic.fn(spark, sf)

@@ -109,8 +109,11 @@ object CosineSimilarity {
 
 /** `SparkSessionExtensions` wiring — load with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
-  * function and the TopKPerKey planner strategy in every session
-  * without explicit register() calls. */
+  * function, the TopKPerKey planner strategy, and the rank-limit
+  * optimizer rewrite ([[graft.plans.TopKPerKeyRewrite]]) in every
+  * session without explicit register() calls. The rule and the
+  * strategy travel together BY CONSTRUCTION: a session that can plant
+  * the logical node can always plan it. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -118,5 +121,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKPerKeyRewrite)
   }
 }

@@ -87,4 +87,54 @@ class TopKPerKeySpec extends SparkSuite {
     val n = partial.execute().count()
     assert(n <= 24, s"partial emitted $n rows, expected <= 24")
   }
+
+  private val rankSql =
+    s"""SELECT * FROM (
+       |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+       |  FROM parquet.`$sf/lineitem.parquet`) WHERE rn <= 3""".stripMargin
+
+  test("rewrite rule: rank-limit SQL plans through TopKPerKey, same output") {
+    val before = spark.sql(rankSql).collect().map(_.toSeq).toSeq
+    graft.plans.TopKPerKeyRewrite.register(spark)
+    try {
+      val df = spark.sql(rankSql)
+      val plan = flattenPlan(df.queryExecution.executedPlan)
+      assert(plan.exists(_.isInstanceOf[graft.plans.TopKPerKeyFinalExec]),
+        s"no TopKPerKey in:\n${df.queryExecution.executedPlan}")
+      assert(plan.exists(_.isInstanceOf[graft.plans.TopKPerKeyPartialExec]))
+      assert(df.collect().map(_.toSeq).toSeq.sortBy(_.toString) ===
+        before.sortBy(_.toString))
+    } finally graft.plans.TopKPerKeyRewrite.unregister(spark)
+  }
+
+  test("rewrite rule: idempotent at fixpoint; ineligible windows untouched") {
+    val plan = spark.sql(rankSql).queryExecution.optimizedPlan
+    val once = graft.plans.TopKPerKeyRewrite(plan)
+    assert(once !== plan) // it fired
+    assert(graft.plans.TopKPerKeyRewrite(once) === once) // and only once
+    // a window computing MORE than the row_number must not rewrite
+    // (the extra column needs the full per-key input)
+    val multi = spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT l_returnflag, l_orderkey,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS rn,
+         |    sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS s
+         |  FROM parquet.`$sf/lineitem.parquet`) WHERE rn <= 3""".stripMargin)
+      .queryExecution.optimizedPlan
+    assert(graft.plans.TopKPerKeyRewrite(multi) === multi)
+  }
+
+  test("rewrite rule: the rn = 1 argmax idiom rewrites to k = 1") {
+    val p = spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT l_returnflag, l_orderkey,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS rn
+         |  FROM parquet.`$sf/lineitem.parquet`) WHERE rn = 1""".stripMargin)
+      .queryExecution.optimizedPlan
+    val rewritten = graft.plans.TopKPerKeyRewrite(p)
+    val topk = rewritten.collect { case t: graft.plans.TopKPerKey => t }
+    assert(topk.map(_.k) === Seq(1))
+  }
 }

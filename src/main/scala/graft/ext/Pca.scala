@@ -158,39 +158,53 @@ object Pca {
     * Shared by the registered x153 (scatter from one corpus scan) and
     * [[graft.streaming.PcaFeed]] (scatter from incrementally maintained
     * sums): identical exact-integer inputs ⇒ identical output frames,
-    * which is the feed's spec contract. */
+    * which is the feed's spec contract.
+    *
+    * The scatter frame is ≤ 2,080 rows of bounded METADATA (the Ivf
+    * literal-centroid discipline), so the solve collects it and runs
+    * the rounds in exact local integer arithmetic — the distributed
+    * form (round 12's first cut) paid ~8 rounds of per-round scheduling
+    * latency on 64-row frames, which dominated x153's wall (≈34 s at
+    * every probe factor; the corpus-bound scatter agg itself is a few
+    * seconds). Semantics are IDENTICAL: BigInteger/Long division
+    * truncates toward zero exactly like Spark `div` and DuckDB `//`,
+    * and the three final double ops replicate the same IEEE steps, so
+    * the oracle (and the PcaFeed parity spec) stay bit-exact. */
   private[graft] def solve(suIn: DataFrame): DataFrame = {
-    val su = suIn
-      .localCheckpoint() // the corpus scan lands HERE; everything below is ≤64×64 rows
-    val mq = su.agg(greatest(expr(s"max(abs(sc)) div $S"), lit(1L)).as("m"))
-    val half = su.crossJoin(broadcast(mq))
-      .select(col("j"), col("k"), expr("CAST(sc div m AS BIGINT)").as("s"))
-    val sfull = half.unionAll(
-        half.filter(col("j") =!= col("k"))
-          .select(col("k").as("j"), col("j").as("k"), col("s")))
-      .localCheckpoint() // read once per round + trace + Rayleigh
-    var v = sfull.select(col("j")).distinct().select(col("j"), lit(S).as("v"))
-    for (_ <- 1 to Rounds) {
-      val w = sfull.join(v.select(col("j").as("k"), col("v")), "k")
-        .groupBy(col("j")).agg(sum(col("s") * col("v")).cast("long").as("w"))
-      val m = w.agg(greatest(expr(s"max(abs(w)) div $S"), lit(1L)).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("j"), expr("w div m").as("v"))
+    val spark = suIn.sparkSession
+    import spark.implicits._
+    val tri = suIn
+      .select(col("j").cast("int"), col("k").cast("int"),
+        col("sc").cast("decimal(38,0)"))
+      .collect() // ≤ 64·65/2 rows — the corpus scan lands here
+      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    // step 3: elementwise rescale by m = max(|sc|) div 2^20 (min 1)
+    val m = (tri.iterator.map(_._3.abs).max / S).max(BigInt(1))
+    val dims = tri.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct.sorted
+    val idx = dims.zipWithIndex.toMap
+    val n = dims.length
+    val sM = Array.ofDim[Long](n, n)
+    tri.foreach { case (j, k, sc) =>
+      val s = (sc / m).toLong // BigInt division truncates toward zero, like div///
+      sM(idx(j))(idx(k)) = s
+      sM(idx(k))(idx(j)) = s
     }
-    val vfin = v.localCheckpoint() // 64 rows; cuts the 8-round lineage
-    val vh = vfin.select(col("j"), expr(s"v div $Coarse").as("v"))
-    val wh = sfull.join(vh.select(col("j").as("k"), col("v")), "k")
-      .groupBy(col("j")).agg(sum(col("s") * col("v")).cast("long").as("w"))
-    val ray = vh.join(wh, "j").agg(
-      sum(col("v") * col("w")).cast("long").as("num"),
-      sum(col("v") * col("v")).cast("long").as("den"))
-    val tr = sfull.filter(col("j") === col("k"))
-      .agg(sum(col("s")).cast("long").as("t"))
-    vfin.crossJoin(broadcast(ray)).crossJoin(broadcast(tr))
-      .select(col("j").as("dim"), col("v").as("loading_scaled"),
-        (col("v").cast("double") / lit(S.toDouble)).as("loading"),
-        (col("num").cast("double") / col("den").cast("double")
-          / col("t").cast("double")).as("ev_ratio"))
+    // step 4: Rounds synchronous power rounds from all-ones·2^20
+    var v = Array.fill(n)(S)
+    for (_ <- 1 to Rounds) {
+      val w = Array.tabulate(n)(j => (0 until n).map(k => sM(j)(k) * v(k)).sum)
+      val mw = (w.iterator.map(math.abs).max / S).max(1L)
+      v = w.map(_ / mw)
+    }
+    // step 5: Rayleigh over the coarsened vector + trace
+    val vh = v.map(_ / Coarse)
+    val wh = Array.tabulate(n)(j => (0 until n).map(k => sM(j)(k) * vh(k)).sum)
+    val num = (0 until n).map(j => vh(j) * wh(j)).sum
+    val den = (0 until n).map(j => vh(j) * vh(j)).sum
+    val tr = (0 until n).map(j => sM(j)(j)).sum
+    val ev = num.toDouble / den.toDouble / tr.toDouble
+    dims.indices.map(i => (dims(i).toLong, v(i), v(i).toDouble / S.toDouble, ev))
+      .toDF("dim", "loading_scaled", "loading", "ev_ratio")
       .orderBy(col("dim"))
   }
 

@@ -244,6 +244,15 @@ object ScaleProbe {
       // x167: output CONSTANT (5 types × ≤7 dows — copies share the
       // calendar); the daily hash agg is the only corpus stage
       "x167_dow_profile",
+      // x168: output CONSTANT (copies share the order calendar, so the
+      // (cohort, age) grid coincides and only counts/pennies scale by f);
+      // one customer-keyed min + one (cust, month) agg, window on the grid
+      "x168_cohort_ltv",
+      // x169: output CONSTANT (20 sources); the x1 hash agg + hash-keyed
+      // join back + source agg. Probe-corpus note: copies are
+      // content-DISJOINT (token rename), so survivors scale f and
+      // per-source savings ratios are factor-invariant
+      "x169_dedup_savings",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

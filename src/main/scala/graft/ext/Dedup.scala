@@ -1069,9 +1069,58 @@ object Dedup {
           .as("transitivity"))
   }
 
+  /** x169: dedup savings report — the capacity-planning readout of x1's
+    * survivor rule, per source: how many documents and how many BYTES
+    * does exact dedup remove from each feed ("source Y is 40% redundant
+    * — renegotiate or de-prioritize it"). Survivorship is GLOBAL (the
+    * x1 min-doc_id rule), so a source whose content duplicates another
+    * source's earlier documents is charged for it — exactly the
+    * cross-feed redundancy a mix designer needs attributed. Exact
+    * integer counts/chars; one final division per source.
+    *
+    * Scale shape: the x1 hash agg (one shuffle on md5(text)) joined
+    * back to doc grain on the hash key, then one source-keyed agg —
+    * output is |sources| rows. */
+  val dedupSavings = Q.withOracle(
+    "x169_dedup_savings",
+    "x169: per-source docs/bytes removed by exact dedup (global survivor rule)",
+    """WITH surv AS MATERIALIZED (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY 1),
+      |d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN doc_id = s.keep THEN 1 ELSE 0 END AS kept
+      |  FROM documents JOIN surv s ON md5(text) = s.h)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(kept * n_chars) AS BIGINT) AS chars_kept,
+      |  CAST(SUM(n_chars) - SUM(kept * n_chars) AS DOUBLE) / SUM(n_chars)
+      |    AS savings
+      |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val surv = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+    docs.join(surv, "h")
+      .select(col("source"), col("n_chars"),
+        when(col("doc_id") === col("keep"), 1L).otherwise(0L).as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(col("kept") * col("n_chars")).cast("long").as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("chars_total"),
+        col("chars_kept"),
+        ((col("chars_total") - col("chars_kept")).cast("double")
+          / col("chars_total")).as("savings"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
-    containmentPairs, minhashCalibration, lshTuning, dedupTransitivity)
+    containmentPairs, minhashCalibration, lshTuning, dedupTransitivity,
+    dedupSavings)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

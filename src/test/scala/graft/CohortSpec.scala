@@ -55,4 +55,46 @@ class CohortSpec extends SparkSuite {
     val users = Tables.events(spark, sf).select($"user_id").distinct().count()
     assert(rows.filter(_._2 == 0L).map(_._3).sum === users)
   }
+
+  test("x168 crafted: hand-counted LTV curve with a skipped month") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ltv").toString
+    Seq( // (orderkey, custkey, totalprice, date)
+      (1L, 1L, 10.0, "1995-01-15"), (2L, 1L, 20.0, "1995-03-02"),
+      (3L, 2L, 5.0, "1995-01-20"))
+      .map { case (k, c, p, d) =>
+        (k, c, "O", p, Timestamp.valueOf(s"$d 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val cohort = 1995L * 12 // Jan 1995, zero-based month index
+    val got = analytics.Cohort.cohortLtv.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (cohort, 0L, 1500L, 2L, 1500L, 2L, 750.0),
+      (cohort, 2L, 2000L, 1L, 3500L, 2L, 1750.0)))
+  }
+
+  test("x168 real data: curve laws per cohort") {
+    val got = analytics.Cohort.cohortLtv.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // Σ over cohorts of size = customer count (every customer has one cohort)
+    val cohSizes = got.groupBy(_._1).map(_._2.head._6).sum
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(cohSizes === nCust)
+    got.groupBy(_._1).values.foreach { rows =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.head._2 === 0L) // age 0 exists by construction
+      assert(byAge.head._4 === byAge.head._6) // month 0: whole cohort active
+      // cumulative consistency + monotone LTV
+      var cum = 0L
+      byAge.foreach { r =>
+        cum += r._3
+        assert(r._5 === cum)
+        assert(r._7 === cum.toDouble / r._6)
+        assert(r._4 <= r._6) // never more active than acquired
+      }
+    }
+  }
 }

@@ -231,6 +231,36 @@ class ExtSpec extends SparkSuite {
     assert(distinctCands <= cfg84._6)
   }
 
+  test("x169 crafted: cross-source duplication is charged to the LOSING source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sav").toString
+    Seq( // A: dup pair (10 chars) + unique (4); B: copies A's text, loses
+      (1L, "tentencharz", "A"), (2L, "tentencharz", "A"), (3L, "four", "A"),
+      (10L, "tentencharz", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Dedup.dedupSavings.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 3L, 2L, 26L, 15L, 11.0 / 26)))
+    assert(got("B") === (("B", 1L, 0L, 11L, 0L, 1.0)))
+  }
+
+  test("x169 real data: mass accounting against x1's survivor count") {
+    val got = ext.Dedup.dedupSavings.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, kept, ct, ck, sv) =>
+      assert(kept <= n && ck <= ct)
+      assert(sv === (ct - ck).toDouble / ct)
+    }
+    val survivors = Tables.documents(spark, sf)
+      .select(md5($"text")).distinct().count()
+    assert(got.map(_._3).sum === survivors)
+    assert(got.map(_._2).sum === Tables.documents(spark, sf).count())
+  }
+
   test("x166 crafted: clique + edge give hand-counted wedges/triangles") {
     // 3 identical docs = a jac-1.0 triangle; 2 identical docs = one
     // isolated edge. Edges 4, wedges 3 (triangle corners only),

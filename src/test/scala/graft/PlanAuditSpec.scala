@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSuite {
     "x156_ann_ap",                 // inherits x5's broadcast query-panel cross join through composition
     "x159_priority_sample",        // broadcast of the 1-row threshold scalar onto the 64-row sample
     "x160_knn_label_agreement",    // broadcast of the 64-row query panel into the streaming corpus scan
+    "x166_dedup_transitivity",     // two 1-row count scalars (edges, triangles) composed onto the 1-row wedge agg
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

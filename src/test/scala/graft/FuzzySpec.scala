@@ -1,7 +1,10 @@
 package graft
 
-/** x154 deletion-neighborhood blocking: completeness for distance ≤ 1,
-  * exactness of the verify filter, and the hot-bucket guard. */
+import org.apache.spark.sql.functions._
+
+/** x154 deletion-neighborhood blocking (completeness for distance ≤ 1,
+  * exactness of the verify filter, the hot-bucket guard) and x55 FastSS
+  * label pairs (blocking recall theorem, all-pairs equality). */
 class FuzzySpec extends SparkSuite {
   import spark.implicits._
 
@@ -69,5 +72,50 @@ class FuzzySpec extends SparkSuite {
       assert(d === 1, s"($a, $b) at distance $d")
     }
     assert(rows === rows.sortBy(r => (r._1, r._2)))
+  }
+
+  // ---- x55 (restored round 12 with the operator itself) ---------------
+
+  test("x55 deletion variants: len+1 entries, self first") {
+    val out = Seq("abc").toDF("s")
+      .select(ext.Fuzzy.deletionVariants($"s").as("v"))
+      .as[Seq[String]].collect()(0)
+    assert(out === Seq("abc", "bc", "ac", "ab"))
+  }
+
+  test("x55 blocking recall: every edit-<=1 relation produces a candidate pair") {
+    // equality is excluded by the name_a < name_b pair rule (distinct
+    // labels), so cover: deletion, insertion, substitution — at the
+    // start, middle, and end of the string — plus dist-2 decoys that
+    // MAY appear as candidates but must die at the verify
+    val labels = Seq(
+      "widget", "idget", "wdget", "widge",      // deletions of widget
+      "xwidget", "widgext",                     // insertions
+      "yidget", "widgey",                       // substitutions
+      "none-of-it", "totally-else").toDF("name")
+    val cand = ext.Fuzzy.candidatePairs(labels, "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = labels.as("a").crossJoin(labels.as("b"))
+      .filter(col("a.name") < col("b.name") &&
+        levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.name"), col("b.name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(naive.nonEmpty && naive.subsetOf(cand),
+      s"blocking missed pairs: ${naive -- cand}")
+  }
+
+  test("x55 equals the naive all-pairs result on the real table") {
+    val got = ext.Fuzzy.fuzzyNamePairs.fn(spark, sf)
+      .select($"name_a", $"name_b", $"dist").collect().toSeq
+    val names = Tables.part(spark, sf).select($"p_name").distinct()
+    val want = names.as("a").crossJoin(names.as("b"))
+      .filter(col("a.p_name") < col("b.p_name") &&
+        levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
+      .select(col("a.p_name"), col("b.p_name"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+      .orderBy(col("a.p_name"), col("b.p_name"))
+      .collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "testdata plants cold/old pairs; result must not be empty")
   }
 }

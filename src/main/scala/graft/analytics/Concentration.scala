@@ -41,36 +41,28 @@ object Concentration {
     * offset window over the bucket table alone). */
   private val BktBits = 16
 
-  /** x95: Gini concentration of customer spend per market segment —
-    * customers with ≥1 order, ranked by exact penny spend. */
-  /** Per-customer penny spend with the segmented exact in-segment rank
-    * (ascending spend, custkey tiebreak): local row_number per
-    * (segment, spend-bucket) in parallel + a prefix-offset window over
-    * the tiny bucket table only — never a \|segments\|-partition global
-    * sort. Shared by x95 (Gini) and x125 (exact quartiles). */
-  private def rankedSpend(s: SparkSession, dir: String): DataFrame = {
+  /** Per-customer penny spend, bucketed on the spend high bits — the
+    * shared base frame for x95's ranks and x131's cumulative sums. */
+  private def segSpend(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("ck"))
       .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
         .cast("long").as("x"))
-    val seg = spend
+    spend
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
         col("ck") === col("c_custkey"))
       .select(col("c_mktsegment").as("mktsegment"), col("x"), col("ck"))
       .withColumn("bkt", expr(s"shiftright(x, $BktBits)"))
-    val wIn = Window.partitionBy(col("mktsegment"), col("bkt"))
-      .orderBy(col("x"), col("ck"))
-    val offW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = seg.groupBy(col("mktsegment"), col("bkt"))
-      .agg(count(lit(1)).as("bc"))
-      .withColumn("off", coalesce(sum(col("bc")).over(offW), lit(0L)))
-      .select(col("mktsegment"), col("bkt"), col("off"))
-    seg
-      .withColumn("rn", row_number().over(wIn))
-      .join(broadcast(offsets), Seq("mktsegment", "bkt"))
-      .withColumn("rnk", col("off") + col("rn"))
   }
+
+  /** Per-customer spend with the segmented exact in-segment rank
+    * (ascending spend, custkey tiebreak) via [[graft.ext.SegmentedRank]]
+    * — never a \|segments\|-partition global sort. Shared by x95 (Gini)
+    * and x125 (exact quartiles). */
+  private def rankedSpend(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SegmentedRank.withGroupedRank(
+      segSpend(s, dir), Seq("mktsegment"), "bkt",
+      Seq(col("x"), col("ck")), "rnk")
 
   val gini = Q.withOracle(
     "x95_gini_spend",
@@ -449,27 +441,14 @@ object Concentration {
       |  CAST(SUM(x) AS BIGINT) AS revenue_cents,
       |  CAST(SUM(x) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
       |FROM k GROUP BY 1, 2 ORDER BY mktsegment, abc_class""".stripMargin) { (s, dir) =>
-    val ranked = rankedSpend(s, dir) // (mktsegment, x, ck, bkt, rn, off, rnk)
-    // segmented inclusive running sum: in-bucket running sum of x plus
-    // the prefix of earlier buckets' x-totals (the rank machinery's
-    // count-offsets, with SUM(x) in place of COUNT)
-    val runW = Window.partitionBy(col("mktsegment"), col("bkt"))
-      .orderBy(col("x"), col("ck"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val sumOffW = Window.partitionBy(col("mktsegment")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sumOffsets = ranked.groupBy(col("mktsegment"), col("bkt"))
-      .agg(sum(col("x")).as("bsum"))
-      .withColumn("soff", coalesce(sum(col("bsum")).over(sumOffW), lit(0L)))
-      .select(col("mktsegment"), col("bkt"), col("soff"))
-    val withCum = ranked
-      .withColumn("runx", sum(col("x")).over(runW))
-      .join(broadcast(sumOffsets), Seq("mktsegment", "bkt"))
-      .withColumn("c", (col("soff") + col("runx")).cast("long"))
-    val totals = withCum.groupBy(col("mktsegment"))
-      .agg(sum(col("x")).cast("long").as("total"))
+    // segmented inclusive running sum of x (the rank machinery with
+    // SUM(x) in place of COUNT) + the per-segment total riding the same
+    // bounded offsets table — one shuffle, one broadcast join, no rank
+    val withCum = graft.ext.SegmentedRank.withGroupedPrefix(
+      segSpend(s, dir), Seq("mktsegment"), "bkt",
+      Seq(col("x"), col("ck")), Seq((col("x"), "c")), inclusive = true,
+      valueTotals = Seq(("c", "total")))
     withCum
-      .join(broadcast(totals), Seq("mktsegment"))
       .withColumn("abc_class",
         when(lit(100L) * (col("total") - col("c")) < lit(80L) * col("total"), "A")
           .when(lit(100L) * (col("total") - col("c")) < lit(95L) * col("total"), "B")

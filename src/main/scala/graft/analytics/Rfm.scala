@@ -38,34 +38,21 @@ object Rfm {
   private val MonShiftBits = 20
 
   /** Append `out` = the exact global 1-based rank of `key` (ascending,
-    * custkey tiebreak) — the x111 segmented composition: in-segment
-    * row_number + broadcast cumulative segment offsets. `shift` picks
-    * the segment granularity (arithmetic shift — safe for the negated
-    * descending keys). */
+    * custkey tiebreak) — [[graft.ext.SegmentedRank]]'s composition with
+    * the segment picked by `shift` (arithmetic shiftright of the long
+    * key — safe for the negated descending keys). */
   private[analytics] def exactRank(df: DataFrame, key: Column, shift: Int, out: String): DataFrame = {
     val t = df.withColumn("_k", key.cast("long"))
       .withColumn("_seg", shiftright(col("_k"), shift))
-    val wIn = Window.partitionBy(col("_seg")).orderBy(col("_k"), col("ck"))
-    val offW = Window.orderBy(col("_seg"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = t.groupBy(col("_seg")).agg(count(lit(1)).as("_bn"))
-      .withColumn("_off", coalesce(sum(col("_bn")).over(offW), lit(0L)))
-      .select(col("_seg"), col("_off"))
-    t.withColumn("_ir", row_number().over(wIn))
-      .join(broadcast(offsets), "_seg")
-      .withColumn(out, (col("_off") + col("_ir")).cast("long"))
-      .drop("_k", "_seg", "_ir", "_off")
+    graft.ext.SegmentedRank.withGroupedRank(
+      t, Nil, "_seg", Seq(col("_k"), col("ck")), out)
+      .drop("_k", "_seg")
   }
 
   /** NTILE($Quantiles) index from an exact rank column (the x111
     * integer-div formula — floor semantics identical in both engines). */
-  private def ntileOf(rank: String): Column = expr(
-    s"""CASE WHEN $rank <= (_n % $Quantiles) * ((_n div $Quantiles) + 1)
-       |  THEN ($rank - 1) div ((_n div $Quantiles) + 1) + 1
-       |  ELSE (_n % $Quantiles)
-       |    + ($rank - (_n % $Quantiles) * ((_n div $Quantiles) + 1) - 1)
-       |        div greatest(_n div $Quantiles, 1L) + 1
-       |END""".stripMargin).cast("long")
+  private def ntileOf(rank: String): Column =
+    graft.ext.SegmentedRank.ntileExpr(Quantiles, rank, "_n").cast("long")
 
   val rfm = Q.withOracle(
     "x114_rfm_segments",

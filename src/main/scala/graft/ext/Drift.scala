@@ -85,28 +85,15 @@ object Drift {
       .agg(sum(lit(1L) - col("b")).cast("long").as("ca"),
         sum(col("b")).cast("long").as("cb"))
       .withColumn("bkt", expr(s"shiftright(v, $KsBktBits)"))
-    // segmented cumulative counts: in-bucket running sums + bucket-table
-    // prefix offsets (the x92/x95 composition), totals from the offsets
-    val wIn = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val totW = Window.partitionBy(col("event_type"))
-    val offsets = g.groupBy(col("event_type"), col("bkt"))
-      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
-      .withColumn("offa", coalesce(sum(col("ba")).over(offW), lit(0L)))
-      .withColumn("offb", coalesce(sum(col("bb")).over(offW), lit(0L)))
-      .withColumn("na", sum(col("ba")).over(totW))
-      .withColumn("nb", sum(col("bb")).over(totW))
-      .select(col("event_type"), col("bkt"),
-        col("offa"), col("offb"), col("na"), col("nb"))
-    val c = g
-      .withColumn("ia", sum(col("ca")).over(wIn))
-      .withColumn("ib", sum(col("cb")).over(wIn))
-      .join(broadcast(offsets), Seq("event_type", "bkt"))
+    // segmented cumulative counts + per-type totals via SegmentedRank's
+    // shared core (in-bucket running sums + bucket-table prefix offsets,
+    // totals riding the bounded offsets table)
+    val c = SegmentedRank.withGroupedPrefix(
+        g, Seq("event_type"), "bkt", Seq(col("v")),
+        Seq((col("ca"), "cuma"), (col("cb"), "cumb")), inclusive = true,
+        valueTotals = Seq(("cuma", "na"), ("cumb", "nb")))
       .select(col("event_type"), col("v"), col("na"), col("nb"),
-        abs((col("offa") + col("ia")) * col("nb")
-          - (col("offb") + col("ib")) * col("na")).as("dnum"))
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dnum"))
     c.withColumn("pick", row_number()
         .over(Window.partitionBy(col("event_type"))
           .orderBy(col("dnum").desc, col("v"))))
@@ -326,21 +313,13 @@ object Drift {
       .agg(sum(lit(1L) - col("b")).cast("long").as("ca"),
         sum(col("b")).cast("long").as("cb"))
       .withColumn("bkt", expr(s"shiftright(v, $KsBktBits)"))
-    // segmented prev-count: in-bucket running sums over rows strictly
-    // before the current value group + broadcast bucket-prefix offsets
-    val wIn = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("event_type"), col("bkt"))
-      .agg(sum(col("ca") + col("cb")).as("bt"))
-      .withColumn("off", coalesce(sum(col("bt")).over(offW), lit(0L)))
-      .select(col("event_type"), col("bkt"), col("off"))
-    g.withColumn("inprev", coalesce(sum(col("ca") + col("cb")).over(wIn), lit(0L)))
-      .join(broadcast(offsets), Seq("event_type", "bkt"))
+    // segmented prev-count: the SegmentedRank prefix core with the
+    // EXCLUSIVE frame (rows strictly before the current value group)
+    SegmentedRank.withGroupedPrefix(
+        g, Seq("event_type"), "bkt", Seq(col("v")),
+        Seq((col("ca") + col("cb"), "prev")), inclusive = false)
       .select(col("event_type"), col("ca"), col("cb"),
-        (col("ca") + col("cb")).as("t"),
-        (col("off") + col("inprev")).cast("long").as("prev"))
+        (col("ca") + col("cb")).as("t"), col("prev"))
       .groupBy(col("event_type"))
       .agg(sum(col("ca")).cast("long").as("n_a"),
         sum(col("cb")).cast("long").as("n_b"),

@@ -65,7 +65,16 @@ object BlockDedupFeed {
     * (BlockDedupFeedSpec asserts the pruned file set); the shared store
     * layer stat-validates entries and falls back to a partition-pruned
     * listing scan for pre-manifest stores. The explicit schema keeps an
-    * empty-but-pinned store readable. */
+    * empty-but-pinned store readable.
+    *
+    * The dedup on `bh` implements the append-store read contract
+    * ([[BucketStore]] object doc): a [[BucketStore.rebuildManifest]]
+    * recovery can resurrect a crashed append's orphan files next to
+    * their replayed twins, so the physical store may carry the same
+    * (bh, owner) row twice. Replay determinism makes the twins
+    * byte-identical, so any survivor is correct — without the dedup the
+    * applyBatch left join would multiply block rows and corrupt the
+    * reassembled output. */
   private[graft] def readIndex(spark: SparkSession, indexDir: String,
       touched: Seq[Int]): DataFrame = {
     if (!Cdc.storeExists(spark, indexDir) || touched.isEmpty)
@@ -75,6 +84,7 @@ object BlockDedupFeed {
     else
       BucketStore.readBuckets(spark, indexDir, Some(touched), Some(idxSchema))
         .drop("b")
+        .dropDuplicates("bh")
   }
 
   /** Deduplicate one document batch against (and into) the index at
@@ -143,7 +153,11 @@ object BlockDedupFeed {
       // any invisible orphans from crashed appends along with the
       // replaced per-batch files — compaction doubles as garbage
       // collection for the append-commit protocol
+      // dedup on bh: a manifest rebuild may have resurrected crashed-
+      // append orphans next to their replayed twins (identical rows) —
+      // compaction is where the store heals them PERMANENTLY
       val all = BucketStore.readBuckets(spark, indexDir, None, Some(idxSchema))
+        .dropDuplicates("bh")
         .localCheckpoint()
       val touched = all.select(col("b")).distinct()
         .collect().map(_.getInt(0)).toSeq // bounded by the bucket count

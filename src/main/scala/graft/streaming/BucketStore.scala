@@ -49,10 +49,26 @@ import org.apache.spark.sql.types.StructType
   *    happened, the replayed batch recomputes identical decisions,
   *    re-appends, and commits; orphans are physical garbage only,
   *    reclaimed when compaction's dynamic overwrite replaces the
-  *    bucket directory. (Rebuilding the manifest by listing would
-  *    instead RESURRECT orphans next to their replayed twins — which
-  *    is why append-store readers also tolerate duplicate physical
-  *    rows of the same logical row; see the feeds' read paths.)
+  *    bucket directory. One recovery path CAN make orphans visible:
+  *    a [[rebuildManifest]] (triggered when a crashed COMPACTION left
+  *    the manifest pointing at deleted files) lists the raw
+  *    directories and so resurrects any crashed-append orphan next to
+  *    its replayed twin. Replay determinism makes the twins
+  *    byte-identical, so the READ CONTRACT for append stores is:
+  *    every read path deduplicates on the store's logical key
+  *    (BlockDedupFeed on `bh`, PqIndexFeed on `(vec_id, sub)`), and
+  *    compaction heals the duplication permanently by deduping before
+  *    it rewrites.
+  *
+  * Concurrency contract: ONE WRITER PER STORE. [[commitAppended]] and
+  * [[refreshTouched]] are read-modify-write over the whole `_MANIFEST`
+  * with a last-writer-wins rename — two concurrent writers (or a
+  * compaction racing an append) would silently drop each other's
+  * entries, making committed rows invisible. Every feed here is driven
+  * by a single sequential micro-batch loop (foreachBatch / one ingest
+  * driver per store), which is also the assumption the append protocol's
+  * replay argument rests on; a multi-writer deployment needs a real
+  * commit log (Delta/Iceberg) instead of this manifest.
   */
 object BucketStore {
 

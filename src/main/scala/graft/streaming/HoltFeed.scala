@@ -45,8 +45,16 @@ object HoltFeed {
       .stripMargin
 
   /** Merge one micro-batch of events into a
-    * (event_type, last_day, l, b, n_days, n_ignored) state table. */
-  def applyBatch(store: DataFrame, batch: DataFrame): DataFrame = {
+    * (event_type, last_day, l, b, n_days, n_ignored) state table.
+    *
+    * State-schema migration: `n_ignored` was added after the first
+    * shipped state layout, so a state table persisted by the 5-column
+    * version is upgraded on read (counter seeded at 0 — ignored days
+    * before the upgrade were never counted and cannot be recovered)
+    * instead of failing analysis on the first post-upgrade batch. */
+  def applyBatch(store0: DataFrame, batch: DataFrame): DataFrame = {
+    val store = if (store0.columns.contains("n_ignored")) store0
+                else store0.withColumn("n_ignored", lit(0L))
     val daily = batch
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("y"))

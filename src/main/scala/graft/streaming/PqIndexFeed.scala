@@ -52,12 +52,20 @@ object PqIndexFeed {
 
   /** All accumulated codes — manifest-driven via the shared store layer
     * (stat-validated, self-healing), listing fallback for pre-manifest
-    * stores. */
+    * stores. Deduped on the logical key (vec_id, sub): the append-store
+    * read contract ([[BucketStore]] object doc) — a manifest rebuild can
+    * resurrect crashed-append orphans next to their replayed twins, and
+    * the twins are byte-identical, so any survivor is correct. */
   def readCodes(spark: SparkSession, storeDir: String): DataFrame =
     BucketStore.readBuckets(spark, codesDir(storeDir), None, Some(codesSchema))
       .drop("b")
+      .dropDuplicates("vec_id", "sub")
 
-  /** Manifest-driven read of only the `touched` buckets' files. */
+  /** Manifest-driven read of only the `touched` buckets' files.
+    * NOT deduped: its only consumer is applyBatch's replay anti-join,
+    * which reads `vec_id` through a distinct — duplicate physical rows
+    * cannot change its answer, so the hot per-batch path skips the
+    * dedup shuffle the public reads pay. */
   private def readTouched(spark: SparkSession, storeDir: String,
       touched: Seq[Int]): DataFrame =
     if (touched.isEmpty)
@@ -102,8 +110,11 @@ object PqIndexFeed {
     // manifest-visible rows only: the dir overwrite deletes crashed
     // appends' invisible orphans together with the per-batch files
     BucketStore.ensureManifest(spark, codesDir(storeDir))
+    // dedup on (vec_id, sub): permanently heal any rebuild-resurrected
+    // orphan twins (identical rows) while re-grouping
     val all = BucketStore.readBuckets(spark, codesDir(storeDir), None,
         Some(codesSchema))
+      .dropDuplicates("vec_id", "sub")
       .localCheckpoint() // materialize before replacing source files
     val touched = all.select(col("b")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by the bucket count

@@ -67,6 +67,24 @@ class HoltFeedSpec extends SparkSuite {
     }
   }
 
+  test("a legacy 5-column state table (no n_ignored) upgrades on read") {
+    // state persisted by the pre-n_ignored version of the feed: same
+    // rows, missing the counter column — the first post-upgrade batch
+    // must fold it instead of failing analysis
+    val modern = streaming.HoltFeed.applyBatch(emptyStore, chunk(1, 15))
+      .localCheckpoint()
+    val legacy = modern.drop("n_ignored").localCheckpoint()
+    val fromLegacy = streaming.HoltFeed.applyBatch(legacy, chunk(16, 31))
+    val fromModern = streaming.HoltFeed.applyBatch(modern, chunk(16, 31))
+    assert(snap(fromLegacy) === snap(fromModern))
+    // the migrated counter seeds at 0 and counts from the upgrade on
+    val replayed = streaming.HoltFeed.applyBatch(
+      fromLegacy.localCheckpoint(), chunk(16, 20))
+    val ign = replayed.select(col("event_type"), col("n_ignored"))
+      .as[(String, Long)].collect().toMap
+    assert(ign.values.exists(_ > 0L), "post-upgrade replays must be counted")
+  }
+
   test("one-shot apply equals the batch query (fresh-key seeding path)") {
     val store = streaming.HoltFeed.applyBatch(emptyStore, chunk(1, 31))
     val batch = analytics.Trend.holtForecast.fn(spark, sf)

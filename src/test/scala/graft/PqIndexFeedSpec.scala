@@ -79,4 +79,30 @@ class PqIndexFeedSpec extends SparkSuite {
     PqIndexFeed.compact(spark, dir)
     assert(shortlist() === directTop)
   }
+
+  test("reads tolerate rebuild-resurrected orphan twins; compaction heals them") {
+    val dir = freshStore()
+    PqIndexFeed.applyBatch(batch1, dir)
+    val clean = codesSet(PqIndexFeed.readCodes(spark, dir))
+    // simulate a crashed append whose orphan the next rebuildManifest
+    // resurrects: physically duplicate one committed file in its bucket
+    // dir (the replayed twin is byte-identical by determinism), then
+    // rebuild — the manifest now lists orphan AND twin
+    val codes = new java.io.File(s"$dir/codes")
+    val bucketDir = codes.listFiles().filter(_.getName.startsWith("b="))
+      .find(_.listFiles().exists(_.getName.endsWith(".parquet"))).get
+    val src = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(src.toPath, new java.io.File(bucketDir, "part-orphan.parquet").toPath)
+    graft.streaming.BucketStore.rebuildManifest(spark, s"$dir/codes")
+    // the physical store now carries duplicate rows…
+    val raw = spark.read.parquet(s"$dir/codes").count()
+    assert(raw > clean.size, "the orphan twin must be physically present")
+    // …but the read contract dedups them away
+    val deduped = PqIndexFeed.readCodes(spark, dir)
+    assert(deduped.count() === clean.size.toLong)
+    assert(codesSet(deduped) === clean)
+    // and compaction heals the store permanently
+    PqIndexFeed.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() === clean.size.toLong)
+  }
 }

@@ -1,7 +1,149 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** The graph / seed-panel family. These are the suite's most expensive
+    * queries AND the ones whose per-query numbers the round-over-round
+    * delta watches most closely — and round 12 proved one shared JVM
+    * contaminates exactly them: x110's final r12 median moved 8.07s →
+    * 10.96s with its minimum above the r11 maximum on UNTOUCHED code
+    * (accumulated heap/JIT/code-cache state from 231 other queries —
+    * the same disease behind the retracted r11 x104 20× probe). In the
+    * default lane mode this family runs in its OWN forked JVM: fresh
+    * heap, fresh JIT, fresh code cache, its own warmup — so its medians
+    * are comparable across rounds regardless of what the rest of the
+    * suite did. */
+  private val GraphLane: Set[String] = Set(
+    "x59_pagerank", "x60_triangle_count", "x60b_triangle_doulion",
+    "x63_bfs_hops", "x70_label_propagation", "x70b_lpa_converged",
+    "x73_kcore_peel", "x81_sssp_weighted", "x99_clustering_coeff",
+    "x99b_clustering_doulion", "x102_assortativity", "x110_link_predict",
+    "x118_hits", "x148_personalized_pagerank", "x149_lpa_modularity",
+    "x155_effective_diameter", "x158_harmonic_centrality")
+
   def main(args: Array[String]): Unit = {
+    // Lane mode (default): fork one child JVM per lane and merge their
+    // per-query lines. SPARK_GRAFT_LANES=none restores the single-JVM
+    // suite (one-off profiling); a SPARK_GRAFT_ONLY filter or running AS
+    // a lane child also short-circuits to the plain suite.
+    val laneMode = sys.env.getOrElse("SPARK_GRAFT_LANES", "fork")
+    val isChild = sys.env.contains("SPARK_GRAFT_LANE")
+    if (laneMode == "fork" && !isChild && sys.env.get("SPARK_GRAFT_ONLY").isEmpty)
+      runForkedLanes()
+    else
+      runSuite()
+  }
+
+  /** One timed line per query — independently parseable, emitted
+    * ascending by time with failures LAST so the most diagnostic lines
+    * sit inside the driver's bounded log tail. */
+  private def r(v: Double): String = String.format(java.util.Locale.ROOT,
+    "%.3f", java.lang.Double.valueOf(v)) // locale-pinned: a comma decimal would break the JSON
+
+  private def summaryLine(results: Map[String, (Double, Double, Double)],
+      reps: Int, resetMode: String, sfDir: String,
+      lanesTag: Option[String]): String = {
+    val failed = results.filter(_._2._1 < 0).keys.toSeq.sorted
+    val ok = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val slowest = ok.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+    // failure NAMES (bounded) ride the summary line — the count alone
+    // says something broke without saying what
+    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val lanes = lanesTag.fold("")(t => s""","lanes":$t""")
+    // headline value = sum of per-query MEDIANS
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"queries":$slowest,"sf":"$sfDir","warmup":true,"reps":$reps,"stat":"median","order":"shuffled-per-rep","reset":"${if (resetMode == "none") "none" else "clearCache+gc"}"$lanes}"""
+  }
+
+  private def writeLines(path: String, lines: Seq[String]): Unit = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  /** Fork one JVM per lane (graph family, rest), collect their jsonl,
+    * and emit the merged per-query lines + one merged summary — the
+    * exact artifact shape a single-JVM run produced, so
+    * tools/bench_delta.py and the driver's tail parse are unchanged.
+    * The child inherits this JVM's arguments (add-opens, -Xmx, -D) and
+    * classpath (`run / fork := true` puts the real application
+    * classpath in java.class.path). A lane whose child dies is re-run
+    * in-process (numbers beat no numbers; the summary says it
+    * happened). */
+  private def runForkedLanes(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val resetMode = sys.env.getOrElse("SPARK_GRAFT_RESET", "gc")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val lanes = Seq(
+      "graph" -> names.filter(GraphLane),
+      "main" -> names.filterNot(GraphLane)).filter(_._2.nonEmpty)
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val tmpDir = java.nio.file.Files.createTempDirectory("benchlanes")
+    val laneRuns = lanes.map { case (lane, qs) =>
+      val out = tmpDir.resolve(s"$lane.jsonl").toString
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_LANE", lane)
+      pb.environment().put("SPARK_GRAFT_ONLY", qs.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] lane $lane: ${qs.size} queries, forking JVM")
+      val code = try {
+        val p = pb.start()
+        // drain to stderr so the parent's stdout carries ONLY the merged
+        // lines (the driver tails stdout)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .foreach(l => System.err.println(s"[lane:$lane] $l"))
+        p.waitFor()
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] lane $lane fork failed: $e"); -1
+      }
+      val produced = code == 0 && new java.io.File(out).isFile
+      if (!produced) {
+        System.err.println(
+          s"[bench] lane $lane child exited $code — re-running in-process")
+        runSuite(onlyOverride = Some(qs.toSet), benchOutOverride = Some(out),
+          quiet = true)
+      }
+      (lane, out, produced)
+    }
+    // merge the lanes' per-query lines (each lane file ends with its own
+    // summary line, dropped here; the merged summary is recomputed)
+    val qLine = """"name":"([^"]+)".*?"value":(-?[0-9.]+)""".r
+    val merged = laneRuns.flatMap { case (_, out, _) =>
+      scala.io.Source.fromFile(out, "UTF-8").getLines()
+        .filter(_.contains("\"metric\":\"query\"")).toList
+    }
+    val parsed = merged.flatMap { line =>
+      qLine.findFirstMatchIn(line).map(m => (m.group(1), m.group(2).toDouble, line))
+    }
+    val ordered = parsed.sortBy { case (_, v, _) => (v < 0, v) }
+    ordered.foreach { case (_, _, line) => println(line) }
+    val results = parsed.map { case (n, v, _) => n -> (v, v, v) }.toMap
+    val lanesTag = lanes.map { case (l, qs) => s"""\"$l\":${qs.size}""" }
+      .mkString("{", ",", "}")
+    val fellBack = laneRuns.exists(!_._3)
+    val summary = summaryLine(results, reps, resetMode, sfDir,
+      Some(lanesTag + (if (fellBack) ""","lane_fallback":true""" else "")))
+    println(summary)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl")
+    if (benchOut != "none")
+      writeLines(benchOut, ordered.map(_._3) :+ summary)
+  }
+
+  private def runSuite(onlyOverride: Option[Set[String]] = None,
+      benchOutOverride: Option[String] = None, quiet: Boolean = false): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -14,8 +156,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query-name filter for profiling one query
-    // at a time while iterating (driver runs never set it → full suite).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // at a time while iterating (driver runs never set it → lane mode).
+    val only = onlyOverride.orElse(sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
     val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     // The timed consumer is the noop SINK, not count(): count() lets the
     // optimizer prune aggregate values, projection expressions, and the
@@ -30,7 +172,10 @@ object Bench {
     // code/config, because accumulated JVM/executor state (dereferenced
     // localCheckpoint blocks, shuffle files awaiting ContextCleaner,
     // code-cache pressure) taxes whatever query happens to run late.
-    // Two countermeasures, both applied:
+    // Round 12 added the lane fork on top: the reset+shuffle discipline
+    // bounds WITHIN-lane contamination, the lane fork removes the
+    // CROSS-FAMILY kind the reset cannot reach (heap/JIT/code cache).
+    // Countermeasures within a lane:
     //  1. between timed queries, drop cached relations and force a GC so
     //     the ContextCleaner reclaims dead shuffle/block state NOW, on
     //     untimed ground, instead of amortizing into a later query;
@@ -80,7 +225,7 @@ object Bench {
       name -> stats
     }.toMap
     // The driver captures a bounded TAIL of the build log (~2 KB observed):
-    // a single line carrying all ~90 per-query timings outgrew it twice
+    // a single line carrying all per-query timings outgrew it twice
     // (rounds 2-3 recorded parsed:null). So the detail goes on one small
     // line per query — each independently parseable — and the very last
     // line is a compact summary whose size is bounded by construction
@@ -89,44 +234,25 @@ object Bench {
     // persisted to a repo-committed artifact (see benchOut below) so
     // round-over-round deltas are computable for every query, not just
     // the 10 that fit the tail.
-    def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
-      java.lang.Double.valueOf(v)) // locale-pinned: a comma decimal would break the JSON
     def queryLine(k: String): String = {
       val (med, mn, mx) = results(k)
       val pos = posByQuery(k).mkString("[", ",", "]")
       s"""{"metric":"query","name":"$k","value":${r(med)},"min":${r(mn)},"max":${r(mx)},"reps":$reps,"pos":$pos,"unit":"sec"}"""
     }
-    // Ascending by time with FAILURES LAST: the most diagnostic lines —
-    // slow queries and broken queries — sit closest to the end of the
-    // log, inside the tail window (a failure sorted by its -1.0 value
-    // would land first and scroll out).
     val orderedNames = results.toSeq
       .sortBy { case (_, (med, _, _)) => (med < 0, med) }.map(_._1)
-    orderedNames.foreach(k => println(queryLine(k)))
-    val failed = results.filter(_._2._1 < 0).keys.toSeq.sorted
-    val ok = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val slowest = ok.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
-    // failure NAMES (bounded) ride the summary line — the count alone
-    // says something broke without saying what
-    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    // headline value = sum of per-query MEDIANS
-    val summary = s"""{"metric":"total","value":${r(total)},"unit":"sec","n":${results.size},"failures":${failed.size},"failed":$failedJson,"queries":$slowest,"sf":"$sfDir","warmup":true,"reps":$reps,"stat":"median","order":"shuffled-per-rep","reset":"${if (resetMode == "none") "none" else "clearCache+gc"}"}"""
-    println(summary)
+    val summary = summaryLine(results, reps, resetMode, sfDir, None)
+    if (!quiet) {
+      orderedNames.foreach(k => println(queryLine(k)))
+      println(summary)
+    }
     // Full artifact: every per-query line + the summary, written where the
     // repo can commit it (driver tail truncation loses all but ~10 lines).
     // Disable with SPARK_GRAFT_BENCH_OUT=none (e.g. one-off profiling).
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl")
-    if (benchOut != "none") {
-      val f = new java.io.File(benchOut)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try {
-        orderedNames.foreach(k => w.println(queryLine(k)))
-        w.println(summary)
-      } finally w.close()
-    }
+    val benchOut = benchOutOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl"))
+    if (benchOut != "none")
+      writeLines(benchOut, orderedNames.map(queryLine) :+ summary)
     spark.stop()
   }
 }

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   * fan-out is alphabet-bounded on identifier-shaped data (≤10 digit
   * variants per deletion slot here); a [[MaxBucket]] guard drops
   * degenerate boilerplate keys the same way x104's max-df guard does,
-  * in BOTH engines, so the join is bounded by construction.
+  * in BOTH engines, so the join is bounded by construction. THE GUARD
+  * TRADES RECALL FOR THE BOUND: pairs meeting only inside a dropped
+  * bucket are never compared — on pathologically-duplicated data
+  * (thousands of rows sharing one name) the completeness theorem no
+  * longer applies. That cost is OBSERVABLE, not silent: the query
+  * carries `guard_dropped_keys` / `guard_dropped_rows` certificate
+  * columns (0/0 on healthy identifier data) so a production run sees
+  * exactly what the guard discarded.
   *
   * Scale shape: one explode (|s|+1 keys/row), one key-keyed equi-join
   * with bounded buckets, one distinct on candidate pairs, a scalar
@@ -42,17 +49,24 @@ object Fuzzy {
        |    substr(c_name, 1, ix.i - 1) || substr(c_name, ix.i + 1) AS k
        |  FROM customer,
        |    LATERAL (SELECT unnest(generate_series(1, len(c_name))) AS i) ix),
-       |keep AS MATERIALIZED (
-       |  SELECT k FROM (SELECT k, COUNT(*) AS df FROM k GROUP BY 1)
-       |  WHERE df <= $MaxBucket),
+       |df AS MATERIALIZED (SELECT k, COUNT(*) AS df FROM k GROUP BY 1),
+       |keep AS MATERIALIZED (SELECT k FROM df WHERE df <= $MaxBucket),
+       |guard AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS guard_dropped_keys,
+       |    CAST(COALESCE(SUM(df), 0) AS BIGINT) AS guard_dropped_rows
+       |  FROM df WHERE df > $MaxBucket),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
        |    a.c_custkey AS key_a, b.c_custkey AS key_b
        |  FROM k a JOIN keep USING (k)
-       |  JOIN k b ON b.k = a.k AND a.c_name < b.c_name)
-       |SELECT name_a, name_b, key_a, key_b
-       |FROM cand WHERE levenshtein(name_a, name_b) = 1
-       |ORDER BY name_a, name_b LIMIT $TopK""".stripMargin
+       |  JOIN k b ON b.k = a.k AND a.c_name < b.c_name),
+       |top AS (
+       |  SELECT name_a, name_b, key_a, key_b
+       |  FROM cand WHERE levenshtein(name_a, name_b) = 1
+       |  ORDER BY name_a, name_b LIMIT $TopK)
+       |SELECT name_a, name_b, key_a, key_b,
+       |  guard_dropped_keys, guard_dropped_rows
+       |FROM top CROSS JOIN guard ORDER BY name_a, name_b""".stripMargin
 
   val edit1Blocking = Q.withOracle(
     "x154_edit1_blocking",
@@ -68,8 +82,19 @@ object Fuzzy {
         |    i -> concat(substring(c_name, 1, i - 1),
         |                substring(c_name, i + 1, length(c_name))))))""".stripMargin))
       .as("k"))
-    val keep = keys.groupBy(col("k")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxBucket).select(col("k"))
+    val dfk = keys.groupBy(col("k")).agg(count(lit(1)).as("df"))
+    val keep = dfk.filter(col("df") <= MaxBucket).select(col("k"))
+    // Guard telemetry (the HoltFeed n_ignored posture): the MaxBucket
+    // guard SILENTLY empties pathologically-duplicated buckets by
+    // design — recall loss on degenerate data is the documented trade —
+    // so the query carries what the guard cost as two certificate
+    // columns (dropped blocking keys, and the key-row mass inside
+    // them), constant across the output and oracle-replayed. A real
+    // run alerting on guard_dropped_keys > 0 knows its recall is no
+    // longer the theorem's.
+    val guard = dfk.filter(col("df") > MaxBucket)
+      .agg(count(lit(1)).cast("long").as("guard_dropped_keys"),
+        coalesce(sum(col("df")), lit(0L)).cast("long").as("guard_dropped_rows"))
     val a = keys.join(keep, "k")
       .select(col("k"), col("c_name").as("name_a"), col("c_custkey").as("key_a"))
     val b = keys
@@ -79,6 +104,8 @@ object Fuzzy {
       .distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
       .orderBy(col("name_a"), col("name_b")).limit(TopK)
+      .crossJoin(broadcast(guard)) // 1-row scalar certificate
+      .orderBy(col("name_a"), col("name_b"))
   }
 
   // ---- x55: approximate string join over LABELS (FastSS) -------------

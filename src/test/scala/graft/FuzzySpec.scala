@@ -48,14 +48,28 @@ class FuzzySpec extends SparkSuite {
     val blob = for (c <- 'B' to 'Z'; p <- 0 to 8) yield
       (s"$c$p".hashCode.toLong.abs,
         ("a" * p) + c + ("a" * (8 - p)))
-    val got = pairs(write(
+    val dir = write(
       blob.zipWithIndex.map { case ((_, n), i) => (i.toLong, n) } ++
-        Seq((900L, "stable-name"), (901L, "stable-nam"))))
+        Seq((900L, "stable-name"), (901L, "stable-nam")))
+    val got = pairs(dir)
     assert(got === Set(("stable-nam", "stable-name")))
+    // the guard's cost is CERTIFIED on the output: exactly one dropped
+    // bucket (the "aaaaaaaa" key) carrying its 225 key-rows
+    val guard = ext.Fuzzy.edit1Blocking.fn(spark, dir)
+      .select($"guard_dropped_keys", $"guard_dropped_rows")
+      .as[(Long, Long)].collect().toSet
+    assert(guard === Set((1L, 225L)))
   }
 
-  test("real data: every reported pair is exactly distance 1, deterministic order") {
-    val rows = ext.Fuzzy.edit1Blocking.fn(spark, sf)
+  test("real data: every reported pair is exactly distance 1, deterministic order; guard idle") {
+    val out = ext.Fuzzy.edit1Blocking.fn(spark, sf)
+    // healthy identifier data: the guard drops nothing, and the
+    // certificate says so
+    val guard = out.select($"guard_dropped_keys", $"guard_dropped_rows")
+      .distinct().as[(Long, Long)].collect().toSeq
+    assert(guard === Seq((0L, 0L)))
+    val rows = out
+      .select($"name_a", $"name_b", $"key_a", $"key_b")
       .as[(String, String, Long, Long)].collect().toSeq
     assert(rows.nonEmpty)
     rows.foreach { case (a, b, _, _) =>

@@ -1117,10 +1117,133 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** x170: the MIX-DESIGN report composed end-to-end in one DAG (the
+    * x49 pattern applied to the round-12 audit family): DEDUP (x1's
+    * global survivor rule) → ATTRIBUTE (each removed doc charged to the
+    * source that kept the survivor — x169's cross-feed redundancy made
+    * an explicit within/cross split) → REWEIGH (x44's α = 1/2
+    * temperature acceptance over the DEDUPED corpus) → per-source mix
+    * weights over the resampled character mass. This is the decision
+    * table a training-mix designer reads: how much of each feed
+    * survives dedup, who its duplication is owed to, and what share of
+    * the final mixture it contributes.
+    *
+    * The point vs running x169 + x44 separately: the corpus TEXT is
+    * scanned (and md5'd) ONCE — the slim (doc_id, source, lang,
+    * n_chars, h) frame is checkpointed and feeds the survivor agg, the
+    * survivor-source attribution join, the post-dedup language counts,
+    * and the acceptance pass (PlanSpec pins the single-scan claim).
+    * Exactness: counts/chars are exact longs; the x44 rate is one
+    * correctly-rounded division + one IEEE-mandated sqrt; the accept
+    * cut is x26's integer Knuth hash; savings and mix_weight are one
+    * double division each over exact longs — every column replays
+    * bit-identically in DuckDB.
+    *
+    * Scale shape: one corpus scan, the x1 hash-keyed agg + two
+    * doc-keyed joins (survivor, survivor-source), then everything
+    * downstream is source/lang-bounded aggregates with broadcast rate
+    * and total scalars. */
+  val mixDesign = Q.withOracle(
+    "x170_mix_design",
+    "x170: composed mix-design report (dedup savings -> cross-feed attribution -> temperature mix weights)",
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, n_chars, md5(text) AS h FROM documents),
+       |surv AS MATERIALIZED (
+       |  SELECT h, MIN(doc_id) AS keep FROM d GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+       |    d.doc_id = s.keep AS kept, ks.source AS keep_source
+       |  FROM d JOIN surv s ON d.h = s.h
+       |  JOIN d ks ON ks.doc_id = s.keep),
+       |sav AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |    CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+       |      AS chars_kept,
+       |    CAST(SUM(CASE WHEN NOT kept AND keep_source = source
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_within,
+       |    CAST(SUM(CASE WHEN NOT kept AND keep_source <> source
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_cross
+       |  FROM j GROUP BY 1),
+       |n AS (SELECT lang, COUNT(*) AS nl FROM j WHERE kept GROUP BY lang),
+       |r AS (SELECT lang,
+       |        sqrt(CAST((SELECT MIN(nl) FROM n) AS DOUBLE) / nl) AS rate
+       |      FROM n),
+       |acc AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS docs_resampled,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_resampled
+       |  FROM j JOIN r USING (lang)
+       |  WHERE kept AND
+       |    (CAST(((doc_id % ${Sampling.SamplePrime}) * ${Sampling.KnuthModP})
+       |       % ${Sampling.SamplePrime} AS DOUBLE) / ${Sampling.SamplePrime})
+       |      < r.rate
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(chars_resampled) AS BIGINT) AS t FROM acc)
+       |SELECT sav.source, n_docs, n_kept, chars_total, chars_kept,
+       |  dup_within, dup_cross,
+       |  CAST(COALESCE(docs_resampled, 0) AS BIGINT) AS docs_resampled,
+       |  CAST(COALESCE(chars_resampled, 0) AS BIGINT) AS chars_resampled,
+       |  CAST(chars_total - chars_kept AS DOUBLE) / chars_total AS savings,
+       |  CASE WHEN t > 0 THEN
+       |    CAST(COALESCE(chars_resampled, 0) AS DOUBLE) / t END AS mix_weight
+       |FROM sav LEFT JOIN acc USING (source) CROSS JOIN tot
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .localCheckpoint() // ONE corpus text scan; all stages ride this slim frame
+    val surv = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+    val j = d.join(surv, "h")
+      .join(d.select(col("doc_id").as("keep"), col("source").as("keep_source")),
+        "keep")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        (col("doc_id") === col("keep")).as("kept"), col("keep_source"))
+      .localCheckpoint() // doc-grain decisions read three ways below
+    val sav = j.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+      sum(col("n_chars")).cast("long").as("chars_total"),
+      sum(when(col("kept"), col("n_chars")).otherwise(0L)).cast("long")
+        .as("chars_kept"),
+      sum(when(!col("kept") && col("keep_source") === col("source"), 1L)
+        .otherwise(0L)).cast("long").as("dup_within"),
+      sum(when(!col("kept") && col("keep_source") =!= col("source"), 1L)
+        .otherwise(0L)).cast("long").as("dup_cross"))
+    val kept = j.filter(col("kept"))
+    val n = kept.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val nmin = n.agg(min(col("nl")).as("nmin"))
+    val rates = n.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        sqrt(col("nmin").cast("double") / col("nl")).as("rate"))
+    val acc = kept.join(broadcast(rates), "lang")
+      .filter(((col("doc_id") % Sampling.SamplePrime) * lit(Sampling.KnuthModP)
+          % Sampling.SamplePrime).cast("double") / Sampling.SamplePrime
+        < col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("docs_resampled"),
+        sum(col("n_chars")).cast("long").as("chars_resampled"))
+    val tot = acc.agg(sum(col("chars_resampled")).cast("long").as("t"))
+    sav.join(acc, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("chars_total"),
+        col("chars_kept"), col("dup_within"), col("dup_cross"),
+        coalesce(col("docs_resampled"), lit(0L)).as("docs_resampled"),
+        coalesce(col("chars_resampled"), lit(0L)).as("chars_resampled"),
+        ((col("chars_total") - col("chars_kept")).cast("double")
+          / col("chars_total")).as("savings"),
+        when(col("t") > 0,
+          coalesce(col("chars_resampled"), lit(0L)).cast("double")
+            / col("t").cast("double")).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
     containmentPairs, minhashCalibration, lshTuning, dedupTransitivity,
-    dedupSavings)
+    dedupSavings, mixDesign)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -109,8 +109,8 @@ object Sampling {
   /** x44's uniform draw: x26's Knuth modular hash (see Curation.scala
     * for the overflow argument) — pure integer arithmetic, identical on
     * any engine at any parallelism. */
-  private val SamplePrime = 1000003L
-  private val KnuthModP = 2654435761L % SamplePrime // = 427799
+  private[ext] val SamplePrime = 1000003L
+  private[ext] val KnuthModP = 2654435761L % SamplePrime // = 427799
 
   /** x44: temperature-based language rebalancing — the multinomial
     * smoothing of XLM-R / mC4 (sample languages ∝ p_l^α) expressed as a

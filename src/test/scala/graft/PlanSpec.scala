@@ -65,6 +65,48 @@ class PlanSpec extends SparkSuite {
       s"global window over non-bucket data:\n${unpartitioned.mkString("\n")}")
   }
 
+  test("x170 composition: one corpus scan (final plan rides checkpoints); stages equal the standalone queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ext.Dedup.mixDesign.fn(spark, sf)
+    // single-scan claim, structurally: the corpus parquet is read once
+    // into the checkpointed slim frame during construction, so the
+    // FINAL plan (savings + attribution + reweigh + weights, all
+    // composed downstream) contains NO file scan at all — every stage
+    // rides the checkpoint instead of rescanning documents
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"composed stages rescan the corpus:\n${scans.mkString("\n")}")
+    // composition claim: the x169 columns of the composed report equal
+    // the standalone x169 query's rows exactly
+    val composed = df
+      .select($"source", $"n_docs", $"n_kept", $"chars_total", $"chars_kept",
+        $"savings")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val standalone = ext.Dedup.dedupSavings.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(composed === standalone)
+    // and the resampled mass is x44's acceptance applied to the deduped
+    // corpus: per-source accepted chars recomputed independently
+    val surv = Tables.documents(spark, sf)
+      .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("keep"))
+    val keptDocs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"n_chars", md5($"text").as("h"))
+      .join(surv, "h").filter($"doc_id" === $"keep")
+    val accepted = ext.Sampling.temperaturePipeline(keptDocs)
+      .filter($"kept")
+      .join(keptDocs.select($"doc_id", $"source", $"n_chars"), "doc_id")
+      .groupBy($"source").agg(sum($"n_chars").cast("long").as("chars_resampled"))
+      .as[(String, Long)].collect().toMap
+    val reported = df.select($"source", $"chars_resampled")
+      .as[(String, Long)].collect().toMap
+    reported.foreach { case (src, chars) =>
+      assert(chars === accepted.getOrElse(src, 0L), s"source $src")
+    }
+  }
+
   test("x21/x22: no shuffle ever carries the raw text column") {
     Seq(ext.Curation.repetition, ext.Curation.decontaminate).foreach { q =>
       val df = q.fn(spark, sf)

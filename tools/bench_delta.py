@@ -54,6 +54,21 @@ def main():
     lines = []
     lines.append(f"# Bench delta: {new_path} vs {old_path}")
     lines.append("")
+    # Provenance header (round-12 judge finding: a delta generated from a
+    # mid-round bench under-reported x110 by 0.6s vs the committed final
+    # run) — record the exact inputs by content hash so a reader can
+    # check this artifact came from the same jsonl committed as the
+    # round's bench, not an earlier run.
+    import hashlib
+    import os
+    for label, path in (("old", old_path), ("new", new_path)):
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        mtime = os.path.getmtime(path)
+        import datetime
+        stamp = datetime.datetime.utcfromtimestamp(mtime).strftime("%Y-%m-%d %H:%M UTC")
+        lines.append(f"- generated from {label}: `{path}` sha256:{digest} (mtime {stamp})")
+    lines.append("")
     # a partial/aborted run's jsonl may carry no metric=total line
     for label, tot in (("old", old_total), ("new", new_total)):
         if tot is None:

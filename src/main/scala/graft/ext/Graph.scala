@@ -759,8 +759,10 @@ object Graph {
     * emits show how fast the peel converges on this graph. */
   private val CoreRounds = 4
 
-  private def kcoreOracle: String = {
-    val rounds = (1 to CoreRounds).map { r =>
+  /** The e0 + d/k/e round-chain CTE prefix shared by x73's fixed-round
+    * oracle and x73b's converged-tier oracle. */
+  private def kcoreRoundsCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT src, COUNT(*) AS c FROM e${r - 1} GROUP BY src),
          |k$r AS MATERIALIZED (SELECT src AS v FROM d$r WHERE c >= $CoreK),
@@ -768,18 +770,22 @@ object Graph {
          |  SELECT e.src, e.dst FROM e${r - 1} e
          |  JOIN k$r a ON e.src = a.v JOIN k$r b ON e.dst = b.v)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to CoreRounds).map { r =>
-      s"""SELECT $r AS round,
-         |  CAST((SELECT COUNT(*) FROM k$r) AS BIGINT) AS n_nodes,
-         |  CAST((SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_edges""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
        |e0 AS MATERIALIZED (
        |  SELECT a.p AS src, b.p AS dst FROM li a
        |  JOIN li b ON a.ok = b.ok AND a.p <> b.p
        |  GROUP BY 1, 2),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def kcoreOracle: String = {
+    val out = (1 to CoreRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  CAST((SELECT COUNT(*) FROM k$r) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT COUNT(*) FROM e$r) AS BIGINT) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${kcoreRoundsCtes(CoreRounds)}
        |SELECT * FROM ($out) ORDER BY round""".stripMargin
   }
 
@@ -842,6 +848,62 @@ object Graph {
       .map { case ((r, nn, _), ne) => (r, nn, ne) }
     s.createDataFrame(perRound).toDF("round", "n_nodes", "n_edges")
       .orderBy(col("round"))
+  }
+
+  /** Round cap for the REGISTERED converged k-core (x73b) — the oracle
+    * unrolls exactly this many peel rounds. The x73 per-round survivor
+    * counts show the peel within a round or two of its fixpoint at
+    * round 4 on this graph; 6 carries headroom with a bounded oracle. */
+  private val KcoreMaxRounds = 6
+
+  /** x73b: [[kcoreFixpoint]] as a REGISTERED query — the x70b
+    * certificate pattern applied to the peel: iterate until a full
+    * round removes nothing (the TRUE k-core, every survivor with
+    * induced degree ≥ k) under the bounded cap [[KcoreMaxRounds]].
+    * The fixpoint is ABSORBING (an unchanged alive set induces the
+    * same degrees, so every later round is a no-op) and the peel is
+    * MONOTONE, so the oracle unrolls exactly the cap and reads the
+    * core's node/edge counts off the LAST round — equal to the
+    * fixpoint whenever it arrived at any r ≤ cap, equal to the capped
+    * state otherwise; both engines agree either way. The certificate
+    * `rounds_to_fixpoint` = the first round whose survivor count
+    * equals its predecessor's (including that no-op round, as
+    * [[kcoreFixpoint]] counts it), replayed by the oracle over the
+    * same chain.
+    *
+    * Scale shape: x73's node-centric rounds (checkpointed edge table,
+    * lazily induced through the alive set; one degree shuffle per
+    * round) for as many rounds as the fixpoint needs, plus one final
+    * restriction pass for the edge count — output is ONE row. */
+  val kcoreConverged = Q.withOracle(
+    "x73b_kcore_converged",
+    s"x73b: $CoreK-core peeled to the fixpoint (cap $KcoreMaxRounds) with rounds certificate",
+    {
+      val stable = (1 to KcoreMaxRounds).map { r =>
+        val prev = if (r == 1) "(SELECT COUNT(DISTINCT src) FROM e0)"
+                   else s"(SELECT COUNT(*) FROM k${r - 1})"
+        s"SELECT $r AS r, (SELECT COUNT(*) FROM k$r) = $prev AS stable"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${kcoreRoundsCtes(KcoreMaxRounds)},
+         |st AS MATERIALIZED (
+         |$stable),
+         |rc AS (
+         |  SELECT CAST(COALESCE(MIN(r), $KcoreMaxRounds) AS BIGINT) AS rounds
+         |  FROM st WHERE stable)
+         |SELECT CAST($CoreK AS BIGINT) AS core_k,
+         |  CAST((SELECT COUNT(*) FROM k$KcoreMaxRounds) AS BIGINT)
+         |    AS n_core_nodes,
+         |  CAST((SELECT COUNT(*) FROM e$KcoreMaxRounds) AS BIGINT)
+         |    AS n_core_edges,
+         |  rc.rounds AS rounds_to_fixpoint
+         |FROM rc""".stripMargin
+    }) { (s, dir) =>
+    val (core, rounds) = kcoreFixpoint(s, dir, CoreK, KcoreMaxRounds)
+    val nNodes = core.count()
+    val nEdges = induced(coEdges(s, dir), Some(core)).count()
+    core.unpersist()
+    s.createDataFrame(Seq((CoreK.toLong, nNodes, nEdges, rounds.toLong)))
+      .toDF("core_k", "n_core_nodes", "n_core_edges", "rounds_to_fixpoint")
   }
 
   // ---- x81: weighted single-source shortest paths -------------------
@@ -1550,7 +1612,7 @@ object Graph {
 
   val all: Seq[Q] =
     Seq(pagerank, triangles, trianglesApprox, bfs, effectiveDiameter,
-      harmonicCentrality, labelProp, lpaConverged, kcore, sssp,
+      harmonicCentrality, labelProp, lpaConverged, kcore, kcoreConverged, sssp,
       clusteringCoeff, clusteringApprox, assortativity, linkPredict, hits,
       personalizedPagerank, lpaModularity)
 }

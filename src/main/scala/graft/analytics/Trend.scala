@@ -237,27 +237,17 @@ object Trend {
       |SELECT flag, CAST(MIN(tot) AS BIGINT) AS total_weight,
       |  MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val w = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
         floor(col("l_quantity")).cast("long").as("wt"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
       .withColumn("bkt", shiftright(floor(col("v")).cast("long"), WmBucketBits))
-    val wIn = Window.partitionBy(col("flag"), col("bkt"))
-      .orderBy(col("v"), col("ok"), col("ln"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-(flag, bucket) totals → per-flag prefix offsets + grand total;
-    // both windows run over the bucket table only
-    val bt = w.groupBy(col("flag"), col("bkt")).agg(sum(col("wt")).as("bw"))
-    val offW = Window.partitionBy(col("flag")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bt
-      .withColumn("off", coalesce(sum(col("bw")).over(offW), lit(0L)))
-      .withColumn("tot", sum(col("bw")).over(Window.partitionBy(col("flag"))))
-      .select(col("flag"), col("bkt"), col("off"), col("tot"))
-    w.withColumn("cum_in", sum(col("wt")).over(wIn))
-      .join(broadcast(offsets), Seq("flag", "bkt"))
-      .withColumn("cum", col("off") + col("cum_in"))
+    // segmented cumulative weights + per-flag totals via SegmentedRank's
+    // shared core (both offset windows run over the bucket table only)
+    graft.ext.SegmentedRank.withGroupedPrefix(
+        w, Seq("flag"), "bkt", Seq(col("v"), col("ok"), col("ln")),
+        Seq((col("wt"), "cum")), inclusive = true,
+        valueTotals = Seq(("cum", "tot")))
       .groupBy(col("flag"))
       .agg(min(col("tot")).cast("long").as("total_weight"),
         min(when(lit(2) * col("cum") >= col("tot"), col("v"))).as("wmedian"))

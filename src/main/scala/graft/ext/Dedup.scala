@@ -1240,10 +1240,96 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** x171: split-leakage audit — the hygiene check a training pipeline
+    * runs BEFORE trusting its held-out metrics: near-duplicate pairs
+    * (x4's verified ≥ 0.5 Jaccard relation) classified against x17's
+    * deterministic md5 train/holdout split. A holdout document with a
+    * near-dup in train inflates every evaluation it touches — exact
+    * dedup (x1) can't see it, and the split (x17) is content-blind by
+    * design, so ONLY their composition surfaces it. Output: pair counts
+    * per (split, split) class, with the doc-level damage as certificate
+    * columns (distinct leaked holdout docs, holdout size, leak rate —
+    * the x154 telemetry posture).
+    *
+    * Scale shape: the pair table (LSH-bounded, ≪ corpus) joins the
+    * doc-keyed split table twice, one 3-row class agg; the leak count
+    * explodes pairs into directed ends and dedups — everything keyed,
+    * nothing corpus-quadratic. At real scale the pair input is x2's
+    * LSH-verified relation; the audit is indifferent to which tier
+    * produced the pairs. */
+  val splitLeakage = Q.withOracle(
+    "x171_split_leakage",
+    "x171: near-dup pairs straddling the train/holdout split + leaked-doc rate",
+    s"""WITH $JaccardCtes,
+       |e AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM scored WHERE jac >= 0.5),
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       |      THEN 'holdout' ELSE 'train' END AS split
+       |  FROM documents),
+       |cls AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b
+       |  FROM e JOIN sp a ON e.doc_a = a.doc_id
+       |  JOIN sp b ON e.doc_b = b.doc_id),
+       |ends AS (
+       |  SELECT doc_a AS d, doc_b AS o FROM e
+       |  UNION ALL SELECT doc_b, doc_a FROM e),
+       |leaked AS (
+       |  SELECT DISTINCT ends.d FROM ends
+       |  JOIN sp sd ON ends.d = sd.doc_id AND sd.split = 'holdout'
+       |  JOIN sp so ON ends.o = so.doc_id AND so.split = 'train'),
+       |lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_holdout FROM leaked),
+       |hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout
+       |       FROM sp WHERE split = 'holdout')
+       |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  n_leaked_holdout, n_holdout,
+       |  CASE WHEN n_holdout > 0 THEN
+       |    CAST(n_leaked_holdout AS DOUBLE) / n_holdout END AS holdout_leak_rate
+       |FROM cls CROSS JOIN lk CROSS JOIN hn
+       |GROUP BY split_a, split_b, n_leaked_holdout, n_holdout
+       |ORDER BY split_a, split_b""".stripMargin) { (s, dir) =>
+    val e = scoredPairs(s, dir).filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // pair relation read three ways below
+    val splitOf = (d: org.apache.spark.sql.Column) =>
+      when(substring(md5(d.cast("string")), 1, 1).isin("0", "1"), "holdout")
+        .otherwise("train")
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    val withSplits = e
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+    val cls = withSplits
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val ends = e.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .unionAll(e.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    val lk = ends
+      .join(sp.filter(col("split") === "holdout")
+        .select(col("doc_id").as("d")), "d")
+      .join(sp.filter(col("split") === "train")
+        .select(col("doc_id").as("o")), "o")
+      .select(col("d")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_leaked_holdout"))
+    val hn = sp.filter(col("split") === "holdout")
+      .agg(count(lit(1)).cast("long").as("n_holdout"))
+    cls.crossJoin(broadcast(lk)).crossJoin(broadcast(hn))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_leaked_holdout"), col("n_holdout"),
+        when(col("n_holdout") > 0,
+          col("n_leaked_holdout").cast("double") / col("n_holdout"))
+          .as("holdout_leak_rate"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
     containmentPairs, minhashCalibration, lshTuning, dedupTransitivity,
-    dedupSavings, mixDesign)
+    dedupSavings, mixDesign, splitLeakage)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

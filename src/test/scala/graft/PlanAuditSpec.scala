@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSuite {
     "x159_priority_sample",        // broadcast of the 1-row threshold scalar onto the 64-row sample
     "x160_knn_label_agreement",    // broadcast of the 64-row query panel into the streaming corpus scan
     "x166_dedup_transitivity",     // two 1-row count scalars (edges, triangles) composed onto the 1-row wedge agg
+    "x154_edit1_blocking",         // broadcast of the 1-row guard-drop certificate onto the top-50
+    "x170_mix_design",             // 1-row nmin scalar into the rate table + 1-row resampled-total scalar onto the |sources| rows
+    "x171_split_leakage",          // two 1-row leak/holdout scalars onto the ≤3-row class agg
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -307,6 +307,90 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** x172: Kneser–Ney-smoothed bigram document scoring — the LM-quality
+    * filter a production corpus pipeline actually runs (CCNet-style
+    * perplexity filtering uses KN-smoothed n-gram models; x40's add-one
+    * is the textbook baseline, KN is the one that works: it backs off
+    * to how many CONTEXTS a word completes, not how often it occurs, so
+    * "Francisco" — frequent but only ever after "San" — stops inflating
+    * unseen-bigram mass). Interpolated bigram KN with absolute
+    * discount D:
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N1+(v·)/c(v)) · N1+(·w)/|bigram types|
+    *
+    * D = 3/4 ON PURPOSE (the standard 0.75, and DYADIC): in quarter
+    * units max(4·c(vw) − 3, 0) is an exact integer, so every term is
+    * exact-integer-to-double with one correctly-rounded division or
+    * multiply per step — the identical expression tree in both engines,
+    * and the per-doc mean runs as the x40 ordered fold. No log anywhere
+    * (libm parity would cost the hash; the mean conditional probability
+    * ranks documents the same direction).
+    *
+    * Scale shape: ONE bigram aggregation (the corpus-bound shuffle);
+    * c(v), N1+(v·), N1+(·w) and the type count all derive from that
+    * bigram-TYPE table with bounded aggs; two keyed joins back to the
+    * position table and one per-doc regroup — x40's shape plus one
+    * join. */
+  val knScore = Q.withOracle(
+    "x172_kneser_ney_score",
+    "x172: per-doc mean Kneser-Ney (D=3/4) bigram conditional probability",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM d),
+      |bg AS (SELECT doc_id, i, ts[i] AS w1, ts[i + 1] AS w2 FROM pos),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |        FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |         CAST(COUNT(*) AS BIGINT) AS n1v
+      |       FROM c12 GROUP BY 1),
+      |n1w AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w FROM c12 GROUP BY 1),
+      |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM c12),
+      |p AS (SELECT b.doc_id, b.i,
+      |        CAST(GREATEST(4 * c.c12 - 3, 0) AS DOUBLE) / (4 * u.c1)
+      |          + (3.0 * u.n1v / (4 * u.c1))
+      |            * (CAST(r.n1w AS DOUBLE) / bt.nbt) AS p
+      |      FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1)
+      |      JOIN n1w r USING (w2) CROSS JOIN bt),
+      |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
+      |          (a, x) -> a + x) AS sp
+      |      FROM p GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  sp / n_bigrams AS score
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = toks(col("text"))
+    val bg = docs
+      .select(col("doc_id"), posexplode(
+        filter(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as(Seq("i0", "p")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n1v"))
+    val n1w = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("n1w"))
+    val bt = c12.agg(count(lit(1)).cast("long").as("nbt"))
+    val p = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(n1w, Seq("w2"))
+      .crossJoin(broadcast(bt)) // one scalar row
+      .select(col("doc_id"), col("i"),
+        (greatest(lit(4) * col("c12") - 3, lit(0)).cast("double")
+            / (lit(4) * col("c1"))
+          + (lit(3.0) * col("n1v") / (lit(4) * col("c1")))
+            * (col("n1w").cast("double") / col("nbt"))).as("p"))
+    p.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        array_sort(collect_list(struct(col("i"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+          col("n_bigrams")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum bigram support for x89 — collocation lift over rare pairs
     * is noise (a 1-count pair of two rare tokens has huge lift). */
   private val MinSupport = 10
@@ -482,5 +566,5 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
-    oovRate, bigramLmScore, collocations, vocabCoverage, goodTuring)
+    oovRate, bigramLmScore, knScore, collocations, vocabCoverage, goodTuring)
 }

@@ -122,6 +122,34 @@ class CorpusSpec extends SparkSuite {
     assert(got(2L)._2 == 3.0 / 4, "doc 2 is the single bigram P(b|a)")
   }
 
+  test("x172 KN: continuation counts rank versatile words above context-bound ones where add-one ties") {
+    import spark.implicits._
+    // "fran" occurs 4 times, always after "san" (the classic Francisco
+    // shape); "multi" occurs 4 times after 4 DIFFERENT predecessors.
+    // Probe docs "z fran" / "z multi" each contribute one bigram with
+    // identical raw counts (c12 = 1, c1(z) = 2, n1v(z) = 2), so x40's
+    // add-one scores TIE — but KN's continuation term sees
+    // N1+(. multi) = 5 contexts vs N1+(. fran) = 2 and must rank the
+    // versatile word strictly higher.
+    val dir = java.nio.file.Files.createTempDirectory("x172kn").toString
+    Seq(
+      (1L, "san fran san fran san fran san fran"),
+      (2L, "p1 multi p2 multi p3 multi p4 multi"),
+      (10L, "z fran"), (11L, "z multi")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    def scores(name: String): Map[Long, Double] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kn = scores("x172_kneser_ney_score")
+    val addOne = scores("x40_bigram_lm_score")
+    assert(addOne(10L) === addOne(11L), "add-one cannot tell the probes apart")
+    assert(kn(11L) > kn(10L),
+      s"KN must score the 5-context word above the 2-context one: $kn")
+    // the discounted term is exact: every probability is a finite sum of
+    // quarter-unit divisions, so both probe scores are strictly positive
+    assert(kn(10L) > 0.0 && kn(11L) > 0.0)
+  }
+
   test("x40 forces no broadcast of the LM count tables (only the 1-row vocab scalar is hinted)") {
     // The bigram/unigram count tables scale with the corpus; whether to
     // broadcast them is AQE's call from runtime stats, never a hint. The

@@ -17,7 +17,8 @@ object Bench {
   private val GraphLane: Set[String] = Set(
     "x59_pagerank", "x60_triangle_count", "x60b_triangle_doulion",
     "x63_bfs_hops", "x70_label_propagation", "x70b_lpa_converged",
-    "x73_kcore_peel", "x81_sssp_weighted", "x99_clustering_coeff",
+    "x73_kcore_peel", "x73b_kcore_converged", "x81_sssp_weighted",
+    "x99_clustering_coeff",
     "x99b_clustering_doulion", "x102_assortativity", "x110_link_predict",
     "x118_hits", "x148_personalized_pagerank", "x149_lpa_modularity",
     "x155_effective_diameter", "x158_harmonic_centrality")

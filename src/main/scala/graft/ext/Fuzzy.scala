@@ -82,7 +82,11 @@ object Fuzzy {
         |    i -> concat(substring(c_name, 1, i - 1),
         |                substring(c_name, i + 1, length(c_name))))))""".stripMargin))
       .as("k"))
+    // (key, df) table read twice (keep filter + guard counters) — the
+    // checkpoint stops the corpus explode+agg from running once per
+    // consumer
     val dfk = keys.groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val keep = dfk.filter(col("df") <= MaxBucket).select(col("k"))
     // Guard telemetry (the HoltFeed n_ignored posture): the MaxBucket
     // guard SILENTLY empties pathologically-duplicated buckets by

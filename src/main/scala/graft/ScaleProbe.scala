@@ -253,6 +253,28 @@ object ScaleProbe {
       // content-DISJOINT (token rename), so survivors scale f and
       // per-source savings ratios are factor-invariant
       "x169_dedup_savings",
+      // x170: output CONSTANT (20 sources); x169's survivor machinery +
+      // the x44 acceptance over the deduped corpus, one checkpointed
+      // corpus scan — expect the x169 curve plus the doc-keyed
+      // survivor-source join's linear term
+      "x170_mix_design",
+      // x171: ≤3 class rows + certificate; rides x4's pair generation
+      // (copy-local pairs scale f), split/leak joins are pair- and
+      // doc-keyed — wall should track x4's curve like x166 does
+      "x171_split_leakage",
+      // x172: one row per ≥2-token doc (linear); x40's shape plus the
+      // n1w join — one bigram agg, bounded type-table aggs, two keyed
+      // joins back, per-doc ordered fold
+      "x172_kneser_ney_score",
+      // x70b: ≤100 rows (1 here); disjoint copies converge in the BASE
+      // graph's round count (structure property — the certificate is
+      // factor-invariant), so wall = rounds × the x70 per-round linear
+      // edge⋈label cost + one |V|-keyed change count per round
+      "x70b_lpa_converged",
+      // x73b: 1 row; x73's node-centric peel run to the fixpoint —
+      // disjoint replicas reach it in the base graph's round count, so
+      // wall tracks x73's per-round degree agg linearly
+      "x73b_kcore_converged",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -56,6 +56,7 @@ class PlanAuditSpec extends SparkSuite {
     "x154_edit1_blocking",         // broadcast of the 1-row guard-drop certificate onto the top-50
     "x170_mix_design",             // 1-row nmin scalar into the rate table + 1-row resampled-total scalar onto the |sources| rows
     "x171_split_leakage",          // two 1-row leak/holdout scalars onto the ≤3-row class agg
+    "x172_kneser_ney_score",       // broadcast of the 1-row bigram-type-count scalar (x40's posture)
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

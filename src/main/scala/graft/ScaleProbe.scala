@@ -275,6 +275,13 @@ object ScaleProbe {
       // disjoint replicas reach it in the base graph's round count, so
       // wall tracks x73's per-round degree agg linearly
       "x73b_kcore_converged",
+      // x173: output bounded by DISTINCT multiplicities (content-disjoint
+      // copies replicate the base spectrum's strata, counts scale f);
+      // the x1 hash agg + one multiplicity-grain agg
+      "x173_dup_spectrum",
+      // x174: output CONSTANT (10 deciles × 20 sources); x25's segmented
+      // rank shuffle + one grid agg — expect x25's flat-ish curve
+      "x174_quality_by_source",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -353,6 +353,52 @@ object Curation {
         .orderBy(col("decile"))
     })
 
+  /** x174: the quality-decile × source grid — WHO supplies the good
+    * text. x25 shows the quality distribution, x170 weighs sources by
+    * deduped mass; this is the missing axis between them: each source's
+    * documents spread across the GLOBAL quality deciles, with the
+    * source-conditional share ("45% of source_07 sits in the bottom two
+    * deciles" is a renegotiation argument no per-source mean conveys).
+    * Deciles are x25's exact global NTILE via [[SegmentedRank]] — the
+    * same derived-rank formula, so the oracle stays plain NTILE(10);
+    * shares are one double division of exact longs over a window that
+    * runs on the ≤ deciles×sources grid.
+    *
+    * Scale shape: x25's one segment shuffle + broadcast offset join,
+    * then one (decile, source) hash agg; the share window and ordering
+    * touch only the bounded grid. */
+  val qualityBySource = Q.withOracle(
+    "x174_quality_by_source",
+    "x174: global quality deciles per source with source-conditional shares",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $qualityScoreSql AS score
+       |  FROM documents),
+       |dec AS (
+       |  SELECT *, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM base),
+       |g AS (
+       |  SELECT CAST(decile AS BIGINT) AS decile, source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM dec GROUP BY 1, 2)
+       |SELECT decile, source, n_docs,
+       |  CAST(n_docs AS DOUBLE)
+       |    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+       |    AS source_share
+       |FROM g ORDER BY decile, source""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), qualityScore.as("score"))
+    val ranked = SegmentedRank.withGlobalRank(base,
+      floor(col("score") * 4096).cast("long"), Seq(col("score"), col("doc_id")))
+    val g = ranked.withColumn("decile", SegmentedRank.ntileExpr(10).cast("long"))
+      .groupBy(col("decile"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    // the share window runs on the bounded deciles×sources grid
+    val srcW = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    g.select(col("decile"), col("source"), col("n_docs"),
+        (col("n_docs").cast("double")
+          / sum(col("n_docs")).over(srcW).cast("double")).as("source_share"))
+      .orderBy(col("decile"), col("source"))
+  }
+
   /** x26: quality-weighted deterministic Bernoulli sample — keep a doc
     * when a stable per-doc uniform draw falls below its quality score, so
     * higher-quality documents survive proportionally more often. The
@@ -437,6 +483,6 @@ object Curation {
   }
 
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
-    stopwordScrub, qualityDeciles, qualityDecilesApprox, weightedSample,
-    curationPipeline)
+    stopwordScrub, qualityDeciles, qualityDecilesApprox, qualityBySource,
+    weightedSample, curationPipeline)
 }

@@ -1326,10 +1326,50 @@ object Dedup {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** x173: the duplication spectrum — for each multiplicity k, how many
+    * exact-duplicate groups have k copies, how many documents and
+    * characters they hold, and how many documents dedup removes from
+    * that stratum. This is the power-law plot a mix designer reads
+    * before believing any dedup plan (web crawls are dominated by a
+    * long k = 1 tail plus a thin stratum of pathologically-replicated
+    * boilerplate — the spectrum says which, and x169/x170's savings
+    * numbers decompose along it). Exact longs throughout.
+    *
+    * Scale shape: the x1 hash agg (the one corpus-keyed shuffle) to the
+    * duplicate-group grain, then one multiplicity-grain hash agg whose
+    * output is bounded by the number of DISTINCT multiplicities — a
+    * few dozen rows on any real corpus. */
+  val dupSpectrum = Q.withOracle(
+    "x173_dup_spectrum",
+    "x173: exact-duplicate multiplicity spectrum (groups/docs/chars per copy count)",
+    """WITH h AS (
+      |  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1)
+      |SELECT copies, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(copies * COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS chars_total,
+      |  CAST((copies - 1) * COUNT(*) AS BIGINT) AS docs_removed_by_dedup
+      |FROM h GROUP BY copies ORDER BY copies""".stripMargin) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).cast("long").as("copies"),
+        sum(col("n_chars")).cast("long").as("chars"))
+    h.groupBy(col("copies"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("chars")).cast("long").as("chars_total"))
+      .select(col("copies"), col("n_groups"),
+        (col("copies") * col("n_groups")).cast("long").as("n_docs"),
+        col("chars_total"),
+        ((col("copies") - 1) * col("n_groups")).cast("long")
+          .as("docs_removed_by_dedup"))
+      .orderBy(col("copies"))
+  }
+
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
     containmentPairs, minhashCalibration, lshTuning, dedupTransitivity,
-    dedupSavings, mixDesign, splitLeakage)
+    dedupSavings, mixDesign, splitLeakage, dupSpectrum)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

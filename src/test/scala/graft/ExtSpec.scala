@@ -149,6 +149,26 @@ class ExtSpec extends SparkSuite {
     assert(SparkEntry.queries("x16b_dedup_clusters_star")(spark, dir).count() === 0)
   }
 
+  test("x173 duplication spectrum: crafted multiplicities land in the right strata") {
+    // 3 singletons, one pair, one triple: spectrum rows (1,3), (2,1), (3,1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spectrum").toString
+    val docs = Seq(
+      (1L, "unique one"), (2L, "unique two"), (3L, "unique three"),
+      (4L, "pair text"), (5L, "pair text"),
+      (6L, "triple text"), (7L, "triple text"), (8L, "triple text"))
+    docs.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = SparkEntry.queries("x173_dup_spectrum")(spark, dir)
+      .select($"copies", $"n_groups", $"n_docs", $"chars_total",
+        $"docs_removed_by_dedup")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 3L, docs.take(3).map(_._2.length.toLong).sum, 0L),
+      (2L, 1L, 2L, 2L * "pair text".length, 1L),
+      (3L, 1L, 3L, 3L * "triple text".length, 2L)))
+  }
+
   test("x134: a fully-quoted short doc is containment-caught where Jaccard misses it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
     val short = "q1 q2 q3 q4 q5"

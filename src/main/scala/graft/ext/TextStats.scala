@@ -165,5 +165,195 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop)
+  /** Pseudo-line / pseudo-paragraph window sizes for x175. The corpus's
+    * documents are single-line token streams (no '\n' structure), so the
+    * Gopher line/paragraph rules are applied to DISJOINT token windows:
+    * a "line" is 10 consecutive tokens, a "paragraph" 30 — deterministic,
+    * content-independent segmentation that preserves exactly what the
+    * rules measure (verbatim repeated runs of text within a document). */
+  private val LineLen = 10
+  private val ParaLen = 30
+
+  /** Word n-gram orders for the repetition battery: top-gram char share
+    * at n = 2, 3, 4 (Gopher's "fraction of characters contained in the
+    * most frequent n-gram") and all-duplicate char share at n = 5. */
+  private val TopGramNs = Seq(2, 3, 4)
+  private val DupGramN = 5
+
+  /** Disjoint w-token windows of `ts`, each tagged with its window size —
+    * one flattened explode feeds both the line and paragraph stats. */
+  private def lineStructs(w: Int): Column =
+    transform(
+      sequence(lit(0),
+        ((size(col("ts")) + lit(w - 1)) / lit(w)).cast("int") - 1),
+      k => struct(lit(w).as("w"),
+        array_join(slice(col("ts"), k * w + 1, lit(w)), " ").as("line")))
+
+  /** All n-grams of `ts` (space-joined strings) tagged with n. Positions
+    * are generated 1..|ts| then filtered to i ≤ |ts|−n+1 — `sequence`
+    * with stop < start would count DOWN, so the guard lives in the
+    * filter, not the bounds. */
+  private def gramStructs(n: Int): Column =
+    transform(
+      filter(sequence(lit(1), size(col("ts"))),
+        i => i <= size(col("ts")) - lit(n - 1)),
+      i => struct(lit(n).as("n"),
+        array_join(slice(col("ts"), i, lit(n)), " ").as("gram")))
+
+  /** x175: the Gopher-rule repetition battery — the quality filters a
+    * production pretraining pipeline runs FIRST, before any dedup
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
+    * per document,
+    *   - duplicate-line / duplicate-paragraph fraction (count and char
+    *     mass of repeated pseudo-lines — see [[LineLen]]/[[ParaLen]]),
+    *   - top-2/3/4-gram character share (chars covered by the single
+    *     most frequent word n-gram, ties broken lexicographically),
+    *   - duplicate-5-gram character share (chars covered by ALL 5-grams
+    *     occurring more than once; overlap not deduplicated, the
+    *     standard implementation shortcut),
+    *   - symbol-to-word ratio (chars outside [a-z0-9 space] per token).
+    * The x101/x8 exactness discipline: every numerator and denominator
+    * is an exact integer count or char sum; the ONLY floating-point step
+    * is one correctly-rounded division per output ratio, so the DuckDB
+    * oracle is bit-exact.
+    *
+    * Scale shape: two explode→agg passes (windows, n-grams), both keyed
+    * by doc_id(+gram) — all of a document's exploded rows are generated
+    * from its one input row, so map-side partial aggregation collapses
+    * them to per-(doc, gram) counts BEFORE the shuffle; nothing corpus-
+    * crossing, no window wider than a document, output one row per doc. */
+  val repetition = Q.withOracle(
+    "x175_repetition_quality",
+    "x175: Gopher repetition battery (dup line/para fractions, top n-gram char share, symbol ratio)",
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ts,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |lw AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(ts) + w - 1) // w - 1)) AS k, ts
+       |  FROM d CROSS JOIN (SELECT unnest([$LineLen, $ParaLen]) AS w)),
+       |lines AS (
+       |  SELECT doc_id, w, array_to_string(ts[k*w+1 : k*w+w], ' ') AS line
+       |  FROM lw),
+       |lc AS (
+       |  SELECT doc_id, w, line, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(length(line) AS BIGINT) AS clen
+       |  FROM lines GROUP BY 1, 2, 3),
+       |lstats AS (
+       |  SELECT doc_id, w,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+       |      / CAST(SUM(cnt) AS DOUBLE) AS dup_frac,
+       |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * clen ELSE 0 END) AS DOUBLE)
+       |      / CAST(SUM(cnt * clen) AS DOUBLE) AS dup_char_frac
+       |  FROM lc GROUP BY 1, 2),
+       |gp AS (
+       |  SELECT doc_id, n, unnest(generate_series(1, len(ts) - n + 1)) AS i, ts
+       |  FROM d CROSS JOIN (SELECT unnest([${(TopGramNs :+ DupGramN).mkString(", ")}]) AS n)
+       |  WHERE len(ts) >= n),
+       |g AS (SELECT doc_id, n, array_to_string(ts[i : i+n-1], ' ') AS gram FROM gp),
+       |gc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM g GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT doc_id, n, cnt * CAST(length(gram) AS BIGINT) AS cover
+       |  FROM gc WHERE n < $DupGramN
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+       |    ORDER BY cnt DESC, gram) = 1),
+       |tshare AS (
+       |  SELECT doc_id,
+       |    ${TopGramNs.map(n => s"MAX(CASE WHEN n = $n THEN cover END) AS cov$n").mkString(",\n    |    ")}
+       |  FROM top GROUP BY 1),
+       |dup5 AS (
+       |  SELECT doc_id, CAST(SUM(cnt * length(gram)) AS BIGINT) AS cov5
+       |  FROM gc WHERE n = $DupGramN AND cnt >= 2 GROUP BY 1),
+       |sym AS (
+       |  SELECT doc_id, n_chars, n_tok,
+       |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+       |      AS BIGINT) AS n_sym
+       |  FROM d)
+       |SELECT s.doc_id, l10.n_lines,
+       |  l10.dup_frac AS dup_line_frac,
+       |  l10.dup_char_frac AS dup_line_char_frac,
+       |  l30.dup_frac AS dup_para_frac,
+       |  l30.dup_char_frac AS dup_para_char_frac,
+       |  ${TopGramNs.map(n => s"CAST(COALESCE(t.cov$n, 0) AS DOUBLE) / CAST(s.n_chars AS DOUBLE) AS top${n}_share").mkString(",\n    |  ")},
+       |  CAST(COALESCE(d5.cov5, 0) AS DOUBLE) / CAST(s.n_chars AS DOUBLE)
+       |    AS dup5_char_frac,
+       |  CAST(s.n_sym AS DOUBLE) / CAST(s.n_tok AS DOUBLE) AS symbol_ratio
+       |FROM sym s
+       |JOIN lstats l10 ON l10.doc_id = s.doc_id AND l10.w = $LineLen
+       |JOIN lstats l30 ON l30.doc_id = s.doc_id AND l30.w = $ParaLen
+       |LEFT JOIN tshare t ON t.doc_id = s.doc_id
+       |LEFT JOIN dup5 d5 ON d5.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), col("text"), toks(col("text")).as("ts"),
+      length(col("text")).cast("long").as("n_chars_d"),
+      size(toks(col("text"))).cast("long").as("n_tok"))
+    // window (pseudo-line/paragraph) repetition: one explode, one
+    // (doc, w, line)-keyed count, one per-(doc, w) rollup
+    val lc = base
+      .select(col("doc_id"),
+        explode(flatten(array(lineStructs(LineLen), lineStructs(ParaLen)))).as("lw"))
+      .select(col("doc_id"), col("lw.w").as("w"), col("lw.line").as("line"))
+      .groupBy(col("doc_id"), col("w"), col("line"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("clen", length(col("line")).cast("long"))
+    val lstats = lc.groupBy(col("doc_id"), col("w")).agg(
+      sum(col("cnt")).cast("long").as("n_lines"),
+      (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double") /
+        sum(col("cnt")).cast("double")).as("dup_frac"),
+      (sum(when(col("cnt") >= 2, col("cnt") * col("clen")).otherwise(0L)).cast("double") /
+        sum(col("cnt") * col("clen")).cast("double")).as("dup_char_frac"))
+    def lcols(w: Int, tag: String) = lstats.filter(col("w") === w).select(
+      col("doc_id"), col("n_lines").as(s"n_lines_$tag"),
+      col("dup_frac").as(s"dup_${tag}_frac"),
+      col("dup_char_frac").as(s"dup_${tag}_char_frac"))
+    // n-gram repetition: one explode over all orders, one
+    // (doc, n, gram)-keyed count; top-1 via a per-(doc, n) window
+    val gc = base
+      .select(col("doc_id"),
+        explode(flatten(array((TopGramNs :+ DupGramN).map(gramStructs): _*))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val byDocN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val tshare = gc.filter(col("n") < DupGramN)
+      .withColumn("rn", row_number().over(byDocN)).filter(col("rn") === 1)
+      .withColumn("cover", col("cnt") * length(col("gram")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(TopGramNs.map(n =>
+        max(when(col("n") === n, col("cover"))).as(s"cov$n")).head,
+        TopGramNs.map(n =>
+          max(when(col("n") === n, col("cover"))).as(s"cov$n")).tail: _*)
+    val dup5 = gc.filter(col("n") === DupGramN && col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * length(col("gram")).cast("long")).cast("long").as("cov5"))
+    val sym = base.select(col("doc_id"), col("n_chars_d"), col("n_tok"),
+      // strip the KEPT classes; what remains IS the symbol mass
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("n_sym"))
+    sym
+      .join(lcols(LineLen, "line"), "doc_id")
+      .join(lcols(ParaLen, "para"), "doc_id")
+      .join(tshare, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(Seq(
+        col("doc_id"), col("n_lines_line").as("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac")) ++
+        TopGramNs.map(n =>
+          (coalesce(col(s"cov$n"), lit(0L)).cast("double") /
+            col("n_chars_d").cast("double")).as(s"top${n}_share")) ++ Seq(
+        (coalesce(col("cov5"), lit(0L)).cast("double") /
+          col("n_chars_d").cast("double")).as("dup5_char_frac"),
+        (col("n_sym").cast("double") / col("n_tok").cast("double")).as("symbol_ratio")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop,
+    repetition)
 }

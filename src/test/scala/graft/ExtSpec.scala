@@ -503,4 +503,43 @@ class ExtSpec extends SparkSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got === expect)
   }
+
+  test("x175 repetition battery: hand-computed on a repetitive vs clean vs symbol-heavy doc") {
+    // doc 1: "a b c d e f g h i j" repeated 3x — 30 tokens, 59 chars.
+    //   pseudo-lines (w=10): three IDENTICAL lines → dup fractions 1.0;
+    //   pseudo-paragraph (w=30): one window → dup fraction 0.
+    //   top 2/3/4-grams: "a b"(x3, 3 chars), "a b c"(x3, 5), "a b c d"(x3, 7)
+    //   — count ties broken lexicographically. All 26 of the 5-gram
+    //   positions repeat (period 10), each 9 chars → 234/59 > 1: overlap
+    //   is NOT deduplicated, by documented design.
+    // doc 2: 30 distinct tokens — zero repetition on every axis.
+    // doc 3: "foo# bar... baz" — 4 chars outside [a-z0-9 ], 3 tokens.
+    val rep = (("a b c d e f g h i j " * 3).trim, 1L)
+    val clean = ((1 to 30).map(i => s"w$i").mkString(" "), 2L)
+    val symb = ("foo# bar... baz", 3L)
+    val dir = java.nio.file.Files.createTempDirectory("x175").toString
+    Seq(rep, clean, symb).map(_.swap).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x175_repetition_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_lines") == 3L)
+    assert(r1.getAs[Double]("dup_line_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_line_char_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_para_frac") == 0.0)
+    assert(r1.getAs[Double]("top2_share") == 9.0 / 59)
+    assert(r1.getAs[Double]("top3_share") == 15.0 / 59)
+    assert(r1.getAs[Double]("top4_share") == 21.0 / 59)
+    assert(r1.getAs[Double]("dup5_char_frac") == 234.0 / 59)
+    assert(r1.getAs[Double]("symbol_ratio") == 0.0)
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("n_lines") == 3L)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r2.getAs[Double]("dup_para_frac") == 0.0)
+    assert(r2.getAs[Double]("dup5_char_frac") == 0.0)
+    // every 2-gram is unique → top share is ONE occurrence of the
+    // lexicographically-first bigram "w1 w2" (5 chars)
+    assert(r2.getAs[Double]("top2_share") == 5.0 / clean._1.length)
+    assert(rows(3L).getAs[Double]("symbol_ratio") == 4.0 / 3)
+  }
 }

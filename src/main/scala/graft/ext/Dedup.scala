@@ -1240,6 +1240,175 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** x170b gate: max duplicate-pseudo-line fraction, as an exact rational
+    * (Gopher's 0.30 duplicate-line-fraction cut). The compare is pure
+    * integer — GateDupDen·dup ≤ GateDupNum·n_lines — so no float ever
+    * enters the gate decision. */
+  private val GateLineLen = 10
+  private val GateDupNum = 3
+  private val GateDupDen = 10
+
+  /** Per-ROW duplicate-pseudo-line gate (true = document passes). Unlike
+    * x175's corpus-grain explode→agg form, this is a pure array
+    * expression over one row — no shuffle, no second corpus scan — so
+    * x170b can compute it inside the SAME projection that md5's the text
+    * and keep the one-scan composition claim. Dup counting needs only
+    * EQUALITY grouping, so the sort order itself never matters: an
+    * element is a duplicate iff it equals a neighbor after array_sort.
+    * Out-of-range `get` returns null and null-OR-false stays null, which
+    * `filter` drops — the boundary cases fall out for free. */
+  private[ext] def dupLineGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ts = split(text, " ")
+    val lines = transform(
+      sequence(lit(0), ((size(ts) + lit(GateLineLen - 1)) / lit(GateLineLen))
+        .cast("int") - 1),
+      k => array_join(slice(ts, k * GateLineLen + 1, lit(GateLineLen)), " "))
+    val ls = array_sort(lines)
+    val dup = size(filter(sequence(lit(1), size(ls)),
+      i => get(ls, i - 1) === get(ls, i - 2) || get(ls, i - 1) === get(ls, i)))
+    lit(GateDupDen) * dup <= lit(GateDupNum) * size(ls)
+  }
+
+  /** x170b: the mix-design DAG of x170 with the QUALITY GATE a real
+    * pretraining pipeline runs between dedup and temperature reweighing
+    * (the Gopher duplicate-line rule, x175's first column): survivors
+    * whose duplicate-pseudo-line fraction exceeds 3/10 are excluded from
+    * the language counts, the acceptance pass, and the final mixture,
+    * and reported per source as docs_gated/chars_gated telemetry (the
+    * x154 posture: a guard that drops data must say what it dropped).
+    *
+    * STILL one corpus text scan: the gate is a per-row array expression
+    * (see [[dupLineGate]]) computed in the same projection as the md5,
+    * so the checkpointed slim frame simply gains a `pass` boolean —
+    * PlanSpec pins the no-rescan claim exactly as for x170. Exactness:
+    * the gate compare is integer, everything else is x170's arithmetic.
+    *
+    * Scale shape: identical to x170 (one scan, hash-keyed survivor agg,
+    * two doc-keyed joins, source/lang-bounded rollups with broadcast
+    * scalars); the gate adds zero shuffles. */
+  val mixDesignGated = Q.withOracle(
+    "x170b_mix_design_gated",
+    "x170b: mix design with a Gopher dup-line quality gate between dedup and reweighing",
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+       |    string_split(text, ' ') AS ts
+       |  FROM documents),
+       |t1 AS (
+       |  SELECT doc_id, source, lang, n_chars, h,
+       |    list_sort(list_transform(
+       |      generate_series(0, (len(ts) + ${GateLineLen - 1}) // $GateLineLen - 1),
+       |      k -> array_to_string(
+       |        list_slice(ts, k*$GateLineLen+1, k*$GateLineLen+$GateLineLen), ' '))) AS ls
+       |  FROM t0),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, n_chars, h,
+       |    $GateDupDen * len(list_filter(generate_series(1, len(ls)),
+       |      i -> ls[i] = ls[i-1] OR ls[i] = ls[i+1]))
+       |      <= $GateDupNum * len(ls) AS pass
+       |  FROM t1),
+       |surv AS MATERIALIZED (
+       |  SELECT h, MIN(doc_id) AS keep FROM d GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_chars, d.pass,
+       |    d.doc_id = s.keep AS kept, ks.source AS keep_source
+       |  FROM d JOIN surv s ON d.h = s.h
+       |  JOIN d ks ON ks.doc_id = s.keep),
+       |sav AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |    CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+       |      AS chars_kept,
+       |    CAST(SUM(CASE WHEN NOT kept AND keep_source = source
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_within,
+       |    CAST(SUM(CASE WHEN NOT kept AND keep_source <> source
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dup_cross,
+       |    CAST(SUM(CASE WHEN kept AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_gated,
+       |    CAST(SUM(CASE WHEN kept AND NOT pass THEN n_chars ELSE 0 END)
+       |      AS BIGINT) AS chars_gated
+       |  FROM j GROUP BY 1),
+       |n AS (SELECT lang, COUNT(*) AS nl FROM j WHERE kept AND pass
+       |      GROUP BY lang),
+       |r AS (SELECT lang,
+       |        sqrt(CAST((SELECT MIN(nl) FROM n) AS DOUBLE) / nl) AS rate
+       |      FROM n),
+       |acc AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS docs_resampled,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_resampled
+       |  FROM j JOIN r USING (lang)
+       |  WHERE kept AND pass AND
+       |    (CAST(((doc_id % ${Sampling.SamplePrime}) * ${Sampling.KnuthModP})
+       |       % ${Sampling.SamplePrime} AS DOUBLE) / ${Sampling.SamplePrime})
+       |      < r.rate
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(chars_resampled) AS BIGINT) AS t FROM acc)
+       |SELECT sav.source, n_docs, n_kept, chars_total, chars_kept,
+       |  dup_within, dup_cross, docs_gated, chars_gated,
+       |  CAST(COALESCE(docs_resampled, 0) AS BIGINT) AS docs_resampled,
+       |  CAST(COALESCE(chars_resampled, 0) AS BIGINT) AS chars_resampled,
+       |  CAST(chars_total - chars_kept AS DOUBLE) / chars_total AS savings,
+       |  CASE WHEN t > 0 THEN
+       |    CAST(COALESCE(chars_resampled, 0) AS DOUBLE) / t END AS mix_weight
+       |FROM sav LEFT JOIN acc USING (source) CROSS JOIN tot
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"), dupLineGate(col("text")).as("pass"))
+      .localCheckpoint() // ONE corpus text scan — md5 AND gate ride it
+    val surv = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+    val j = d.join(surv, "h")
+      .join(d.select(col("doc_id").as("keep"), col("source").as("keep_source")),
+        "keep")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("pass"), (col("doc_id") === col("keep")).as("kept"),
+        col("keep_source"))
+      .localCheckpoint() // doc-grain decisions read three ways below
+    val sav = j.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+      sum(col("n_chars")).cast("long").as("chars_total"),
+      sum(when(col("kept"), col("n_chars")).otherwise(0L)).cast("long")
+        .as("chars_kept"),
+      sum(when(!col("kept") && col("keep_source") === col("source"), 1L)
+        .otherwise(0L)).cast("long").as("dup_within"),
+      sum(when(!col("kept") && col("keep_source") =!= col("source"), 1L)
+        .otherwise(0L)).cast("long").as("dup_cross"),
+      sum(when(col("kept") && !col("pass"), 1L).otherwise(0L)).cast("long")
+        .as("docs_gated"),
+      sum(when(col("kept") && !col("pass"), col("n_chars")).otherwise(0L))
+        .cast("long").as("chars_gated"))
+    val clean = j.filter(col("kept") && col("pass"))
+    val n = clean.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val nmin = n.agg(min(col("nl")).as("nmin"))
+    val rates = n.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        sqrt(col("nmin").cast("double") / col("nl")).as("rate"))
+    val acc = clean.join(broadcast(rates), "lang")
+      .filter(((col("doc_id") % Sampling.SamplePrime) * lit(Sampling.KnuthModP)
+          % Sampling.SamplePrime).cast("double") / Sampling.SamplePrime
+        < col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("docs_resampled"),
+        sum(col("n_chars")).cast("long").as("chars_resampled"))
+    val tot = acc.agg(sum(col("chars_resampled")).cast("long").as("t"))
+    sav.join(acc, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("chars_total"),
+        col("chars_kept"), col("dup_within"), col("dup_cross"),
+        col("docs_gated"), col("chars_gated"),
+        coalesce(col("docs_resampled"), lit(0L)).as("docs_resampled"),
+        coalesce(col("chars_resampled"), lit(0L)).as("chars_resampled"),
+        ((col("chars_total") - col("chars_kept")).cast("double")
+          / col("chars_total")).as("savings"),
+        when(col("t") > 0,
+          coalesce(col("chars_resampled"), lit(0L)).cast("double")
+            / col("t").cast("double")).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   /** x171: split-leakage audit — the hygiene check a training pipeline
     * runs BEFORE trusting its held-out metrics: near-duplicate pairs
     * (x4's verified ≥ 0.5 Jaccard relation) classified against x17's
@@ -1369,7 +1538,7 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, jaccardPairs, minhash, simhash, dedupClusters,
     dedupClustersStar, nearDupSurvivors, dedupPipeline, simhashPairs, repeatedSpans,
     containmentPairs, minhashCalibration, lshTuning, dedupTransitivity,
-    dedupSavings, mixDesign, splitLeakage, dupSpectrum)
+    dedupSavings, mixDesign, mixDesignGated, splitLeakage, dupSpectrum)
 
   /** Hamming distance between two simhash longs (for tests / clustering). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -542,4 +542,38 @@ class ExtSpec extends SparkSuite {
     assert(r2.getAs[Double]("top2_share") == 5.0 / clean._1.length)
     assert(rows(3L).getAs[Double]("symbol_ratio") == 4.0 / 3)
   }
+
+  test("x170b gate: a repetitive survivor is gated out of the mixture and reported as telemetry") {
+    // src a: doc 1 repeats one 10-token pseudo-line 3x (dup frac 1.0 >
+    // 3/10 → GATED), doc 2 clean. src b: docs 3/4 are exact duplicates
+    // (doc 4 removed by DEDUP, before the gate). One lang → rate 1.0, so
+    // every clean survivor is resampled; the gated doc must vanish from
+    // the resampled mass but stay inside n_kept (gate ≠ dedup).
+    val rep = ("a b c d e f g h i j " * 3).trim
+    val clean2 = (1 to 12).map(i => s"u$i").mkString(" ")
+    val clean3 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x170b").toString
+    Seq(
+      (1L, rep, "en", "a", rep.length.toLong),
+      (2L, clean2, "en", "a", clean2.length.toLong),
+      (3L, clean3, "en", "b", clean3.length.toLong),
+      (4L, clean3, "en", "b", clean3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x170b_mix_design_gated")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n_kept") == 2L, "gate must not affect dedup")
+    assert(a.getAs[Long]("docs_gated") == 1L)
+    assert(a.getAs[Long]("chars_gated") == rep.length.toLong)
+    assert(a.getAs[Long]("docs_resampled") == 1L)
+    assert(a.getAs[Long]("chars_resampled") == clean2.length.toLong)
+    val b = rows("b")
+    assert(b.getAs[Long]("n_kept") == 1L && b.getAs[Long]("dup_within") == 1L)
+    assert(b.getAs[Long]("docs_gated") == 0L)
+    assert(b.getAs[Long]("chars_resampled") == clean3.length.toLong)
+    // mixture weights renormalize over the GATED resampled mass
+    assert(a.getAs[Double]("mix_weight") ==
+      clean2.length.toDouble / (clean2.length + clean3.length))
+  }
 }

@@ -55,6 +55,7 @@ class PlanAuditSpec extends SparkSuite {
     "x166_dedup_transitivity",     // two 1-row count scalars (edges, triangles) composed onto the 1-row wedge agg
     "x154_edit1_blocking",         // broadcast of the 1-row guard-drop certificate onto the top-50
     "x170_mix_design",             // 1-row nmin scalar into the rate table + 1-row resampled-total scalar onto the |sources| rows
+    "x170b_mix_design_gated",      // same two 1-row scalars as x170 (nmin into rates, resampled total onto |sources| rows)
     "x171_split_leakage",          // two 1-row leak/holdout scalars onto the ≤3-row class agg
     "x172_kneser_ney_score",       // broadcast of the 1-row bigram-type-count scalar (x40's posture)
 

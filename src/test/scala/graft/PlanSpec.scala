@@ -107,6 +107,32 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("x170b composition: one corpus scan (gate computed in the md5 projection); x170 columns unchanged") {
+    import spark.implicits._
+    val df = ext.Dedup.mixDesignGated.fn(spark, sf)
+    // the gate is a per-row array expression inside the SAME projection
+    // that md5's the text, so the final composed plan still contains no
+    // file scan — exactly x170's single-scan structure
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"gated composition rescans the corpus:\n${scans.mkString("\n")}")
+    // adding the gate must not move any x170 column: dedup/attribution
+    // precede the gate, and on this corpus the gate passes everything
+    // (docs_gated == 0), so the resample columns must also be identical
+    val common = Seq("source", "n_docs", "n_kept", "chars_total",
+      "chars_kept", "dup_within", "dup_cross", "docs_resampled",
+      "chars_resampled", "savings", "mix_weight")
+    val gated = df.select(common.head, common.tail: _*).collect().toSeq
+    val plain = ext.Dedup.mixDesign.fn(spark, sf)
+      .select(common.head, common.tail: _*).collect().toSeq
+    assert(gated === plain)
+    assert(df.agg(org.apache.spark.sql.functions.sum($"docs_gated"))
+      .as[Long].head === 0L,
+      "synthetic corpus unexpectedly trips the dup-line gate")
+  }
+
   test("x21/x22: no shuffle ever carries the raw text column") {
     Seq(ext.Curation.repetition, ext.Curation.decontaminate).foreach { q =>
       val df = q.fn(spark, sf)

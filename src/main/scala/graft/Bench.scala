@@ -13,15 +13,22 @@ object Bench {
     * default lane mode this family runs in its OWN forked JVM: fresh
     * heap, fresh JIT, fresh code cache, its own warmup — so its medians
     * are comparable across rounds regardless of what the rest of the
-    * suite did. */
-  private val GraphLane: Set[String] = Set(
-    "x59_pagerank", "x60_triangle_count", "x60b_triangle_doulion",
-    "x63_bfs_hops", "x70_label_propagation", "x70b_lpa_converged",
-    "x73_kcore_peel", "x73b_kcore_converged", "x81_sssp_weighted",
-    "x99_clustering_coeff",
-    "x99b_clustering_doulion", "x102_assortativity", "x110_link_predict",
-    "x118_hits", "x148_personalized_pagerank", "x149_lpa_modularity",
-    "x155_effective_diameter", "x158_harmonic_centrality")
+    * suite did.
+    *
+    * DERIVED from the registry (every `ext.Graph` query), not
+    * hand-listed: a new graph query joins the lane the moment it
+    * registers, so the r12 contamination class cannot return through a
+    * forgotten membership edit (r13 verdict finding #2). BenchLaneSpec
+    * pins the derivation and the lane partition. */
+  private[graft] def graphLane: Set[String] = ext.Graph.all.map(_.name).toSet
+
+  /** Per-lane timed reps. The graph lane's iterative queries carry a
+    * ±1.2s run-to-run spread at 3 reps (x60 read 8.81s and 6.46s in the
+    * same round on identical code) which dominated the r13 delta's
+    * regression table — 5 reps roughly halves the median's noise band
+    * for ~+90s of bench wall, paid only by the 18-query lane. An
+    * explicit SPARK_GRAFT_REPS overrides BOTH lanes (profiling runs). */
+  private val LaneReps: Map[String, Int] = Map("graph" -> 5, "main" -> 3)
 
   def main(args: Array[String]): Unit = {
     // Lane mode (default): fork one child JVM per lane and merge their
@@ -74,30 +81,47 @@ object Bench {
     * classpath in java.class.path). A lane whose child dies is re-run
     * in-process (numbers beat no numbers; the summary says it
     * happened). */
+  private val qLinePattern = """"name":"([^"]+)".*?"value":(-?[0-9.]+)""".r
+
+  /** (name, median, raw line) for each per-query line in a lane file. */
+  private def parseQueryLines(path: String): Seq[(String, Double, String)] = {
+    if (!new java.io.File(path).isFile) return Seq.empty
+    scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .filter(_.contains("\"metric\":\"query\"")).toList
+      .flatMap { line =>
+        qLinePattern.findFirstMatchIn(line)
+          .map(m => (m.group(1), m.group(2).toDouble, line))
+      }
+  }
+
   private def runForkedLanes(): Unit = {
     import scala.jdk.CollectionConverters._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val repsEnv = sys.env.get("SPARK_GRAFT_REPS")
     val resetMode = sys.env.getOrElse("SPARK_GRAFT_RESET", "gc")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val graphSet = graphLane
     val lanes = Seq(
-      "graph" -> names.filter(GraphLane),
-      "main" -> names.filterNot(GraphLane)).filter(_._2.nonEmpty)
+      ("graph", names.filter(graphSet), repsEnv.fold(LaneReps("graph"))(_.toInt)),
+      ("main", names.filterNot(graphSet), repsEnv.fold(LaneReps("main"))(_.toInt)))
+      .filter(_._2.nonEmpty)
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
     val tmpDir = java.nio.file.Files.createTempDirectory("benchlanes")
-    val laneRuns = lanes.map { case (lane, qs) =>
+    val laneRuns = lanes.map { case (lane, qs, laneReps) =>
       val out = tmpDir.resolve(s"$lane.jsonl").toString
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_LANE", lane)
       pb.environment().put("SPARK_GRAFT_ONLY", qs.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      pb.environment().put("SPARK_GRAFT_REPS", laneReps.toString)
       pb.redirectErrorStream(true)
-      System.err.println(s"[bench] lane $lane: ${qs.size} queries, forking JVM")
+      System.err.println(
+        s"[bench] lane $lane: ${qs.size} queries, $laneReps reps, forking JVM")
       val code = try {
         val p = pb.start()
         // drain to stderr so the parent's stdout carries ONLY the merged
@@ -115,36 +139,57 @@ object Bench {
         System.err.println(
           s"[bench] lane $lane child exited $code — re-running in-process")
         runSuite(onlyOverride = Some(qs.toSet), benchOutOverride = Some(out),
-          quiet = true)
+          quiet = true, repsOverride = Some(laneReps))
       }
       (lane, out, produced)
     }
     // merge the lanes' per-query lines (each lane file ends with its own
     // summary line, dropped here; the merged summary is recomputed)
-    val qLine = """"name":"([^"]+)".*?"value":(-?[0-9.]+)""".r
-    val merged = laneRuns.flatMap { case (_, out, _) =>
-      scala.io.Source.fromFile(out, "UTF-8").getLines()
-        .filter(_.contains("\"metric\":\"query\"")).toList
+    val parsed0 = laneRuns.flatMap { case (_, out, _) => parseQueryLines(out) }
+    // Coverage check: a child that exits 0 after flushing a PARTIAL jsonl
+    // (killed mid-suite) would otherwise silently drop its missing
+    // queries from the merged summary — the universe must be the
+    // REQUESTED lane lists, not whatever the files happen to contain.
+    // Missing names are re-run in-process (numbers beat no numbers); any
+    // query that still fails records its -1 line there.
+    val requested = lanes.flatMap(_._2).toSet
+    val missing = requested -- parsed0.map(_._1).toSet
+    val recovered = if (missing.isEmpty) Seq.empty else {
+      System.err.println(s"[bench] ${missing.size} queries missing from lane " +
+        s"files (${missing.toSeq.sorted.take(5).mkString(",")}…) — re-running in-process")
+      val out = tmpDir.resolve("recovered.jsonl").toString
+      runSuite(onlyOverride = Some(missing), benchOutOverride = Some(out),
+        quiet = true, repsOverride = repsEnv.map(_.toInt).orElse(Some(LaneReps("main"))))
+      parseQueryLines(out)
     }
-    val parsed = merged.flatMap { line =>
-      qLine.findFirstMatchIn(line).map(m => (m.group(1), m.group(2).toDouble, line))
-    }
+    val parsed = parsed0 ++ recovered
     val ordered = parsed.sortBy { case (_, v, _) => (v < 0, v) }
     ordered.foreach { case (_, _, line) => println(line) }
     val results = parsed.map { case (n, v, _) => n -> (v, v, v) }.toMap
-    val lanesTag = lanes.map { case (l, qs) => s"""\"$l\":${qs.size}""" }
-      .mkString("{", ",", "}")
+    val lanesTag = lanes.map { case (l, qs, laneReps) =>
+      s"""\"$l\":{"n":${qs.size},"reps":$laneReps}""" }.mkString("{", ",", "}")
     val fellBack = laneRuns.exists(!_._3)
-    val summary = summaryLine(results, reps, resetMode, sfDir,
-      Some(lanesTag + (if (fellBack) ""","lane_fallback":true""" else "")))
+    val summary = summaryLine(results,
+      repsEnv.fold(LaneReps("main"))(_.toInt), resetMode, sfDir,
+      Some(lanesTag +
+        (if (fellBack) ""","lane_fallback":true""" else "") +
+        (if (missing.nonEmpty) s""","lane_recovered":${missing.size}""" else "")))
     println(summary)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl")
     if (benchOut != "none")
       writeLines(benchOut, ordered.map(_._3) :+ summary)
+    // the lane files are merged into benchOut — drop the temp directory
+    // instead of accreting one per bench run in the system tmp
+    try {
+      java.nio.file.Files.list(tmpDir).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmpDir)
+    } catch { case _: Exception => () }
   }
 
   private def runSuite(onlyOverride: Option[Set[String]] = None,
-      benchOutOverride: Option[String] = None, quiet: Boolean = false): Unit = {
+      benchOutOverride: Option[String] = None, quiet: Boolean = false,
+      repsOverride: Option[Int] = None): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -203,7 +248,8 @@ object Bench {
     // spiked). A failed iteration records NaN, and any failure poisons
     // the query's reported time to -1 — a plan that regresses into an
     // exception must read as FAILED, not as its wall-clock-to-throw.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = repsOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val timesByQuery = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val posByQuery = scala.collection.mutable.Map.empty[String, Vector[Int]]
     for (rep <- 1 to reps) {

@@ -98,6 +98,15 @@ object SegmentedRank {
       values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"__bs$i") }
     var offsets = df.groupBy(keyCols: _*)
       .agg(bucketAggs.head, bucketAggs.tail: _*)
+    // the machinery is exact-integer (offset + in-segment sum, cast to
+    // long at the end) — a fractional value column would be silently
+    // truncated there, so reject it here, where the type is resolved
+    values.indices.foreach { i =>
+      val dt = offsets.schema(s"__bs$i").dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"segmented prefix value '${values(i)._2}' resolves to $dt; " +
+          "pass an integral column (pre-scale fractional values to exact units)")
+    }
     if (rankAs.isDefined)
       offsets = offsets.withColumn("__offc",
         coalesce(sum(col("__bn")).over(offW), lit(0L)))

@@ -113,4 +113,15 @@ class SegmentedRankSpec extends SparkSuite {
     }
     assert(unpart.isEmpty, s"unpartitioned window in grouped scan:\n$unpart")
   }
+
+  test("withGroupedPrefix rejects a fractional value column instead of truncating") {
+    // the prefix machinery is exact-integer (offset + in-segment sum cast
+    // to long); a double value would silently truncate — must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      ext.SegmentedRank.withGroupedPrefix(
+        seg.withColumn("vd", col("v") / 2.0), Seq("g"), "bkt",
+        Seq(col("v"), col("id")), Seq((col("vd"), "ps")), inclusive = true)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

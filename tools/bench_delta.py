@@ -66,7 +66,8 @@ def main():
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
         mtime = os.path.getmtime(path)
         import datetime
-        stamp = datetime.datetime.utcfromtimestamp(mtime).strftime("%Y-%m-%d %H:%M UTC")
+        stamp = datetime.datetime.fromtimestamp(
+            mtime, tz=datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
         lines.append(f"- generated from {label}: `{path}` sha256:{digest} (mtime {stamp})")
     lines.append("")
     # a partial/aborted run's jsonl may carry no metric=total line

@@ -214,6 +214,57 @@ object BucketStore {
       })
   }
 
+  /** Replace-commit: the touched buckets' manifest entries become EXACTLY
+    * the files that appeared since `before` ([[snapshotBuckets]]) — one
+    * atomic manifest swap that makes every pre-existing file of those
+    * buckets invisible garbage WITHOUT a physical delete. This is the
+    * compaction commit for append stores whose rows are NOT immutable
+    * (folded count partials: two generations visible at once would
+    * double-sum, so the dedup-on-logical-key heal that protects
+    * [[commitAppended]] stores cannot apply). Because nothing is
+    * deleted, the stat-validation rebuild — the one path that can
+    * resurrect invisible files — is never triggered by this commit;
+    * a crash BEFORE the swap leaves the new files as invisible orphans
+    * and re-running the compaction converges. Replaced files are
+    * physical garbage; reclaim with a manifest-diff vacuum once the
+    * swap is durable. */
+  def commitReplaced(spark: SparkSession, storeDir: String,
+      touched: Seq[Int], before: Map[Int, Set[String]]): Unit = {
+    val m = readManifest(spark, storeDir).getOrElse(Map.empty)
+    val repl = touched.map { b =>
+      val pre = before.getOrElse(b, Set.empty)
+      b -> listBucketFiles(spark, storeDir, b).filterNot(pre)
+    }
+    writeManifest(spark, storeDir, (m ++ repl).filter(_._2.nonEmpty))
+  }
+
+  /** Delete every data file under `b=<k>` dirs that the manifest does
+    * not reference — the garbage left by [[commitReplaced]] swaps and
+    * crashed appends. Safe under the one-writer contract: an invisible
+    * file is never read, and a replayed batch re-appends FRESH files
+    * rather than re-attaching old orphans. No-op for pre-manifest
+    * stores (everything visible there). */
+  def vacuum(spark: SparkSession, storeDir: String): Unit =
+    readManifest(spark, storeDir).foreach { m =>
+      val live = m.values.flatten.toSet
+      val root = new Path(storeDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        val doomed = scala.collection.mutable.ListBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          val parent = st.getPath.getParent.getName
+          if (st.isFile && parent.startsWith("b=") &&
+              !name.startsWith("_") && !name.startsWith(".") &&
+              !live.contains(s"$parent/$name"))
+            doomed += st.getPath
+        }
+        doomed.foreach(fs.delete(_, false))
+      }
+    }
+
   /** The manifest's file list for `touched` (all buckets when None),
     * VALIDATED: every listed file is stat'ed (driver-side, bounded by
     * the files the read would open anyway) and any missing file —

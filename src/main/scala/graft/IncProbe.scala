@@ -49,8 +49,8 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,bpe,probek) for fast
-    // re-probe of one.
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,lmfeed,bpe,probek)
+    // for fast re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -385,6 +385,32 @@ object IncProbe {
       }
       val daysHeld = store.agg(sum(col("n_days"))).as[Long].head()
       emit("holtfeed_apply", f, sec, s""","days_held":$daysHeld""")
+    } }
+
+    // ---- LmFeed: LM count ingest vs accumulated count history ---------
+    // History unit = the 5k-doc corpus, token-renamed per copy (disjoint
+    // vocabulary, so state genuinely GROWS ~linearly with f — the
+    // adversarial case for a count store, unlike kmv/cms's bounded
+    // sketches). Timed batch = 20 fresh docs with fresh tokens. The
+    // claim: ingest aggregates the BATCH and appends its partials —
+    // history is never read (the only history touch is the touched-
+    // bucket manifest snapshot, O(touched-buckets) listings) — so the
+    // curve must be flat while the store's key space grows 10×.
+    // Compacted after seeding (the LSM posture, as bdf).
+    section("lmfeed") { factors.foreach { f =>
+      import graft.streaming.LmFeed
+      val dir = s"/tmp/graft-inc-lm-$f"
+      deleteDir(spark, dir)
+      (0 until f).foreach { k =>
+        LmFeed.ingest(spark, dir, renamed(s"h$k"), k, numBuckets = 64)
+      }
+      LmFeed.compact(spark, dir)
+      LmFeed.ingest(spark, dir, freshBatch(s"w$f"), f.toLong) // warm
+      val sec = time {
+        LmFeed.ingest(spark, dir, freshBatch(s"t$f"), f.toLong + 1)
+      }
+      val vocab = LmFeed.uniCounts(spark, dir).count()
+      emit("lmfeed_ingest", f, sec, s""","vocab":$vocab""")
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

@@ -282,6 +282,16 @@ object ScaleProbe {
       // x174: output CONSTANT (10 deciles × 20 sources); x25's segmented
       // rank shuffle + one grid agg — expect x25's flat-ish curve
       "x174_quality_by_source",
+      // x175: one row per doc (linear); two explode→agg passes whose
+      // shuffles are (doc, gram)-keyed — every doc's exploded rows are
+      // generated from its one input row, so map-side combine collapses
+      // them to per-(doc, gram) counts before the wire. Expect the
+      // x9/x35 token-explode cost class, ~linear
+      "x175_repetition_quality",
+      // x170b: x170's curve exactly (same one-scan composed DAG; the
+      // dup-line gate is a per-row array expression inside the md5
+      // projection — zero added shuffles, zero extra scans)
+      "x170b_mix_design_gated",
       // x40: linear output (one row per ≥2-token doc); wall tracks the
       // three keyed shuffles (bigram counts, prob lookup, per-doc regroup)
       "x40_bigram_lm_score",

@@ -282,6 +282,16 @@ object ScaleProbe {
       // x174: output CONSTANT (10 deciles × 20 sources); x25's segmented
       // rank shuffle + one grid agg — expect x25's flat-ish curve
       "x174_quality_by_source",
+      // x176: one row per doc (linear); a pure scan-project (per-row
+      // array expressions, no explode/shuffle/window) — should sit in
+      // the x46 flattest-curve class; wall tracks the one corpus scan
+      "x176_c4_quality",
+      // x177: one row per doc (linear); one bigram explode feeding
+      // bounded bucket aggs (≤256 rows + 1 scalar), the broadcast ratio
+      // join, a (doc, bucket) agg that map-side combines to ≤256
+      // rows/doc, and the SegmentedRank selection — expect the x40
+      // cost class (the bigram explode dominates)
+      "x177_dsir_select",
       // x175: one row per doc (linear); two explode→agg passes whose
       // shuffles are (doc, gram)-keyed — every doc's exploded rows are
       // generated from its one input row, so map-side combine collapses
@@ -314,6 +324,10 @@ object ScaleProbe {
       // x45b: one row per doc (linear); adds the broadcast vocab
       // lookup + per-doc regroup on top of x45's training cost
       "x45b_bpe_encode",
+      // x178: output CONSTANT (5 langs — renamed copies keep the lang
+      // column); x45b's cost exactly, with the per-doc regroup replaced
+      // by a 5-row lang agg — its curve should TRACK x45b's
+      "x178_fertility_by_lang",
       // x46: pure map (3 regex passes fused into the scan) — the
       // flattest curve on the board is the design claim
       "x46_pii_redact",

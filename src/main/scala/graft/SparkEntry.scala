@@ -51,6 +51,7 @@ object SparkEntry {
       ext.Curation.all ++
       ext.Search.all ++
       ext.Corpus.all ++
+      ext.Dsir.all ++
       ext.Bpe.all ++
       ext.Pii.all ++
       ext.Outlier.all ++

@@ -201,5 +201,58 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(bpeMerges, bpeEncode)
+  /** x178: tokenizer fertility/compression by LANGUAGE under the learned
+    * BPE merges — the fairness table a tokenizer team reviews before
+    * shipping (Petrov et al. 2023, "Language Model Tokenizers Introduce
+    * Unfairness Between Languages": a tokenizer trained on a skewed mix
+    * gives under-represented languages systematically more subwords per
+    * word, so equal text costs them more context window and more
+    * compute). Per lang: doc/word/subword/char totals, fertility
+    * (subwords per word), and chars-per-subword (the compression rate) —
+    * exact long sums, one correctly-rounded division per ratio.
+    *
+    * Scale shape: x45b's exactly (the vocabulary-sized merged word
+    * table broadcasts onto the corpus explode), with the per-doc regroup
+    * replaced by a 5-row per-lang hash agg — map-side combine collapses
+    * everything before the wire; n_docs rides countDistinct over the
+    * same explode rather than a second scan. */
+  val fertilityByLang = Q.withOracle(
+    "x178_fertility_by_lang",
+    "x178: per-language BPE fertility + compression under the learned merges",
+    s"""$oracleChain,
+       |wn AS MATERIALIZED (
+       |  SELECT w, len(string_split(substr(repr, 2, len(repr) - 2), '][')) AS ns
+       |  FROM w$Merges),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT d.lang,
+       |  CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(wn.ns) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(wn.ns) AS DOUBLE) / COUNT(*) AS fertility,
+       |  CAST(SUM(length(d.w)) AS DOUBLE) / SUM(wn.ns) AS chars_per_subword
+       |FROM dw d JOIN wn USING (w)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val (words, _) = train(docs)
+    val subCounts = words.select(col("w"),
+      size(split(expr("substring(repr, 2, length(repr) - 2)"), "\\]\\[")).as("ns"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(subCounts), "w")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("ns")).cast("long").as("n_subwords"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        (col("n_subwords").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords")).as("chars_per_subword"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(bpeMerges, bpeEncode, fertilityByLang)
 }

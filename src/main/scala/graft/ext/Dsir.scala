@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023): select raw-corpus documents that look like a target
+  * distribution by scoring each doc under hashed n-gram bag models of
+  * target vs raw and keeping the top of the importance ranking. The
+  * production recipe behind "train on web data that looks like
+  * Wikipedia": cheap bag-of-hashed-ngrams models stand in for real LMs,
+  * so selection runs at scan speed over the whole crawl.
+  *
+  * Fidelity vs exactness (both divergences follow this repo's standing
+  * discipline, not convenience):
+  *   - the paper scores log p_target(x) − log p_raw(x) = Σ log-ratios;
+  *     libm `log` is not bit-portable across engines (the x18/x40/x172
+  *     rule: no transcendentals in an oracled path), so the score here
+  *     is the arithmetic MEAN of the per-occurrence probability ratios
+  *     p_t(b)/p_r(b) — every term an exact-integer-products-to-double
+  *     with one correctly-rounded division, folded in pinned bucket
+  *     order (the x40 ordered fold), and the mean removes the doc-length
+  *     bias a raw sum would add;
+  *   - the paper's Gumbel-top-k sampling step is replaced by the
+  *     deterministic top-⌈n/4⌉ of the (score, doc_id) total order (the
+  *     x19 determinism rule — stable across engines and runs).
+  *
+  * Scale shape: one bigram-occurrence pass feeds THREE bounded hash aggs
+  * (per-bucket raw counts, per-bucket target counts, the scalar totals —
+  * all ≤ [[Dsir.Buckets]] rows), the ratio table broadcasts back onto
+  * the per-(doc, bucket) agg (map-side combinable: every exploded row of
+  * a doc is generated from its one input row), and the global rank runs
+  * as a SegmentedRank segmented scan — no single-partition window, no
+  * corpus-wide sort on any executor. At 100 TB: one shuffle on
+  * (doc, bucket), one on the score-segment key.
+  */
+object Dsir {
+
+  /** Hashed-feature space size. The paper uses 10k buckets for full
+    * CommonCrawl; 256 keeps the smoothed ratio table broadcast-tiny and
+    * well-populated at every test SF while exercising the identical
+    * plan. Bucket ids come from the repo's cross-engine md5 hash. */
+  private val Buckets = 256
+
+  /** Smoothed probability-ratio numerator/denominator products stay in
+    * exact BIGINT up to ~3e9 bigram occurrences (product < 2^63), far
+    * above any single-partition test scale; at true corpus scale the
+    * count tables would be per-shard longs merged exactly (pure sums). */
+  val dsirSelect: Q = Q.withOracle(
+    "x177_dsir_select",
+    "x177: DSIR hashed-bigram importance scoring + deterministic top-quarter selection",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |  FROM d),
+       |hb AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % $Buckets AS b
+       |  FROM pos),
+       |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM hb GROUP BY 1),
+       |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM hb
+       |       WHERE lang = 'en' GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+       |    CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+       |  FROM hb),
+       |r AS (
+       |  SELECT cr.b,
+       |    CAST((COALESCE(ct.ct, 0) + 1) * (tot.nr + $Buckets) AS DOUBLE)
+       |      / CAST((tot.nt + $Buckets) * (cr.cr + 1) AS DOUBLE) AS r
+       |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+       |db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+       |s AS (
+       |  SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_feats,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(db.c AS DOUBLE) * r.r ORDER BY db.b)), (a, x) -> a + x) AS sp
+       |  FROM db JOIN r USING (b) GROUP BY 1),
+       |sc AS (SELECT doc_id, n_feats, sp / n_feats AS score FROM s),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM sc)
+       |SELECT doc_id, n_feats, score,
+       |  CAST(CASE WHEN rnk > n - (n + 3) // 4 THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = split(col("text"), " ")
+    // (doc, lang, bucket) per bigram occurrence — the one corpus explode
+    val hb = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(
+        filter(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat_ws(" ", col("p.w1"), col("p.w2"))), 1, 15),
+          16, 10).cast("long") % Buckets).as("b"))
+    val cr = hb.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cr"))
+    val ct = hb.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).cast("long").as("ct"))
+    val tot = hb.agg(count(lit(1)).cast("long").as("nr"),
+      count(when(col("lang") === "en", 1)).cast("long").as("nt"))
+    // ≤Buckets-row smoothed ratio table: exact integer products, one division
+    val ratio = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot)) // one scalar row
+      .select(col("b"),
+        (((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + Buckets)).cast("double") /
+          ((col("nt") + Buckets) * (col("cr") + 1L)).cast("double")).as("r"))
+    val db = hb.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    // per-doc mean ratio, folded in pinned bucket order (the x40 fold)
+    val scored = db.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_feats"),
+        array_sort(collect_list(struct(col("b"),
+          (col("c").cast("double") * col("r")).as("t")))).as("ps"))
+      .select(col("doc_id"), col("n_feats"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("t")) /
+          col("n_feats")).as("score"))
+    // deterministic top-⌈n/4⌉ by (score, doc_id), ranked without a
+    // single-partition window: segment = floor(score·1024) is monotone
+    // in score and bounded (score ≤ (nr+B)/(nt+B) since target ⊆ raw)
+    val ranked = SegmentedRank.withGlobalRank(scored,
+      floor(col("score") * 1024).cast("long"), Seq(col("score"), col("doc_id")))
+    ranked
+      .withColumn("selected",
+        when(col("r") > col("n") - expr("(n + 3) div 4"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_feats"), col("score"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(dsirSelect)
+}

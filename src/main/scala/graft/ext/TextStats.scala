@@ -354,6 +354,113 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 rule parameters for x176. The line-keep threshold is C4's ≥5
+    * words; the blocklist stands in for C4's bad-word / "javascript"
+    * line lists (parameterized — `dup` is the one rare marker token the
+    * corpus actually contains, so the drop path is exercised end-to-end
+    * on real data, not only in the spec's crafted docs). */
+  private val MinLineWords = 5
+  private val MinKeptLines = 3
+  private val BlockWords = Seq("dup")
+
+  /** Disjoint pseudo-line strings of `ts` (the x175 [[LineLen]]
+    * segmentation), as a plain string array — per-row, no explode. */
+  private def lineArray(w: Int): Column =
+    transform(
+      sequence(lit(0),
+        ((size(col("ts")) + lit(w - 1)) / lit(w)).cast("int") - 1),
+      k => array_join(slice(col("ts"), k * w + 1, lit(w)), " "))
+
+  /** x176: the C4 heuristic cleaning battery (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer" §2.2 — the rules the C4 corpus was
+    * actually built with), applied to x175's pseudo-line segmentation:
+    * per document,
+    *   - line census: short lines (< [[MinLineWords]] words), blocklist
+    *     lines (any [[BlockWords]] token — C4's bad-word/"javascript"
+    *     rule), terminal-punctuation lines (C4 keeps only lines ending
+    *     `.`/`!`/`?` — reported, not gated, since the corpus carries no
+    *     punctuation; the spec exercises it with crafted docs),
+    *   - kept lines = neither short nor blocklisted, and the kept
+    *     fraction,
+    *   - page flags: `{` anywhere (C4's code heuristic), literal
+    *     "lorem ipsum" (placeholder-text heuristic),
+    *   - the page-level verdict `keep`: ≥ [[MinKeptLines]] kept lines,
+    *     zero blocklist lines, no brace, no lorem — C4's document drop
+    *     rule with its ≥3-sentence floor.
+    * Every column is an exact integer count or 0/1 flag; the single
+    * ratio is one correctly-rounded division (the x175 discipline).
+    *
+    * Scale shape: a pure scan-project — the whole battery is per-row
+    * array expressions over the line array (no explode, no shuffle, no
+    * window); at 100 TB this runs embarrassingly parallel at scan
+    * speed, which is exactly why C4-class filters run FIRST in a
+    * production pipeline, before anything that shuffles. */
+  val c4Quality = Q.withOracle(
+    "x176_c4_quality",
+    "x176: C4 heuristic cleaning battery (line census, page flags, keep verdict)",
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |l AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(0, (len(ts) + ${LineLen - 1}) // $LineLen - 1),
+       |      k -> array_to_string(ts[k*$LineLen+1 : k*$LineLen+$LineLen], ' ')) AS lines
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> len(string_split(x, ' ')) < $MinLineWords)) AS BIGINT) AS short_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> ${BlockWords.map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")}))
+       |      AS BIGINT) AS block_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> substr(x, length(x), 1) IN ('.', '!', '?'))) AS BIGINT) AS punct_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> len(string_split(x, ' ')) >= $MinLineWords AND NOT (
+       |        ${BlockWords.map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")})))
+       |      AS BIGINT) AS kept_lines,
+       |    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+       |    CASE WHEN contains(text, 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+       |  FROM l)
+       |SELECT doc_id, n_lines, short_lines, block_lines, punct_lines, kept_lines,
+       |  CAST(kept_lines AS DOUBLE) / n_lines AS kept_frac,
+       |  CAST(has_brace AS BIGINT) AS has_brace,
+       |  CAST(has_lorem AS BIGINT) AS has_lorem,
+       |  CAST(CASE WHEN kept_lines >= $MinKeptLines AND block_lines = 0
+       |    AND has_brace = 0 AND has_lorem = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def words(l: Column): Column = split(l, " ")
+    def blocked(l: Column): Column =
+      BlockWords.map(w => array_contains(words(l), w)).reduce(_ || _)
+    val c = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("ts"))
+      .withColumn("lines", lineArray(LineLen))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => size(words(l)) < MinLineWords))
+          .cast("long").as("short_lines"),
+        size(filter(col("lines"), l => blocked(l))).cast("long").as("block_lines"),
+        size(filter(col("lines"),
+          l => l.substr(length(l), lit(1)).isin(".", "!", "?")))
+          .cast("long").as("punct_lines"),
+        size(filter(col("lines"),
+          l => size(words(l)) >= MinLineWords && !blocked(l)))
+          .cast("long").as("kept_lines"),
+        when(col("text").contains("{"), 1L).otherwise(0L).as("has_brace"),
+        when(col("text").contains("lorem ipsum"), 1L).otherwise(0L).as("has_lorem"))
+    c.withColumn("kept_frac",
+        col("kept_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("keep",
+        when(col("kept_lines") >= MinKeptLines && col("block_lines") === 0 &&
+          col("has_brace") === 0 && col("has_lorem") === 0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_lines"), col("short_lines"),
+        col("block_lines"), col("punct_lines"), col("kept_lines"),
+        col("kept_frac"), col("has_brace"), col("has_lorem"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop,
-    repetition)
+    repetition, c4Quality)
 }

@@ -83,4 +83,25 @@ class BpeSpec extends SparkSuite {
       produced += r.getAs[String]("left_sym") + r.getAs[String]("right_sym")
     }
   }
+
+  test("x178: per-lang fertility grid is an exact partition of the x45b per-doc encode") {
+    // same tokenizer, same corpus — the lang rollup must sum to the
+    // per-doc table exactly, and each ratio must respect the subword
+    // bounds (1 ≤ fertility, 1 ≤ chars_per_subword, and their product
+    // is that lang's mean word length).
+    val byLang = graft.ext.Bpe.fertilityByLang.fn(spark, sf).collect()
+    val enc = graft.ext.Bpe.bpeEncode.fn(spark, sf)
+      .agg(sum($"n_words"), sum($"n_subwords")).head()
+    assert(byLang.map(_.getAs[Long]("n_words")).sum == enc.getLong(0))
+    assert(byLang.map(_.getAs[Long]("n_subwords")).sum == enc.getLong(1))
+    assert(byLang.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    byLang.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      val cps = r.getAs[Double]("chars_per_subword")
+      assert(fert >= 1.0 && cps >= 1.0)
+      assert(math.abs(fert * cps -
+        r.getAs[Long]("n_chars").toDouble / r.getAs[Long]("n_words")) < 1e-9)
+    }
+  }
 }

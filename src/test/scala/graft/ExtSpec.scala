@@ -576,4 +576,37 @@ class ExtSpec extends SparkSuite {
     assert(a.getAs[Double]("mix_weight") ==
       clean2.length.toDouble / (clean2.length + clean3.length))
   }
+
+  test("x176 C4 battery: hand-computed line census, page flags, and keep verdict") {
+    // d1: 12 tokens → lines (10, 2): the 2-token remainder is short.
+    // d2: 35 distinct tokens → lines (10,10,10,5), all kept → keep.
+    // d3: blocklist token "dup" in the 2nd line → page dropped.
+    // d4: "{" anywhere → C4 code heuristic drops the page.
+    // d5: literal "lorem ipsum" → placeholder heuristic drops the page.
+    // d6: lines ending "." / "!" / bare word → punct census 2 of 3.
+    val d1 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d2 = (1 to 35).map(i => s"w$i").mkString(" ")
+    val d3 = (1 to 30).map(i => if (i == 15) "dup" else s"u$i").mkString(" ")
+    val d4 = (1 to 30).map(i => if (i == 1) "{x" else s"v$i").mkString(" ")
+    val d5 = "lorem ipsum " + (3 to 30).map(i => s"p$i").mkString(" ")
+    val d6 = (1 to 30).map {
+      case 10 => "end."; case 20 => "yes!"; case i => s"q$i"
+    }.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x176").toString
+    Seq(d1, d2, d3, d4, d5, d6).zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }.toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x176_c4_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = rows(id).getAs[Long](c)
+    assert(f(1, "n_lines") == 2 && f(1, "short_lines") == 1 &&
+      f(1, "kept_lines") == 1 && f(1, "keep") == 0)
+    assert(rows(1L).getAs[Double]("kept_frac") == 0.5)
+    assert(f(2, "n_lines") == 4 && f(2, "short_lines") == 0 &&
+      f(2, "kept_lines") == 4 && f(2, "keep") == 1)
+    assert(f(3, "block_lines") == 1 && f(3, "kept_lines") == 2 && f(3, "keep") == 0)
+    assert(f(4, "has_brace") == 1 && f(4, "keep") == 0)
+    assert(f(5, "has_lorem") == 1 && f(5, "keep") == 0)
+    assert(f(6, "punct_lines") == 2 && f(6, "kept_lines") == 3 && f(6, "keep") == 1)
+  }
 }

@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSuite {
     "x170b_mix_design_gated",      // same two 1-row scalars as x170 (nmin into rates, resampled total onto |sources| rows)
     "x171_split_leakage",          // two 1-row leak/holdout scalars onto the ≤3-row class agg
     "x172_kneser_ney_score",       // broadcast of the 1-row bigram-type-count scalar (x40's posture)
+    "x177_dsir_select",            // broadcast of the 1-row occurrence-totals scalar into the ≤256-row ratio table
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

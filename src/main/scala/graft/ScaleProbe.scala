@@ -282,6 +282,14 @@ object ScaleProbe {
       // x174: output CONSTANT (10 deciles × 20 sources); x25's segmented
       // rank shuffle + one grid agg — expect x25's flat-ish curve
       "x174_quality_by_source",
+      // x179: output CONSTANT (2 dims × 20 queries); two x5-posture
+      // panel scans over sliced vectors + the full-width exact pass —
+      // wall should track ~3× the one embeddings scan, linear
+      "x179_matryoshka_recall",
+      // x180: one row per doc (linear); two SegmentedRank segment
+      // shuffles (within-source rank, global stride rank) + a
+      // |sources|-row broadcast — the x25 cost class twice
+      "x180_curriculum_order",
       // x176: one row per doc (linear); a pure scan-project (per-row
       // array expressions, no explode/shuffle/window) — should sit in
       // the x46 flattest-curve class; wall tracks the one corpus scan

@@ -482,7 +482,67 @@ object Curation {
     packSpans(curated)
   }
 
+  /** x180: curriculum training order — the deterministic WRITER for the
+    * mixture schedule every pretraining run needs: within each source,
+    * docs are consumed best-quality-first (curriculum ordering, Bengio
+    * et al. 2009, "Curriculum Learning"); across sources, the schedule
+    * interleaves proportionally to source size by STRIDE SCHEDULING
+    * (Waldspurger & Weihl 1995): doc r of a size-n source gets priority
+    * r/n — the fraction of its source consumed — so any prefix of the
+    * global order contains each source in proportion (±1 per source),
+    * the deterministic analog of sampling-without-replacement from the
+    * mixture weights. Output: per doc its source rank, stride priority,
+    * and 1-based global training position.
+    *
+    * Exactness: priority is ONE division of exact longs; both ranks are
+    * exact and total-ordered ((score desc, doc_id) within source;
+    * (priority, doc_id) globally), so the oracle is plain ROW_NUMBER.
+    *
+    * Scale shape: no single-partition window and no per-source sort
+    * funnel — BOTH ranks run as [[SegmentedRank]] segmented scans (the
+    * within-source rank segments on −score inside each source group, so
+    * a 100×-skewed source still sorts only (source, segment) slices);
+    * the size table is a ≤|sources|-row broadcast. Two segment shuffles
+    * + one hash agg total. */
+  val curriculumOrder = Q.withOracle(
+    "x180_curriculum_order",
+    "x180: stride-scheduled curriculum order (per-source quality rank -> proportional interleave)",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $qualityScoreSql AS score FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS src_rank,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM base),
+       |p AS (
+       |  SELECT doc_id, source, src_rank,
+       |    CAST(src_rank AS DOUBLE) / n_src AS priority
+       |  FROM r)
+       |SELECT doc_id, source, src_rank, priority,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS position
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), qualityScore.as("score"))
+      // rank DESC by score == rank ASC by its negation (exact in IEEE),
+      // which gives the grouped scan its monotone segment key
+      .withColumn("negscore", -col("score"))
+      .withColumn("seg", floor(col("negscore") * 4096).cast("long"))
+    val ranked = SegmentedRank.withGroupedRank(base, Seq("source"), "seg",
+      Seq(col("negscore"), col("doc_id")), "src_rank")
+    val sizes = base.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_src"))
+    val prio = ranked.join(broadcast(sizes), "source")
+      .select(col("doc_id"), col("source"), col("src_rank").cast("long").as("src_rank"),
+        (col("src_rank").cast("double") / col("n_src").cast("double")).as("priority"))
+    SegmentedRank.withGlobalRank(prio,
+        floor(col("priority") * 4096).cast("long"), Seq(col("priority"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("priority"),
+        col("r").cast("long").as("position"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
     stopwordScrub, qualityDeciles, qualityDecilesApprox, qualityBySource,
-    weightedSample, curationPipeline)
+    weightedSample, curationPipeline, curriculumOrder)
 }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val NumQueries = 20
+  private[ext] val NumQueries = 20
   private[graft] val TopK = 5
   /** Multi-table LSH: L tables × b sign bits. Few bits per table keeps
     * buckets populated at test scale; at 100 TB you'd raise b with N

@@ -195,4 +195,49 @@ class CurationSpec extends SparkSuite {
     assert(byPair.map(_.getLong(5)).sum === n)
     assert(rows.length === 1 + byStatus.length + byPair.length)
   }
+
+  test("x180 curriculum order: a permutation, quality-monotone within source, proportional in every prefix") {
+    val rows = q("x180_curriculum_order").collect()
+    val n = rows.length
+    // positions are a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("position")).toSet === (1L to n).toSet)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // within each source: position strictly increases with src_rank
+    // (earlier-consumed docs are the better-quality ones), and ranks
+    // are a per-source permutation
+    bySource.foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("src_rank"))
+      assert(ordered.map(_.getAs[Long]("src_rank")).toSeq == (1L to rs.length).toSeq, src)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("position") < b.getAs[Long]("position"), src)
+        case _ =>
+      }
+    }
+    // stride-scheduling guarantee: any prefix holds each source in
+    // proportion to its size (priority = r/n_src, so a source's count in
+    // the first P positions is within ±2 of n_src·P/n — the interleave,
+    // not a source-by-source concatenation)
+    Seq(n / 4, n / 2, 3 * n / 4).foreach { p =>
+      val prefix = rows.filter(_.getAs[Long]("position") <= p)
+        .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+      bySource.foreach { case (src, rs) =>
+        val want = rs.length.toDouble * p / n
+        val got = prefix.getOrElse(src, 0)
+        assert(math.abs(got - want) <= 2.0,
+          s"prefix $p: source $src has $got docs, expected ~$want")
+      }
+    }
+    // the within-source order IS the quality order: the top-ranked doc
+    // of each source carries its maximal quality score
+    val scored = docs.select(col("doc_id"), col("source"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))).as("score"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    bySource.foreach { case (src, rs) =>
+      val r1 = rs.minBy(_.getAs[Long]("src_rank"))
+      val maxScore = rs.map(r => scored(r.getAs[Long]("doc_id"))._2).max
+      assert(scored(r1.getAs[Long]("doc_id"))._2 == maxScore, src)
+    }
+  }
 }

@@ -210,4 +210,39 @@ class IvfSpec extends SparkSuite {
       assert(ap <= recall(q) + 1e-12, s"query $q: ap $ap > recall ${recall(q)}")
     }
   }
+
+  test("x179 matryoshka recall: prefix-supported vectors make truncation lossless") {
+    import spark.implicits._
+    // every coordinate beyond dim 16 is ZERO → the truncated cosine is
+    // bit-identical to the full-width one (the extra fold terms add 0.0,
+    // an IEEE identity), so recall must be exactly 1.0 at BOTH widths.
+    val vecs = (0 until 30).map { i =>
+      val e = Array.tabulate(64)(j =>
+        if (j < 16) ((i * 31 + j * 17) % 13 - 6).toFloat / 7f else 0f)
+      (i.toLong, e, i.toLong % 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("x179").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("x179_matryoshka_recall")(spark, dir).collect()
+    assert(rows.length == 40) // 2 dims × 20 queries
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"dim ${r.getAs[Long]("dim")} query ${r.getAs[Long]("query_id")}")
+      assert(r.getAs[Long]("n_hits") == 5L)
+    }
+  }
+
+  test("x179 on the real corpus: wider prefixes keep more of the exact top-k") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("x179_matryoshka_recall")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 40)
+    rows.foreach { case (_, _, hits, recall) =>
+      assert(hits >= 0L && hits <= 5L && recall == hits.toDouble / 5)
+    }
+    val byDim = rows.groupBy(_._1).view.mapValues(rs => rs.map(_._4).sum / rs.length)
+    assert(byDim(32L) >= byDim(16L) - 0.05,
+      s"mean recall fell with width: ${byDim.toMap}")
+  }
 }

@@ -290,6 +290,10 @@ object ScaleProbe {
       // shuffles (within-source rank, global stride rank) + a
       // |sources|-row broadcast — the x25 cost class twice
       "x180_curriculum_order",
+      // x181: output CONSTANT (6 filter pairs); one scan-projected flag
+      // frame + ONE keyless agg (map-side combined to a row per
+      // partition) + a literal unpivot — x46's flat class
+      "x181_filter_ablation",
       // x176: one row per doc (linear); a pure scan-project (per-row
       // array expressions, no explode/shuffle/window) — should sit in
       // the x46 flattest-curve class; wall tracks the one corpus scan

@@ -1257,13 +1257,27 @@ object Dedup {
     * element is a duplicate iff it equals a neighbor after array_sort.
     * Out-of-range `get` returns null and null-OR-false stays null, which
     * `filter` drops — the boundary cases fall out for free. */
-  private[ext] def dupLineGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[ext] def dupLineGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    gateFromSorted(gateSortedLines(text))
+
+  /** The gate's sorted pseudo-line array — PROJECT THIS AS ITS OWN
+    * COLUMN before applying [[gateFromSorted]]: higher-order functions
+    * run interpreted (outside codegen, no subexpression elimination), so
+    * inlining this producer under the gate predicate's five references
+    * re-evaluates the whole split→window→sort per lambda element —
+    * measured ~9× slower on the r14 x181/x170b profile. Layered
+    * projections keep it evaluated once per row (CollapseProject leaves
+    * non-cheap multiply-referenced producers alone). */
+  private[ext] def gateSortedLines(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val ts = split(text, " ")
-    val lines = transform(
+    array_sort(transform(
       sequence(lit(0), ((size(ts) + lit(GateLineLen - 1)) / lit(GateLineLen))
         .cast("int") - 1),
-      k => array_join(slice(ts, k * GateLineLen + 1, lit(GateLineLen)), " "))
-    val ls = array_sort(lines)
+      k => array_join(slice(ts, k * GateLineLen + 1, lit(GateLineLen)), " ")))
+  }
+
+  /** Gate predicate over the sorted line array (true = passes). */
+  private[ext] def gateFromSorted(ls: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val dup = size(filter(sequence(lit(1), size(ls)),
       i => get(ls, i - 1) === get(ls, i - 2) || get(ls, i - 1) === get(ls, i)))
     lit(GateDupDen) * dup <= lit(GateDupNum) * size(ls)
@@ -1356,8 +1370,14 @@ object Dedup {
        |ORDER BY source""".stripMargin) { (s, dir) =>
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        md5(col("text")).as("h"), dupLineGate(col("text")).as("pass"))
+        col("text"), gateSortedLines(col("text")).as("ls"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"), gateFromSorted(col("ls")).as("pass"))
       .localCheckpoint() // ONE corpus text scan — md5 AND gate ride it
+      // (two LAYERED projections, still one scan: the sorted-line array
+      // must be an attribute under the gate's five references — see
+      // gateSortedLines — or the interpreted HOF re-evaluates it per
+      // lambda element, measured ~9× slower)
     val surv = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
     val j = d.join(surv, "h")
       .join(d.select(col("doc_id").as("keep"), col("source").as("keep_source")),

@@ -461,6 +461,132 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum whitespace-token count for x181's length filter — the
+    * "too short to train on" floor every curation recipe carries. */
+  private val MinDocTokens = 20
+
+  /** x181: filter ablation grid — BEFORE wiring a battery of quality
+    * filters into a pipeline (x175 Gopher, x176 C4, the x8/x26 uniq-ratio
+    * cut, a length floor), a curation team asks which filters agree:
+    * near-identical drop sets mean a redundant (and latency-costing)
+    * stage; disjoint ones mean each earns its keep. Per unordered filter
+    * pair: each side's drop count, the intersection, union, and drop-set
+    * Jaccard. All four filters evaluate as per-row expressions in ONE
+    * projection (the x170b gate form of Gopher; x176's verdict; integer
+    * 2·distinct<total for the uniq cut; a token floor), so the whole
+    * grid is one corpus scan + ONE global aggregate (map-side combined
+    * to a single row) + a literal 6-row unpivot — no join, no shuffle
+    * beyond the 1-row agg. Exactness: counts are exact longs; Jaccard is
+    * one guarded division (NULL on the empty union in both engines). */
+  val filterAblation = Q.withOracle(
+    "x181_filter_ablation",
+    "x181: drop-set agreement grid (counts, intersection, union, Jaccard) across 4 quality filters",
+    s"""WITH f AS (
+       |  SELECT
+       |    CASE WHEN 10 * len(list_filter(generate_series(1, len(ls)),
+       |        i -> ls[i] = ls[i-1] OR ls[i] = ls[i+1])) > 3 * len(ls)
+       |      THEN 1 ELSE 0 END AS gopher,
+       |    CASE WHEN NOT (
+       |        len(list_filter(lines, x -> len(string_split(x, ' ')) >= $MinLineWords
+       |          AND NOT list_contains(string_split(x, ' '), '${BlockWords.head}'))) >= $MinKeptLines
+       |        AND len(list_filter(lines,
+       |          x -> list_contains(string_split(x, ' '), '${BlockWords.head}'))) = 0
+       |        AND NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum'))
+       |      THEN 1 ELSE 0 END AS c4,
+       |    CASE WHEN 2 * len(list_distinct(ts)) < len(ts) THEN 1 ELSE 0 END AS uniq,
+       |    CASE WHEN len(ts) < $MinDocTokens THEN 1 ELSE 0 END AS short
+       |  FROM (
+       |    SELECT text, ts, lines, list_sort(lines) AS ls FROM (
+       |      SELECT text, ts,
+       |        list_transform(generate_series(0, (len(ts) + ${LineLen - 1}) // $LineLen - 1),
+       |          k -> array_to_string(ts[k*$LineLen+1 : k*$LineLen+$LineLen], ' ')) AS lines
+       |      FROM (SELECT text, string_split(text, ' ') AS ts FROM documents)))),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(c4) AS BIGINT) AS s_c4, CAST(SUM(gopher) AS BIGINT) AS s_gopher,
+       |    CAST(SUM(short) AS BIGINT) AS s_short, CAST(SUM(uniq) AS BIGINT) AS s_uniq,
+       |    CAST(SUM(c4 * gopher) AS BIGINT) AS b_c4_gopher,
+       |    CAST(SUM(c4 * short) AS BIGINT) AS b_c4_short,
+       |    CAST(SUM(c4 * uniq) AS BIGINT) AS b_c4_uniq,
+       |    CAST(SUM(gopher * short) AS BIGINT) AS b_gopher_short,
+       |    CAST(SUM(gopher * uniq) AS BIGINT) AS b_gopher_uniq,
+       |    CAST(SUM(short * uniq) AS BIGINT) AS b_short_uniq
+       |  FROM f),
+       |g AS (
+       |  ${Seq(("c4", "gopher"), ("c4", "short"), ("c4", "uniq"),
+              ("gopher", "short"), ("gopher", "uniq"), ("short", "uniq"))
+           .map { case (x, y) =>
+             s"""SELECT '$x' AS filter_a, '$y' AS filter_b, n_docs,
+                |    s_$x AS n_a, s_$y AS n_b, b_${x}_$y AS n_both,
+                |    s_$x + s_$y - b_${x}_$y AS n_union FROM a""".stripMargin }
+           .mkString("\n  UNION ALL\n  ")})
+       |SELECT filter_a, filter_b, n_docs, n_a, n_b, n_both,
+       |  CAST(n_union AS BIGINT) AS n_union,
+       |  CASE WHEN n_union = 0 THEN NULL
+       |    ELSE CAST(n_both AS DOUBLE) / n_union END AS jaccard
+       |FROM g ORDER BY filter_a, filter_b""".stripMargin) { (s, dir) =>
+    def words(l: Column): Column = split(l, " ")
+    def blocked(l: Column): Column =
+      BlockWords.map(w => array_contains(words(l), w)).reduce(_ || _)
+    // LAYERED projections, each expensive array computed once and then
+    // referenced as an attribute: higher-order functions run interpreted
+    // (outside codegen), so a single collapsed projection would RE-expand
+    // every `ls` reference into its own split→window→sort evaluation per
+    // lambda element — measured 6× slower. CollapseProject keeps these
+    // layers apart precisely because the producers are non-cheap and
+    // multiply referenced.
+    val base = Tables.documents(s, dir)
+      .select(col("text"), toks(col("text")).as("ts"))
+      .select(col("text"), col("ts"), lineArrayOf(col("ts"), LineLen).as("lines"))
+      .select(col("text"), col("ts"), col("lines"),
+        array_sort(col("lines")).as("ls"))
+    // the x170b Gopher gate over the shared sorted-lines attribute:
+    // an element is a duplicate iff it equals a sorted neighbor
+    val dupLines = size(filter(sequence(lit(1), size(col("ls"))),
+      i => get(col("ls"), i - 1) === get(col("ls"), i - 2) ||
+        get(col("ls"), i - 1) === get(col("ls"), i)))
+    val keptLines = size(filter(col("lines"),
+      l => size(words(l)) >= MinLineWords && !blocked(l)))
+    val blockLines = size(filter(col("lines"), l => blocked(l)))
+    val c4Drop = !(keptLines >= MinKeptLines && blockLines === 0 &&
+      !col("text").contains("{") && !col("text").contains("lorem ipsum"))
+    val flags = base.select(
+      when(lit(10) * dupLines > lit(3) * size(col("ls")), 1L).otherwise(0L).as("gopher"),
+      when(c4Drop, 1L).otherwise(0L).as("c4"),
+      when(lit(2) * size(array_distinct(col("ts"))) < size(col("ts")), 1L)
+        .otherwise(0L).as("uniq"),
+      when(size(col("ts")) < MinDocTokens, 1L).otherwise(0L).as("short"))
+    val names = Seq("c4", "gopher", "short", "uniq")
+    val pairs = Seq(("c4", "gopher"), ("c4", "short"), ("c4", "uniq"),
+      ("gopher", "short"), ("gopher", "uniq"), ("short", "uniq"))
+    val aggs = count(lit(1)).cast("long").as("n_docs") +:
+      (names.map(n => sum(col(n)).cast("long").as(s"s_$n")) ++
+        pairs.map { case (x, y) =>
+          sum(col(x) * col(y)).cast("long").as(s"b_${x}_$y") })
+    val a = flags.agg(aggs.head, aggs.tail: _*)
+    // literal 6-row unpivot of the single agg row — no join anywhere
+    a.select(col("n_docs"), explode(array(pairs.map { case (x, y) =>
+        struct(lit(x).as("filter_a"), lit(y).as("filter_b"),
+          col(s"s_$x").as("n_a"), col(s"s_$y").as("n_b"),
+          col(s"b_${x}_$y").as("n_both"),
+          (col(s"s_$x") + col(s"s_$y") - col(s"b_${x}_$y")).as("n_union"))
+      }: _*)).as("p"))
+      .select(col("p.filter_a"), col("p.filter_b"), col("n_docs"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        col("p.n_both").as("n_both"), col("p.n_union").as("n_union"),
+        when(col("p.n_union") === 0, lit(null).cast("double"))
+          .otherwise(col("p.n_both").cast("double") / col("p.n_union").cast("double"))
+          .as("jaccard"))
+      .orderBy(col("filter_a"), col("filter_b"))
+  }
+
+  /** [[lineArray]] over an explicit token column (x181 shares x176's
+    * pseudo-line segmentation without requiring a `ts` column). */
+  private def lineArrayOf(ts: Column, w: Int): Column =
+    transform(
+      sequence(lit(0), ((size(ts) + lit(w - 1)) / lit(w)).cast("int") - 1),
+      k => array_join(slice(ts, k * w + 1, lit(w)), " "))
+
   val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop,
-    repetition, c4Quality)
+    repetition, c4Quality, filterAblation)
 }

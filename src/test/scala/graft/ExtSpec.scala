@@ -609,4 +609,43 @@ class ExtSpec extends SparkSuite {
     assert(f(5, "has_lorem") == 1 && f(5, "keep") == 0)
     assert(f(6, "punct_lines") == 2 && f(6, "kept_lines") == 3 && f(6, "keep") == 1)
   }
+
+  test("x181 filter ablation: hand-computed drop sets, intersections and Jaccards") {
+    // d1: 3 identical pseudo-lines → gopher drop AND uniq drop (10/30
+    //     distinct) — the two filters AGREE on this doc.
+    // d2: 12 tokens → short drop AND c4 drop (1 kept line < 3).
+    // d3: 35 distinct tokens → clean everywhere.
+    // d4: blocklist token in-line → c4 drop only (30/30 distinct, long enough).
+    val d1 = ("a b c d e f g h i j " * 3).trim
+    val d2 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d3 = (1 to 35).map(i => s"w$i").mkString(" ")
+    val d4 = (1 to 30).map(i => if (i == 15) "dup" else s"u$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x181").toString
+    Seq(d1, d2, d3, d4).zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x181_filter_ablation")(spark, dir)
+      .collect().map(r =>
+        (r.getAs[String]("filter_a"), r.getAs[String]("filter_b")) -> r).toMap
+    assert(rows.size == 6)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_docs") == 4L))
+    def pin(a: String, b: String, na: Long, nb: Long, both: Long, jac: Any): Unit = {
+      val r = rows((a, b))
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, s"$a/$b counts")
+      assert(r.getAs[Long]("n_both") == both, s"$a/$b intersection")
+      assert(r.getAs[Long]("n_union") == na + nb - both, s"$a/$b union")
+      assert(r.getAs[Any]("jaccard") == jac, s"$a/$b jaccard")
+    }
+    pin("c4", "gopher", 2, 1, 0, 0.0)
+    pin("c4", "short", 2, 1, 1, 0.5)
+    pin("c4", "uniq", 2, 1, 0, 0.0)
+    pin("gopher", "short", 1, 1, 0, 0.0)
+    pin("gopher", "uniq", 1, 1, 1, 1.0)
+    pin("short", "uniq", 1, 1, 0, 0.0)
+    // all-clean corpus: every union is empty → Jaccard is NULL, not NaN
+    val dir2 = java.nio.file.Files.createTempDirectory("x181b").toString
+    Seq((1L, d3), (2L, (36 to 70).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
+    SparkEntry.queries("x181_filter_ablation")(spark, dir2).collect()
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("jaccard"))))
+  }
 }

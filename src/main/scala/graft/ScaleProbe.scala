@@ -294,6 +294,10 @@ object ScaleProbe {
       // frame + ONE keyless agg (map-side combined to a row per
       // partition) + a literal unpivot — x46's flat class
       "x181_filter_ablation",
+      // x182: one row per train doc (linear); the x22 gram join at
+      // position grain — copy-local grams keep the join key-skew-free,
+      // the ×3 coverage explode touches only matched positions
+      "x182_decontam_spans",
       // x176: one row per doc (linear); a pure scan-project (per-row
       // array expressions, no explode/shuffle/window) — should sit in
       // the x46 flattest-curve class; wall tracks the one corpus scan

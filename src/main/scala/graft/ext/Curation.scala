@@ -134,6 +134,96 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** x182 dirty-document threshold: a train doc is flagged when MORE
+    * than 4/5 of its tokens sit inside holdout-matching trigram spans
+    * (the Llama-2-style "80% of tokens in matched spans" rule). The
+    * compare is pure integer — 5·covered > 4·n_tokens. */
+  private val DirtyNum = 4
+  private val DirtyDen = 5
+
+  /** x182: SPAN-level decontamination — x22 answers "does this train doc
+    * share any shingle with the holdout"; production decontamination
+    * (the Llama-2 appendix recipe) needs WHERE and HOW MUCH: for every
+    * train doc, the matching trigram positions, the number of tokens
+    * covered by the UNION of matched spans (overlaps counted once —
+    * exact interval-union coverage via distinct covered indices), the
+    * covered fraction, and the dirty verdict at the 80%-of-tokens
+    * threshold. A doc can be 2% contaminated (keep, maybe mask) or 90%
+    * (drop); x22's boolean can't tell them apart.
+    *
+    * Scale shape: one train-position explode (linear, map-side generated
+    * from each doc's row) joined on the gram key against the DISTINCT
+    * holdout-gram table (gram-keyed shuffle; at 100 TB the x53 Bloom
+    * pre-filter drops the non-matching positions before the shuffle —
+    * that composition is the deployed form, this is the exact one); the
+    * ×3 coverage explode runs only on MATCHED positions, and per-doc
+    * stats are one hash agg. Exactness: counts are longs, the fraction
+    * is one division, the verdict is an integer compare. */
+  val decontamSpans = Q.withOracle(
+    "x182_decontam_spans",
+    "x182: span-level decontamination - matched-trigram token coverage per train doc",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       |      THEN 'holdout' ELSE 'train' END AS split
+       |  FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+       |  FROM d WHERE split = 'train' AND len(t) >= 3),
+       |tg AS MATERIALIZED (
+       |  SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM pos),
+       |hold AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM d WHERE split = 'holdout'),
+       |m AS MATERIALIZED (
+       |  SELECT tg.doc_id, tg.i FROM tg JOIN hold USING (g)),
+       |cov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_match_pos,
+       |    CAST(COUNT(DISTINCT j) AS BIGINT) AS covered_tokens
+       |  FROM (SELECT doc_id, i, unnest(generate_series(i, i + 2)) AS j FROM m)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.n_match_pos / 3, 0) AS BIGINT) AS n_match_pos,
+       |  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / len(d.t) AS contam_frac,
+       |  CAST(CASE WHEN $DirtyDen * COALESCE(c.covered_tokens, 0)
+       |    > $DirtyNum * len(d.t) THEN 1 ELSE 0 END AS BIGINT) AS dirty
+       |FROM d LEFT JOIN cov c USING (doc_id)
+       |WHERE d.split = 'train'
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val holdout = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    def trigrams(t: org.apache.spark.sql.Column) =
+      transform(
+        filter(sequence(lit(1), size(t)), i => i <= size(t) - lit(2)),
+        i => struct(i.as("i"), concat_ws(" ", element_at(t, i),
+          element_at(t, i + 1), element_at(t, i + 2)).as("g")))
+    val tg = docs.filter(!holdout)
+      .select(col("doc_id"), explode(trigrams(col("t"))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.g").as("g"))
+    val hold = docs.filter(holdout)
+      .select(explode(trigrams(col("t"))).as("p"))
+      .select(col("p.g").as("g")).distinct()
+    val cov = tg.join(hold, "g")
+      .select(col("doc_id"), col("i"), explode(sequence(col("i"), col("i") + 2)).as("j"))
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) / 3).cast("long").as("n_match_pos"),
+        countDistinct(col("j")).cast("long").as("covered_tokens"))
+    docs.filter(!holdout)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_match_pos"), lit(0L)).as("n_match_pos"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("contam_frac"),
+        when(lit(DirtyDen) * coalesce(col("covered_tokens"), lit(0L))
+          > lit(DirtyNum) * col("n_tokens"), 1L).otherwise(0L).as("dirty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokens per fixed-length training sequence for x23. */
   val SeqLen = 64
   /** Docs per prefix-scan bucket for x23 — the only global window runs
@@ -544,5 +634,5 @@ object Curation {
 
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
     stopwordScrub, qualityDeciles, qualityDecilesApprox, qualityBySource,
-    weightedSample, curationPipeline, curriculumOrder)
+    weightedSample, curationPipeline, curriculumOrder, decontamSpans)
 }

@@ -196,6 +196,41 @@ class CurationSpec extends SparkSuite {
     assert(rows.length === 1 + byStatus.length + byPair.length)
   }
 
+  test("x182 span decontam agrees with a JVM recount and with x22's boolean") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isHoldout(id: Long) = "01".contains(md5hex(id.toString).charAt(0))
+    def grams(t: String): Seq[(Int, String)] = {
+      val ts = t.split(" ")
+      (0 until math.max(0, ts.length - 2)).map(i =>
+        (i + 1, s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}"))
+    }
+    val holdGrams = texts.filter(kv => isHoldout(kv._1))
+      .values.flatMap(grams(_).map(_._2)).toSet
+    val got = q("x182_decontam_spans").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == texts.keySet.filterNot(isHoldout))
+    got.foreach { case (id, r) =>
+      val ts = texts(id).split(" ")
+      val hits = grams(texts(id)).filter(g => holdGrams(g._2))
+      val covered = hits.flatMap(g => g._1 to g._1 + 2).toSet.size
+      assert(r.getAs[Long]("n_tokens") == ts.length.toLong, s"doc $id tokens")
+      assert(r.getAs[Long]("n_match_pos") == hits.size.toLong, s"doc $id matches")
+      assert(r.getAs[Long]("covered_tokens") == covered.toLong, s"doc $id coverage")
+      assert(r.getAs[Double]("contam_frac") == covered.toDouble / ts.length)
+      assert(r.getAs[Long]("dirty") == (if (5 * covered > 4 * ts.length) 1L else 0L))
+    }
+    // span grain refines x22's boolean: covered > 0 ⟺ contaminated
+    val x22 = q("x22_decontam").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    got.foreach { case (id, r) =>
+      assert((r.getAs[Long]("covered_tokens") > 0) == x22(id), s"doc $id vs x22")
+    }
+  }
+
   test("x180 curriculum order: a permutation, quality-monotone within source, proportional in every prefix") {
     val rows = q("x180_curriculum_order").collect()
     val n = rows.length

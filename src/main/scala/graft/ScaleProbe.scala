@@ -687,6 +687,10 @@ object ScaleProbe {
       // x135: 3 rows always; the quasi-id grid grows f× on the shifted
       // nation axis but stays grid-sized; one customer hash agg
       "x135_kanonymity",
+      // x183: 3 rows always; x135's shape with a countDistinct Expand —
+      // shifted-nation copies replicate the quasi-id grid f×, the l
+      // rollup runs on the grid
+      "x183_l_diversity",
       // x136: ≤|days| rows (calendar constant); one user-keyed hash agg
       // is the only full-data pass, the KM fold runs on the tiny axis
       "x136_km_survival",

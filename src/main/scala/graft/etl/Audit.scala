@@ -384,7 +384,59 @@ object Audit {
       .orderBy(col("k"))
   }
 
+  /** l levels audited by x183 (distinct-l-diversity). */
+  private val LLevels = Seq(2, 3, 5)
+
+  /** x183: l-diversity audit — k-anonymity's published fix
+    * (Machanavajjhala et al. 2007, "l-Diversity: Privacy Beyond
+    * k-Anonymity"): a quasi-identifier group can be large (k-anonymous)
+    * yet still leak if everyone in it shares the SAME sensitive value —
+    * the homogeneity attack. Distinct-l variant: per quasi-id group
+    * (nation, balance band) count the DISTINCT sensitive values
+    * (market segment); for each l in [[LLevels]], report the groups
+    * (and their member counts) whose sensitive diversity falls below l.
+    * Next to x135 the pair answers both halves of a release review:
+    * "are groups big enough" AND "are they varied enough".
+    *
+    * Scale shape: x135's exactly — one quasi-id hash agg over the
+    * table (countDistinct adds one Expand pass, still map-side
+    * partial), then the l-level explode and rollup run on the bounded
+    * group grid. All outputs exact integers. */
+  val lDiversity = Q.withOracle(
+    "x183_l_diversity",
+    "x183: distinct-l-diversity audit of the sensitive segment per quasi-id group",
+    s"""WITH g AS (
+       |  SELECT c_nationkey,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS sz,
+       |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(ls.l AS BIGINT) AS l,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN l_div < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violating_groups,
+       |  CAST(SUM(CASE WHEN l_div < ls.l THEN sz ELSE 0 END) AS BIGINT)
+       |    AS customers_at_risk,
+       |  CAST(MIN(l_div) AS BIGINT) AS min_diversity
+       |FROM g, LATERAL (SELECT unnest([${LLevels.mkString(", ")}]) AS l) AS ls
+       |GROUP BY 1 ORDER BY l""".stripMargin) { (s, dir) =>
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+    g.withColumn("l", explode(array(LLevels.map(lit): _*)))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("l_div") < col("l"), 1L).otherwise(0L)).cast("long")
+          .as("violating_groups"),
+        sum(when(col("l_div") < col("l"), col("sz")).otherwise(0L)).cast("long")
+          .as("customers_at_risk"),
+        min(col("l_div")).cast("long").as("min_diversity"))
+      .orderBy(col("l"))
+  }
+
   val all: Seq[Q] =
     Seq(fkOrphans, freshness, benford, fdAudit, skewAudit, reconciliation,
-      kAnonymity)
+      kAnonymity, lDiversity)
 }

@@ -226,4 +226,46 @@ class AuditSpec extends SparkSuite {
     assert(got.map(_._3) === got.map(_._3).sorted) // violations monotone in k
     assert(got.forall(r => r._3 <= nGroups && r._4 >= r._3))
   }
+
+  test("x183 crafted: homogeneous groups violate exactly the l levels they should") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    // quasi-id is (nation, band=0) everywhere; diversity differs:
+    //   nation 1: 4 members, ALL segment 'S'      -> l_div 1 (k=4 hides it)
+    //   nation 2: 2 members, segments 'S','T'     -> l_div 2
+    //   nation 3: 3 members, segments 'S','T','U' -> l_div 3
+    val custs =
+      (1L to 4L).map(i => (i, 1L, "S")) ++
+        Seq((11L, 2L, "S"), (12L, 2L, "T")) ++
+        Seq((21L, 3L, "S"), (22L, 3L, "T"), (23L, 3L, "U"))
+    custs.map { case (ck, nat, seg) => (ck, s"c$ck", nat, 500.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = etl.Audit.lDiversity.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (2L, 3L, 1L, 4L, 1L),  // the homogeneous 4-member group violates l=2
+      (3L, 3L, 2L, 6L, 1L),  // + the 2-segment pair group at l=3
+      (5L, 3L, 3L, 9L, 1L))) // all three at l=5
+  }
+
+  test("x183 real data: agrees with a JVM recount of group diversities") {
+    import spark.implicits._
+    val rows: Array[(Long, Long, String)] = Tables.customer(spark, sf)
+      .select($"c_nationkey",
+        org.apache.spark.sql.functions.floor($"c_acctbal" / 1000)
+          .cast("long").as("band"),
+        $"c_mktsegment")
+      .as[(Long, Long, String)].collect()
+    val groups: Seq[(Long, Long)] = rows.groupBy(r => (r._1, r._2)).values
+      .map(rs => (rs.length.toLong, rs.map(_._3).distinct.length.toLong)).toSeq
+    val got = etl.Audit.lDiversity.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    got.foreach { case (l, nGroups, viol, atRisk, minDiv) =>
+      assert(nGroups == groups.size.toLong)
+      assert(viol == groups.count(_._2 < l).toLong)
+      assert(atRisk == groups.filter(_._2 < l).map(_._1).sum)
+      assert(minDiv == groups.map(_._2).min)
+    }
+  }
 }

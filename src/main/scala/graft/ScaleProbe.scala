@@ -294,6 +294,10 @@ object ScaleProbe {
       // frame + ONE keyless agg (map-side combined to a row per
       // partition) + a literal unpivot — x46's flat class
       "x181_filter_ablation",
+      // x184: output CONSTANT (10 deciles); x180's two segmented scans
+      // + one doc-keyed schedule join onto the token explode + a
+      // token-keyed min agg — the x36 token-agg class over x180's cost
+      "x184_curriculum_novelty",
       // x182: one row per train doc (linear); the x22 gram join at
       // position grain — copy-local grams keep the join key-skew-free,
       // the ×3 coverage explode touches only matched positions

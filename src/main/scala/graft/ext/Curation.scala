@@ -134,6 +134,97 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** x184: novelty decay along the curriculum — the acceptance test for
+    * a training schedule (composes x180 with the x71 novelty lens): walk
+    * the corpus in x180's stride-scheduled order, split it into ten
+    * position deciles, and ask how much NEW vocabulary each decile
+    * introduces (a token type is charged to the decile of its first
+    * scheduled occurrence). A schedule that front-loads diversity shows
+    * a steep first-decile spike and a long flat tail; a schedule that
+    * ghettoizes a source shows a late second spike. Per decile: docs,
+    * token occurrences, first-seen types, the running type total, and
+    * each decile's share of the final vocabulary — exact integers plus
+    * two divisions, windows only on the 10-row decile axis.
+    *
+    * Scale shape: x180's two segmented scans, one doc-keyed join of the
+    * schedule onto the token explode, one (token)-keyed min-position
+    * agg, and a 10-row rollup; the scalar doc count broadcasts. */
+  val curriculumNovelty = Q.withOracle(
+    "x184_curriculum_novelty",
+    "x184: new-vocabulary introduction per position decile of the x180 schedule",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $qualityScoreSql AS score FROM documents),
+       |r AS (
+       |  SELECT doc_id, text,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS src_rank,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM base),
+       |p AS (
+       |  SELECT doc_id, text,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY CAST(src_rank AS DOUBLE) / n_src, doc_id) AS BIGINT)
+       |      AS position,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM r),
+       |tok AS (
+       |  SELECT doc_id, (position - 1) * 10 // n + 1 AS decile, position,
+       |    unnest(string_split(text, ' ')) AS t
+       |  FROM p),
+       |per AS (
+       |  SELECT decile, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY 1),
+       |fs AS (
+       |  SELECT t, MIN(position) AS fp FROM tok GROUP BY 1),
+       |fd AS (
+       |  SELECT (fp - 1) * 10 // CAST((SELECT MAX(n) FROM p) AS BIGINT) + 1
+       |      AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS new_types
+       |  FROM fs GROUP BY 1)
+       |SELECT CAST(per.decile AS BIGINT) AS decile, per.n_docs, per.n_tokens,
+       |  CAST(COALESCE(fd.new_types, 0) AS BIGINT) AS new_types,
+       |  CAST(SUM(COALESCE(fd.new_types, 0)) OVER (ORDER BY per.decile)
+       |    AS BIGINT) AS cum_types,
+       |  CAST(COALESCE(fd.new_types, 0) AS DOUBLE)
+       |    / SUM(COALESCE(fd.new_types, 0)) OVER () AS vocab_share
+       |FROM per LEFT JOIN fd ON fd.decile = per.decile
+       |ORDER BY decile""".stripMargin) { (s, dir) =>
+    // doc-grain slim frame (two longs per doc), checkpointed once: the
+    // per-decile and first-occurrence aggs below both read it, and
+    // re-deriving x180's two segmented scans per consumer doubles the
+    // schedule cost (the x170 slim-frame pattern)
+    val sched = curriculumOrder.fn(s, dir)
+      .select(col("doc_id"), col("position"))
+      .localCheckpoint()
+    val n = sched.agg(max(col("position")).as("n"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .join(sched, "doc_id")
+      .crossJoin(broadcast(n)) // one scalar row
+      .withColumn("decile", expr("(position - 1) * 10 div n + 1"))
+    val per = tok.groupBy(col("decile"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_tokens"))
+    val fd = tok.groupBy(col("t"))
+      .agg(min(col("position")).as("fp"), min(col("n")).as("n"))
+      .withColumn("decile", expr("(fp - 1) * 10 div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("new_types"))
+    // running/total windows on the bounded 10-row decile axis only
+    val w = Window.partitionBy(lit(1)).orderBy(col("decile"))
+    val tw = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.join(fd, Seq("decile"), "left")
+      .select(col("decile").cast("long").as("decile"), col("n_docs"),
+        col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w).cast("long"))
+      .withColumn("vocab_share",
+        col("new_types").cast("double") / sum(col("new_types")).over(tw).cast("double"))
+      .orderBy(col("decile"))
+  }
+
   /** x182 dirty-document threshold: a train doc is flagged when MORE
     * than 4/5 of its tokens sit inside holdout-matching trigram spans
     * (the Llama-2-style "80% of tokens in matched spans" rule). The
@@ -361,7 +452,9 @@ object Curation {
     val t = split(col("text"), " ")
     (size(array_distinct(t)).cast("double") / size(t))
   }
-  private val qualityScoreSql =
+  // a def, not a val: x184 is declared ABOVE this point and interpolates
+  // it at object init — a val would still be null there (init order)
+  private def qualityScoreSql =
     """CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / len(string_split(text, ' '))""".stripMargin
 
@@ -634,5 +727,6 @@ object Curation {
 
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
     stopwordScrub, qualityDeciles, qualityDecilesApprox, qualityBySource,
-    weightedSample, curationPipeline, curriculumOrder, decontamSpans)
+    weightedSample, curationPipeline, curriculumOrder, decontamSpans,
+    curriculumNovelty)
 }

@@ -196,6 +196,44 @@ class CurationSpec extends SparkSuite {
     assert(rows.length === 1 + byStatus.length + byPair.length)
   }
 
+  test("x184 curriculum novelty: hand-computed introduction curve on a crafted schedule") {
+    // one source, 10 docs: doc k carries 11−k distinct private tokens
+    // padded to 10 with repeats, so uniq ratio (11−k)/10 puts it at
+    // src_rank k → position k → decile k. Every doc's vocabulary is
+    // private, so decile k introduces exactly 11−k types.
+    val docsRows = (1 to 10).map { k =>
+      val distinct = (1 to (11 - k)).map(i => s"t${k}_$i")
+      val padded = distinct ++ Seq.fill(k - 1)(distinct.head)
+      (k.toLong, padded.mkString(" "), "x", "s0")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("x184").toString
+    docsRows.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x184_curriculum_novelty")(spark, dir)
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.size == 10)
+    var cum = 0L
+    (1 to 10).foreach { k =>
+      val r = rows(k.toLong)
+      cum += (11 - k).toLong
+      assert(r.getAs[Long]("n_docs") == 1L, s"decile $k docs")
+      assert(r.getAs[Long]("n_tokens") == 10L, s"decile $k tokens")
+      assert(r.getAs[Long]("new_types") == (11 - k).toLong, s"decile $k new")
+      assert(r.getAs[Long]("cum_types") == cum, s"decile $k cum")
+      assert(r.getAs[Double]("vocab_share") == (11 - k).toDouble / 55, s"decile $k share")
+    }
+  }
+
+  test("x184 on the real corpus: shares sum to 1, cum ends at the vocabulary size") {
+    val rows = q("x184_curriculum_novelty").orderBy(col("decile")).collect()
+    val vocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    assert(rows.last.getAs[Long]("cum_types") == vocab)
+    assert(rows.map(_.getAs[Long]("new_types")).sum == vocab)
+    assert(math.abs(rows.map(_.getAs[Double]("vocab_share")).sum - 1.0) < 1e-12)
+    assert(rows.map(_.getAs[Long]("cum_types")).toSeq ==
+      rows.map(_.getAs[Long]("cum_types")).sortBy(identity).toSeq)
+  }
+
   test("x182 span decontam agrees with a JVM recount and with x22's boolean") {
     val texts = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -22,13 +22,17 @@ object Bench {
     * pins the derivation and the lane partition. */
   private[graft] def graphLane: Set[String] = ext.Graph.all.map(_.name).toSet
 
-  /** Per-lane timed reps. The graph lane's iterative queries carry a
-    * ±1.2s run-to-run spread at 3 reps (x60 read 8.81s and 6.46s in the
-    * same round on identical code) which dominated the r13 delta's
-    * regression table — 5 reps roughly halves the median's noise band
-    * for ~+90s of bench wall, paid only by the 18-query lane. An
-    * explicit SPARK_GRAFT_REPS overrides BOTH lanes (profiling runs). */
-  private val LaneReps: Map[String, Int] = Map("graph" -> 5, "main" -> 3)
+  /** Per-lane timed reps. Round 14 TRIED graph=5 (the r13 verdict's
+    * noise-halving suggestion) and MEASURED it backfiring: reps are
+    * rep-major passes over the whole lane, per-query times TREND UP with
+    * pass index (accumulated heap/JIT/shuffle state inside the lane
+    * JVM), so a 5-rep median lands on degraded passes — the lane's
+    * median/min ratio rose 1.03 → 1.13 and x60 spread widened to
+    * 6.96–15.06s on untouched code. The spread is a trend, not jitter;
+    * more reps make it worse. Back at 3 for every lane (and comparable
+    * with every prior round). An explicit SPARK_GRAFT_REPS overrides
+    * BOTH lanes (profiling runs). */
+  private val LaneReps: Map[String, Int] = Map("graph" -> 3, "main" -> 3)
 
   def main(args: Array[String]): Unit = {
     // Lane mode (default): fork one child JVM per lane and merge their

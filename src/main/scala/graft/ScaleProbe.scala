@@ -294,6 +294,10 @@ object ScaleProbe {
       // frame + ONE keyless agg (map-side combined to a row per
       // partition) + a literal unpivot — x46's flat class
       "x181_filter_ablation",
+      // x185: output CONSTANT (20 sources — renamed copies keep the
+      // source names, masses scale f); one (source, tokens) hash agg is
+      // the only corpus stage, the √-fold runs on the 20-row axis
+      "x185_epoch_plan",
       // x184: output CONSTANT (10 deciles); x180's two segmented scans
       // + one doc-keyed schedule join onto the token explode + a
       // token-keyed min agg — the x36 token-agg class over x180's cost

@@ -451,7 +451,64 @@ object Sampling {
     sampleFrame(selectTop(prioritized(Tables.orders(s, dir))))
   }
 
+  /** x185: the epochs table — the one-page plan a pretraining run is
+    * actually configured from (Gao et al. 2020, "The Pile", table 1:
+    * per-source size, mixture weight, and EPOCHS = how many passes over
+    * the source the weighted mix implies). Weights are α = 1/2
+    * temperature sampling over token mass (the multilingual-LM standard,
+    * Arivazhagan et al. 2019; x44's √ discipline — IEEE sqrt is
+    * correctly rounded, so it is oracle-safe where log is not):
+    * w_s = √tokens_s / Σ √tokens_s, and at a one-total-token budget,
+    * epochs_s = w_s · T / tokens_s — >1 means the mix up-samples the
+    * source past a full pass (memorization risk), ≪1 means most of it
+    * is never seen. The Σ runs as a pinned-order fold over the
+    * ≤|sources|-row table, so every double replays bit-exactly.
+    *
+    * Scale shape: ONE (source, token-count) hash agg over the corpus
+    * (map-side combined), then everything lives on the bounded source
+    * axis with one 1-row broadcast scalar. */
+  val epochPlan = Q.withOracle(
+    "x185_epoch_plan",
+    "x185: per-source temperature mix weights + implied training epochs",
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |den AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(sqrt(CAST(toks AS DOUBLE)) ORDER BY source)),
+      |      (a, x) -> a + x) AS den,
+      |    CAST(SUM(toks) AS BIGINT) AS t
+      |  FROM per)
+      |SELECT source, n_docs, toks AS n_tokens,
+      |  CAST(toks AS DOUBLE) / t AS token_share,
+      |  sqrt(CAST(toks AS DOUBLE)) / den AS mix_weight,
+      |  sqrt(CAST(toks AS DOUBLE)) / den * CAST(t AS DOUBLE)
+      |    / CAST(toks AS DOUBLE) AS epochs
+      |FROM per CROSS JOIN den
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tk")).cast("long").as("toks"))
+    // pinned-order √-mass fold over the bounded source axis + totals
+    val den = per.agg(
+      array_sort(collect_list(struct(col("source"),
+        sqrt(col("toks").cast("double")).as("sq")))).as("xs"),
+      sum(col("toks")).cast("long").as("t"))
+      .select(aggregate(col("xs"), lit(0.0),
+        (acc, x) => acc + x.getField("sq")).as("den"), col("t"))
+    per.crossJoin(broadcast(den)) // one scalar row
+      .select(col("source"), col("n_docs"), col("toks").as("n_tokens"),
+        (col("toks").cast("double") / col("t").cast("double")).as("token_share"),
+        (sqrt(col("toks").cast("double")) / col("den")).as("mix_weight"),
+        (sqrt(col("toks").cast("double")) / col("den") * col("t").cast("double")
+          / col("toks").cast("double")).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] =
     Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles,
-      bootstrapCi, horvitzThompson, prioritySample)
+      bootstrapCi, horvitzThompson, prioritySample, epochPlan)
 }

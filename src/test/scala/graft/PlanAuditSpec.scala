@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkSuite {
     "x177_dsir_select",            // broadcast of the 1-row occurrence-totals scalar into the ≤256-row ratio table
     "x179_matryoshka_recall",      // x5's broadcast query-panel cross join per dim + the 2-row dim axis onto the 100-row exact table
     "x184_curriculum_novelty",     // broadcast of the 1-row schedule-length scalar onto the token explode
+    "x185_epoch_plan",             // broadcast of the 1-row (√-mass denominator, total) scalar onto the |sources| rows
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -131,4 +131,30 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(relErr(_ => true)) < 0.25)
     assert(math.abs(relErr(_ % 2 == 0)) < 0.25)
   }
+
+  test("x185 epoch plan: hand-computed weights and epochs; invariants on the real corpus") {
+    // source a: 4 tokens, source b: 16 → √-masses 2 and 4, den 6,
+    // weights 1/3 and 2/3, T = 20 → epochs_a = (1/3)·20/4 = 5/3,
+    // epochs_b = (2/3)·20/16 = 5/6. All doubles exact (perfect squares).
+    val dir = java.nio.file.Files.createTempDirectory("x185").toString
+    Seq((1L, "t1 t2 t3 t4", "a"), (2L, (1 to 16).map(i => s"u$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x185_epoch_plan")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("a").getAs[Double]("mix_weight") == 1.0 / 3)
+    assert(got("b").getAs[Double]("mix_weight") == 2.0 / 3)
+    assert(got("a").getAs[Double]("epochs") == 1.0 / 3 * 20 / 4)
+    assert(got("b").getAs[Double]("epochs") == 2.0 / 3 * 20 / 16)
+    // real corpus: weights sum to 1; √ preserves the size ordering of
+    // weights but REVERSES it for epochs (w·T/tok ∝ 1/√tok — smaller
+    // sources get more passes, the whole point of temperature mixing)
+    val rows = SparkEntry.queries("x185_epoch_plan")(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-12)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTok.map(_.getAs[Double]("mix_weight")).toSeq ==
+      byTok.map(_.getAs[Double]("mix_weight")).sortBy(identity).toSeq)
+    assert(byTok.map(_.getAs[Double]("epochs")).toSeq ==
+      byTok.map(_.getAs[Double]("epochs")).sortBy(identity).reverse.toSeq)
+    rows.foreach(r => assert(r.getAs[Double]("epochs") > 0))
+  }
 }

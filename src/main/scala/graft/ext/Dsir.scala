@@ -83,9 +83,12 @@ object Dsir {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rnk,
        |    COUNT(*) OVER () AS n
        |  FROM sc)
-       |SELECT doc_id, n_feats, score,
-       |  CAST(CASE WHEN rnk > n - (n + 3) // 4 THEN 1 ELSE 0 END AS BIGINT) AS selected
-       |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |SELECT d.doc_id, CAST(COALESCE(rk.n_feats, 0) AS BIGINT) AS n_feats, rk.score,
+       |  CAST(CASE WHEN rk.rnk > rk.n - (rk.n + 3) // 4 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS selected
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN rk ON d.doc_id = rk.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val t = split(col("text"), " ")
     // (doc, lang, bucket) per bigram occurrence — the one corpus explode
     val hb = Tables.documents(s, dir)
@@ -123,10 +126,19 @@ object Dsir {
     // in score and bounded (score ≤ (nr+B)/(nt+B) since target ⊆ raw)
     val ranked = SegmentedRank.withGlobalRank(scored,
       floor(col("score") * 1024).cast("long"), Seq(col("score"), col("doc_id")))
-    ranked
+    val sel = ranked
       .withColumn("selected",
         when(col("r") > col("n") - expr("(n + 3) div 4"), 1L).otherwise(0L))
       .select(col("doc_id"), col("n_feats"), col("score"), col("selected"))
+    // One row per CORPUS doc (r14 advice): docs with <2 tokens produce no
+    // bigrams and so no score — they re-enter here with n_feats=0, score
+    // NULL, selected=0. The top-⌈n/4⌉ quota deliberately ranks only
+    // scoreable docs (an unscoreable doc can't be "like the target").
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("score"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
       .orderBy(col("doc_id"))
   }
 

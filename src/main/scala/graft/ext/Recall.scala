@@ -145,16 +145,17 @@ object Recall {
        |  FROM embeddings v CROSS JOIN dims d),
        |pairs AS (
        |  SELECT q.m, q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(generate_series(1, q.m),
-       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
-       |      (a, x) -> a + x) / (q.nrm * n.nrm) AS cos
+       |    CASE WHEN q.nrm * n.nrm = 0 THEN NULL ELSE
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(generate_series(1, q.m),
+       |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))),
+       |        (a, x) -> a + x) / (q.nrm * n.nrm) END AS cos
        |  FROM vm q JOIN vm n ON n.m = q.m AND n.vec_id <> q.vec_id
        |  WHERE q.vec_id < ${Similarity.NumQueries}),
        |cand AS (
        |  SELECT m, query_id, neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY m, query_id
-       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |      ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
        |    FROM pairs)
        |  WHERE rank <= ${Similarity.TopK}),
        |exact AS MATERIALIZED (

@@ -488,9 +488,9 @@ object TextStats {
        |      THEN 1 ELSE 0 END AS gopher,
        |    CASE WHEN NOT (
        |        len(list_filter(lines, x -> len(string_split(x, ' ')) >= $MinLineWords
-       |          AND NOT list_contains(string_split(x, ' '), '${BlockWords.head}'))) >= $MinKeptLines
+       |          AND NOT (${BlockWords.map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")}))) >= $MinKeptLines
        |        AND len(list_filter(lines,
-       |          x -> list_contains(string_split(x, ' '), '${BlockWords.head}'))) = 0
+       |          x -> ${BlockWords.map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")})) = 0
        |        AND NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum'))
        |      THEN 1 ELSE 0 END AS c4,
        |    CASE WHEN 2 * len(list_distinct(ts)) < len(ts) THEN 1 ELSE 0 END AS uniq,

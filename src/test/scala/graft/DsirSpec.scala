@@ -35,6 +35,24 @@ class DsirSpec extends SparkSuite {
     rows.values.foreach(r => assert(r.getAs[Long]("n_feats") == 11L))
   }
 
+  test("x177: an unscoreable (<2-token) doc stays in the output universe, unselected") {
+    val dir = java.nio.file.Files.createTempDirectory("x177u").toString
+    Seq((1L, "alpha beta gamma", "en"), (2L, "alpha beta delta", "en"),
+        (3L, "solo", "zh"), (4L, "", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x177_dsir_select")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), "one row per corpus doc")
+    Seq(3L, 4L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_feats") == 0L)
+      assert(rows(id).isNullAt(rows(id).fieldIndex("score")))
+      assert(rows(id).getAs[Long]("selected") == 0L)
+    }
+    // the quota ranks only scoreable docs: ⌈2/4⌉ = 1 selected
+    assert(rows.values.count(_.getAs[Long]("selected") == 1L) == 1)
+  }
+
   test("x177: deterministic resampling keeps exactly the top ⌈n/4⌉ by (score, doc_id)") {
     val (dir, _, _, _) = corpus()
     val rows = SparkEntry.queries("x177_dsir_select")(spark, dir).collect()

@@ -148,7 +148,13 @@ object Bench {
       (lane, out, produced)
     }
     // merge the lanes' per-query lines (each lane file ends with its own
-    // summary line, dropped here; the merged summary is recomputed)
+    // summary line, dropped here; the merged summary is recomputed) and
+    // carry each lane's calibration line through verbatim
+    val calLines = laneRuns.flatMap { case (_, out, _) =>
+      if (!new java.io.File(out).isFile) Seq.empty
+      else scala.io.Source.fromFile(out, "UTF-8").getLines()
+        .filter(_.contains("\"metric\":\"calibration\"")).toList
+    }
     val parsed0 = laneRuns.flatMap { case (_, out, _) => parseQueryLines(out) }
     // Coverage check: a child that exits 0 after flushing a PARTIAL jsonl
     // (killed mid-suite) would otherwise silently drop its missing
@@ -168,6 +174,7 @@ object Bench {
     }
     val parsed = parsed0 ++ recovered
     val ordered = parsed.sortBy { case (_, v, _) => (v < 0, v) }
+    calLines.foreach(println)
     ordered.foreach { case (_, _, line) => println(line) }
     val results = parsed.map { case (n, v, _) => n -> (v, v, v) }.toMap
     val lanesTag = lanes.map { case (l, qs, laneReps) =>
@@ -181,7 +188,7 @@ object Bench {
     println(summary)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl")
     if (benchOut != "none")
-      writeLines(benchOut, ordered.map(_._3) :+ summary)
+      writeLines(benchOut, calLines ++ ordered.map(_._3) :+ summary)
     // the lane files are merged into benchOut — drop the temp directory
     // instead of accreting one per bench run in the system tmp
     try {
@@ -189,6 +196,55 @@ object Bench {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(tmpDir)
     } catch { case _: Exception => () }
+  }
+
+  /** Host-calibration stanza (r14 board #1): every bench run measures the
+    * MACHINE alongside the queries, so a round-over-round regression on
+    * untouched code can be adjudicated from one committed number instead
+    * of a session of judge re-measurement (r13→r14's graph-lane episode:
+    * 1.24× common-set, judge-confirmed host drift on bit-identical code).
+    * Three fixed burns, each warmed once and then timed:
+    *  - `md5_1core_sec`: 8M MessageDigest MD5s in one driver thread —
+    *    pure single-core integer/JIT throughput, no Spark involved;
+    *  - `md5_par_sec`: 96M codegen'd md5(string) rows across all local
+    *    cores via a noop write — parallel CPU throughput under the same
+    *    executor threads the queries use;
+    *  - `shuffle_20m_sec`: 20M longs repartition(64)'d by key then folded
+    *    to one row — fixed shuffle write+read volume, the machinery the
+    *    graph/seed-panel lane lives on.
+    * The line is emitted into the same jsonl as the query lines (one per
+    * lane — each lane JVM calibrates itself) and `tools/bench_delta.py`
+    * prints old vs new next to the totals. Skippable for one-off
+    * profiling with SPARK_GRAFT_CALIBRATE=off. */
+  private def calibrationLine(spark: SparkSession, lane: String): String = {
+    import org.apache.spark.sql.functions.{col, expr, md5}
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def md5Burn(n: Int): Unit = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      var acc = 0 // data-dependent fold so the loop can't be dead-code'd
+      while (i < n) {
+        acc ^= md.digest(s"cal$i$acc".getBytes("US-ASCII"))(0)
+        i += 1
+      }
+      if (acc == 94) System.err.print("") // consume acc
+    }
+    def parBurn(n: Long): Unit =
+      spark.range(0L, n, 1L, 32)
+        .select(md5(col("id").cast("string")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+    def shuffleBurn(n: Long): Unit =
+      spark.range(0L, n, 1L, 32)
+        .repartition(64, col("id"))
+        .agg(expr("bit_xor(xxhash64(id))"))
+        .write.format("noop").mode("overwrite").save()
+    md5Burn(200000); parBurn(1000000L); shuffleBurn(1000000L) // warm JIT/codegen
+    val t1 = time(md5Burn(8000000))
+    val tp = time(parBurn(96000000L))
+    val ts = time(shuffleBurn(20000000L))
+    s"""{"metric":"calibration","lane":"$lane","md5_1core_sec":${r(t1)},"md5_par_sec":${r(tp)},"shuffle_20m_sec":${r(ts)},"unit":"sec"}"""
   }
 
   private def runSuite(onlyOverride: Option[Set[String]] = None,
@@ -205,6 +261,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Calibrate FIRST, on a fresh JVM/session — before any query state
+    // accretes (each lane child calibrates itself; see calibrationLine).
+    val calLine =
+      if (sys.env.getOrElse("SPARK_GRAFT_CALIBRATE", "on") == "off") None
+      else Some(calibrationLine(spark, sys.env.getOrElse("SPARK_GRAFT_LANE", "main")))
     // Optional comma-separated query-name filter for profiling one query
     // at a time while iterating (driver runs never set it → lane mode).
     val only = onlyOverride.orElse(sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
@@ -294,6 +355,7 @@ object Bench {
       .sortBy { case (_, (med, _, _)) => (med < 0, med) }.map(_._1)
     val summary = summaryLine(results, reps, resetMode, sfDir, None)
     if (!quiet) {
+      calLine.foreach(println)
       orderedNames.foreach(k => println(queryLine(k)))
       println(summary)
     }
@@ -303,7 +365,7 @@ object Bench {
     val benchOut = benchOutOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.jsonl"))
     if (benchOut != "none")
-      writeLines(benchOut, orderedNames.map(queryLine) :+ summary)
+      writeLines(benchOut, calLine.toSeq ++ orderedNames.map(queryLine) :+ summary)
     spark.stop()
   }
 }

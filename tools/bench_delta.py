@@ -18,7 +18,7 @@ import sys
 
 
 def load(path):
-    queries, total = {}, None
+    queries, total, cal = {}, None, {}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -29,14 +29,16 @@ def load(path):
                 queries[d["name"]] = d
             elif d.get("metric") == "total":
                 total = d
-    return queries, total
+            elif d.get("metric") == "calibration":
+                cal[d.get("lane", "main")] = d
+    return queries, total, cal
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
-    old, old_total = load(old_path)
-    new, new_total = load(new_path)
+    old, old_total, old_cal = load(old_path)
+    new, new_total, new_cal = load(new_path)
 
     # A failed query is recorded with value -1 — not a timing; keep it
     # out of every comparison and call it out instead (deduped: a query
@@ -88,6 +90,28 @@ def main():
     if failed:
         lines.append(f"- failed in one run, excluded ({len(failed)}): " + ", ".join(failed))
     lines.append("")
+
+    # Host calibration (round-14 board #1): a query-time delta is only a
+    # CODE signal when the machine burns match; print them side by side so
+    # environment-vs-plans adjudication is one committed number.
+    if old_cal or new_cal:
+        lines.append("## Host calibration (fixed burns; see Bench.calibrationLine)")
+        lines.append("")
+        lines.append("| lane | burn | old s | new s | ratio |")
+        lines.append("| --- | --- | --- | --- | --- |")
+        for lane in sorted(set(old_cal) | set(new_cal)):
+            for burn in ("md5_1core_sec", "md5_par_sec", "shuffle_20m_sec"):
+                o = old_cal.get(lane, {}).get(burn)
+                n = new_cal.get(lane, {}).get(burn)
+                ratio = f"{n / o:.2f}x" if o and n else "—"
+                o_s = f"{o:.2f}" if o is not None else "—"
+                n_s = f"{n:.2f}" if n is not None else "—"
+                lines.append(f"| {lane} | {burn[:-4]} | {o_s} | {n_s} | {ratio} |")
+        lines.append("")
+    else:
+        lines.append("- no calibration lines in either jsonl "
+                     "(pre-r15 bench, or SPARK_GRAFT_CALIBRATE=off)")
+        lines.append("")
 
     lines.append("## Slowest 10 (new run)")
     lines.append("")

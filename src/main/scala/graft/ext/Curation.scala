@@ -232,6 +232,19 @@ object Curation {
   private val DirtyNum = 4
   private val DirtyDen = 5
 
+  /** The holdout split predicate shared by x182/x182b/x182c: a doc is
+    * holdout when the first hex digit of md5(doc_id) is 0 or 1 (a
+    * deterministic ~1/8 sample standing in for the benchmark suite). */
+  private def holdoutCol: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+
+  /** Positioned trigrams of a token array: array of (i, g) structs. */
+  private def trigramsCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
+      filter(sequence(lit(1), size(t)), i => i <= size(t) - lit(2)),
+      i => struct(i.as("i"), concat_ws(" ", element_at(t, i),
+        element_at(t, i + 1), element_at(t, i + 2)).as("g")))
+
   /** x182: SPAN-level decontamination — x22 answers "does this train doc
     * share any shingle with the holdout"; production decontamination
     * (the Llama-2 appendix recipe) needs WHERE and HOW MUCH: for every
@@ -285,17 +298,12 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val holdout = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
-    def trigrams(t: org.apache.spark.sql.Column) =
-      transform(
-        filter(sequence(lit(1), size(t)), i => i <= size(t) - lit(2)),
-        i => struct(i.as("i"), concat_ws(" ", element_at(t, i),
-          element_at(t, i + 1), element_at(t, i + 2)).as("g")))
+    val holdout = holdoutCol
     val tg = docs.filter(!holdout)
-      .select(col("doc_id"), explode(trigrams(col("t"))).as("p"))
+      .select(col("doc_id"), explode(trigramsCol(col("t"))).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.g").as("g"))
     val hold = docs.filter(holdout)
-      .select(explode(trigrams(col("t"))).as("p"))
+      .select(explode(trigramsCol(col("t"))).as("p"))
       .select(col("p.g").as("g")).distinct()
     val cov = tg.join(hold, "g")
       .select(col("doc_id"), col("i"), explode(sequence(col("i"), col("i") + 2)).as("j"))
@@ -313,6 +321,162 @@ object Curation {
         when(lit(DirtyDen) * coalesce(col("covered_tokens"), lit(0L))
           > lit(DirtyNum) * col("n_tokens"), 1L).otherwise(0L).as("dirty"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The mask token x182b substitutes at covered positions. Reserved by
+    * construction on this corpus (plain alphanumeric vocab) and, more
+    * importantly, IDEMPOTENCE-safe: a trigram containing it can never
+    * match a holdout trigram, so re-cleaning a cleaned corpus changes
+    * nothing (RewriteSpec's x43 invariant, pinned in CurationSpec). */
+  private[graft] val MaskTok = "__MASK__"
+
+  /** Shared oracle CTE chain for x182b/x182c ending in `cs` (per-doc
+    * covered-index list + count) over the x182 trigram match. */
+  private def coverageCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS t,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       |      THEN 'holdout' ELSE 'train' END AS split
+       |  FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+       |  FROM d WHERE split = 'train' AND len(t) >= 3),
+       |tg AS MATERIALIZED (
+       |  SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM pos),
+       |hold AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM d WHERE split = 'holdout'),
+       |m AS MATERIALIZED (
+       |  SELECT tg.doc_id, tg.i FROM tg JOIN hold USING (g)),
+       |cj AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, j FROM
+       |    (SELECT doc_id, unnest(generate_series(i, i + 2)) AS j FROM m)),
+       |cs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered, list(j) AS cov
+       |  FROM cj GROUP BY 1)""".stripMargin
+
+  /** Per-train-doc covered-index frame (doc_id, covered, cov) — the
+    * Spark twin of `cs`, shared by x182b and x182c. */
+  private def coverageFrame(docsAll: DataFrame): DataFrame = {
+    val tg = docsAll.filter(!holdoutCol)
+      .select(col("doc_id"), explode(trigramsCol(col("t"))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.g").as("g"))
+    val hold = docsAll.filter(holdoutCol)
+      .select(explode(trigramsCol(col("t"))).as("p"))
+      .select(col("p.g").as("g")).distinct()
+    tg.join(hold, "g")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("j"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("covered"),
+        collect_set(col("j")).as("cov"))
+  }
+
+  /** x182b: ACT on the x182 verdicts — the decontamination REWRITE
+    * (r14 verdict board #4; the Llama-2 appendix recipe's action half,
+    * what x43 did for duplicated blocks). Dirty train docs (covered
+    * tokens past the [[DirtyNum]]/[[DirtyDen]] threshold) are DROPPED;
+    * every other train doc is emitted with the union of its matched
+    * spans masked token-by-token ([[MaskTok]] substituted in place, so
+    * positions are preserved and partial masks never splice new
+    * adjacencies). Output: the cleaned corpus — one row per kept doc
+    * with its token count, masked-token count, and rewritten text.
+    *
+    * Idempotence (the x43 invariant): a masked position's trigrams all
+    * contain [[MaskTok]] and can't match the holdout, and an unmatched
+    * unmasked trigram is byte-identical to its original (masking
+    * substitutes in place) — so re-cleaning the cleaned corpus against
+    * the same holdout masks zero further tokens and drops zero docs
+    * (CurationSpec pins it end-to-end).
+    *
+    * Scale shape: x182's exactly (one train-position explode joined to
+    * the distinct-holdout gram table, coverage explode on matches only)
+    * plus a per-doc collect_set of covered indices — bounded by doc
+    * length, grouped map-side — and one final per-row array transform
+    * (the rewrite is a map over kept docs; the corpus text never
+    * shuffles — `t`/`cov` ride the doc-keyed join that coverage already
+    * paid). */
+  val decontamRewrite = Q.withOracle(
+    "x182b_decontam_rewrite",
+    "x182b: decontamination rewrite - drop dirty train docs, mask covered spans in the rest",
+    s"""WITH $coverageCtes
+       |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(cs.covered, 0) AS BIGINT) AS masked_tokens,
+       |  CASE WHEN cs.cov IS NULL THEN d.text
+       |    ELSE array_to_string(list_transform(generate_series(1, len(d.t)),
+       |      j -> CASE WHEN list_contains(cs.cov, j) THEN '$MaskTok'
+       |           ELSE d.t[j] END), ' ')
+       |  END AS text_clean
+       |FROM d LEFT JOIN cs ON d.doc_id = cs.doc_id
+       |WHERE d.split = 'train'
+       |  AND NOT ($DirtyDen * COALESCE(cs.covered, 0) > $DirtyNum * len(d.t))
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docsAll = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val cov = coverageFrame(docsAll)
+    docsAll.filter(!holdoutCol)
+      .join(cov, Seq("doc_id"), "left")
+      .filter(!(lit(DirtyDen) * coalesce(col("covered"), lit(0L))
+        > lit(DirtyNum) * size(col("t"))))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("masked_tokens"),
+        when(col("cov").isNull, col("text")).otherwise(
+          array_join(transform(sequence(lit(1), size(col("t"))),
+            j => when(array_contains(col("cov"), j), lit(MaskTok))
+              .otherwise(element_at(col("t"), j))), " ")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x182c: per-SOURCE decontamination telemetry (x169's removed-token
+    * posture applied to x182b's action): for each source, the train doc
+    * and token totals, how many docs the dirty threshold drops, how many
+    * tokens leave with them, how many surviving tokens get masked, and
+    * the overall removed fraction — the table a curation team reads to
+    * see which ingest feed is leaking benchmark text. One ≤#sources-row
+    * hash agg over the same coverage frame; exact long sums, one
+    * division. */
+  val decontamTelemetry = Q.withOracle(
+    "x182c_decontam_telemetry",
+    "x182c: per-source decontamination telemetry (dropped docs, dropped/masked tokens)",
+    s"""WITH $coverageCtes,
+       |v AS (
+       |  SELECT d.source, len(d.t) AS n, COALESCE(cs.covered, 0) AS covered,
+       |    CASE WHEN $DirtyDen * COALESCE(cs.covered, 0) > $DirtyNum * len(d.t)
+       |      THEN 1 ELSE 0 END AS dirty
+       |  FROM d LEFT JOIN cs ON d.doc_id = cs.doc_id
+       |  WHERE d.split = 'train')
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dirty) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(n) AS BIGINT) AS tokens_in,
+       |  CAST(SUM(dirty * n) AS BIGINT) AS tokens_dropped,
+       |  CAST(SUM((1 - dirty) * covered) AS BIGINT) AS tokens_masked,
+       |  CAST(SUM(dirty * n) + SUM((1 - dirty) * covered) AS DOUBLE) / SUM(n)
+       |    AS removed_frac
+       |FROM v GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docsAll = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("t"))
+    val cov = coverageFrame(docsAll)
+    val v = docsAll.filter(!holdoutCol)
+      .join(cov.select(col("doc_id"), col("covered")), Seq("doc_id"), "left")
+      .select(col("source"), size(col("t")).cast("long").as("n"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("dirty",
+        when(lit(DirtyDen) * col("covered") > lit(DirtyNum) * col("n"), 1L)
+          .otherwise(0L))
+    v.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dirty")).cast("long").as("n_dropped"),
+        sum(col("n")).cast("long").as("tokens_in"),
+        sum(col("dirty") * col("n")).cast("long").as("tokens_dropped"),
+        sum((lit(1L) - col("dirty")) * col("covered")).cast("long").as("tokens_masked"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("tokens_in"),
+        col("tokens_dropped"), col("tokens_masked"),
+        ((col("tokens_dropped") + col("tokens_masked")).cast("double") /
+          col("tokens_in").cast("double")).as("removed_frac"))
+      .orderBy(col("source"))
   }
 
   /** Tokens per fixed-length training sequence for x23. */
@@ -728,5 +892,5 @@ object Curation {
   val all: Seq[Q] = Seq(repetition, decontaminate, packSequences,
     stopwordScrub, qualityDeciles, qualityDecilesApprox, qualityBySource,
     weightedSample, curationPipeline, curriculumOrder, decontamSpans,
-    curriculumNovelty)
+    curriculumNovelty, decontamRewrite, decontamTelemetry)
 }

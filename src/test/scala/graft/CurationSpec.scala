@@ -269,6 +269,77 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("x182b rewrite: drops exactly the dirty docs, masks exactly the covered set") {
+    val spans = q("x182_decontam_spans").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("x182b_decontam_rewrite").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expectKept = spans.filter(_._2.getAs[Long]("dirty") == 0L).keySet
+    assert(got.keySet == expectKept, "kept set = non-dirty train docs")
+    got.foreach { case (id, r) =>
+      val orig = texts(id).split(" ")
+      val clean = r.getAs[String]("text_clean").split(" ")
+      assert(clean.length == orig.length, s"doc $id preserves positions")
+      val masked = clean.zipWithIndex.collect {
+        case (t, i) if t == "__MASK__" => i }.toSet
+      assert(masked.size.toLong == r.getAs[Long]("masked_tokens"), s"doc $id count")
+      assert(r.getAs[Long]("masked_tokens")
+        == spans(id).getAs[Long]("covered_tokens"), s"doc $id = x182 coverage")
+      orig.indices.filterNot(masked).foreach(i =>
+        assert(clean(i) == orig(i), s"doc $id unmasked token $i unchanged"))
+    }
+  }
+
+  test("x182b idempotence: re-cleaning the cleaned corpus is a no-op") {
+    val first = q("x182b_decontam_rewrite").collect()
+    val cleanedTrain = q("x182b_decontam_rewrite")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val holdout = docs.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("x182b").toString
+    cleanedTrain.unionByName(holdout)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val second = SparkEntry.queries("x182b_decontam_rewrite")(spark, dir).collect()
+    assert(second.length == first.length, "no further drops")
+    val firstClean = first.map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    second.foreach { r =>
+      assert(r.getAs[Long]("masked_tokens") == 0L, s"doc ${r.getLong(0)} re-masked")
+      assert(r.getAs[String]("text_clean") == firstClean(r.getLong(0)),
+        s"doc ${r.getLong(0)} text changed on re-clean")
+    }
+  }
+
+  test("x182c telemetry equals a JVM recount from the x182 span verdicts") {
+    val spans = q("x182_decontam_spans").collect().map(r => r.getLong(0) -> r).toMap
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = spans.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, rs) =>
+        val dirty = rs.filter(_._2.getAs[Long]("dirty") == 1L)
+        val kept = rs.filterNot(_._2.getAs[Long]("dirty") == 1L)
+        src -> (rs.size.toLong, dirty.size.toLong,
+          rs.map(_._2.getAs[Long]("n_tokens")).sum,
+          dirty.map(_._2.getAs[Long]("n_tokens")).sum,
+          kept.map(_._2.getAs[Long]("covered_tokens")).sum)
+      }
+    val got = q("x182c_decontam_telemetry").collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nd, drop, tin, tdrop, tmask) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_dropped") == drop)
+      assert(r.getAs[Long]("tokens_in") == tin)
+      assert(r.getAs[Long]("tokens_dropped") == tdrop)
+      assert(r.getAs[Long]("tokens_masked") == tmask)
+      assert(r.getAs[Double]("removed_frac") == (tdrop + tmask).toDouble / tin)
+    }
+  }
+
   test("x180 curriculum order: a permutation, quality-monotone within source, proportional in every prefix") {
     val rows = q("x180_curriculum_order").collect()
     val n = rows.length

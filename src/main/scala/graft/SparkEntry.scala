@@ -52,6 +52,7 @@ object SparkEntry {
       ext.Search.all ++
       ext.Corpus.all ++
       ext.Dsir.all ++
+      ext.Classifier.all ++
       ext.Bpe.all ++
       ext.Pii.all ++
       ext.Outlier.all ++

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM-data pipeline over `documents`:
@@ -459,6 +459,45 @@ object TextStats {
         col("block_lines"), col("punct_lines"), col("kept_lines"),
         col("kept_frac"), col("has_brace"), col("has_lorem"), col("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The x176 page-keep verdict as a reusable (doc_id, keep) frame —
+    * x186's label proxy trains against it, so classifier labels can
+    * never drift from the registered C4 battery. */
+  private[ext] def c4KeepFlags(docs: DataFrame): DataFrame = {
+    def words(l: Column): Column = split(l, " ")
+    def blocked(l: Column): Column =
+      BlockWords.map(w => array_contains(words(l), w)).reduce(_ || _)
+    docs
+      .select(col("doc_id"), col("text"), toks(col("text")).as("ts"))
+      .withColumn("lines", lineArray(LineLen))
+      .select(col("doc_id"),
+        when(size(filter(col("lines"),
+            l => size(words(l)) >= MinLineWords && !blocked(l))) >= MinKeptLines
+          && size(filter(col("lines"), l => blocked(l))) === 0
+          && !col("text").contains("{")
+          && !col("text").contains("lorem ipsum"), 1L).otherwise(0L).as("keep"))
+  }
+
+  /** DuckDB twin of [[c4KeepFlags]]: CTE chain ending in `c4k`
+    * (doc_id, keep) — the same predicates the x176/x181 oracles carry. */
+  private[ext] def c4KeepCtes: String = {
+    val blockPred = BlockWords
+      .map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")
+    s"""c4l AS (
+       |  SELECT doc_id, text,
+       |    list_transform(generate_series(0, (len(ts) + ${LineLen - 1}) // $LineLen - 1),
+       |      k -> array_to_string(ts[k*$LineLen+1 : k*$LineLen+$LineLen], ' ')) AS lines
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
+       |c4k AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(lines,
+       |        x -> len(string_split(x, ' ')) >= $MinLineWords
+       |          AND NOT ($blockPred))) >= $MinKeptLines
+       |      AND len(list_filter(lines, x -> $blockPred)) = 0
+       |      AND NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum')
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM c4l)""".stripMargin
   }
 
   /** Minimum whitespace-token count for x181's length filter — the

@@ -49,8 +49,8 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,lmfeed,bpe,probek)
-    // for fast re-probe of one.
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,lmfeed,minhash,
+    // bpe,probek) for fast re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -411,6 +411,41 @@ object IncProbe {
       }
       val vocab = LmFeed.uniCounts(spark, dir).count()
       emit("lmfeed_ingest", f, sec, s""","vocab":$vocab""")
+    } }
+
+    // ---- MinHashFeed: near-dup ingest vs band/shingle-index history ---
+    // History unit = the 5k-doc corpus, token-renamed AND doc_id-shifted
+    // per copy (disjoint shingles and unique ids — the feed's doc-once
+    // contract). Timed batch = 20 docs: 10 fresh-vocab (probe-only path)
+    // + 10 near-dup copies of history docs (the probe → verify → pair
+    // path actually fires). 1,024 buckets, compacted after seeding (the
+    // bdf LSM posture). The claim: the batch signs itself, probes ONLY
+    // its bands' touched buckets, and verifies only implicated docs'
+    // shingle sets — so the curve follows the touched slice, not
+    // history.
+    section("minhash") { factors.foreach { f =>
+      import graft.streaming.MinHashFeed
+      val dir = s"/tmp/graft-inc-mh-$f"
+      deleteDir(spark, dir)
+      def shifted(df: DataFrame, k: Int): DataFrame =
+        df.select((col("doc_id") + k.toLong * 1000000000L).as("doc_id"), col("text"))
+      (0 until f).foreach { k =>
+        MinHashFeed.ingest(spark, dir, shifted(renamed(s"h$k"), k), k,
+          numBuckets = 1024)
+      }
+      MinHashFeed.compact(spark, dir)
+      def mixedBatch(tag: String, k: Int): DataFrame =
+        freshBatch(tag)
+          .select((col("doc_id") + k.toLong * 1000000000L + 500000000L).as("doc_id"),
+            col("text"))
+          .unionByName(shifted(renamed("h0"), k).filter(col("doc_id") % 500 === 0)
+            .select((col("doc_id") + 250000000L).as("doc_id"), col("text")))
+      MinHashFeed.ingest(spark, dir, mixedBatch(s"w$f", 40), f.toLong) // warm
+      val sec = time {
+        MinHashFeed.ingest(spark, dir, mixedBatch(s"t$f", 41), f.toLong + 1)
+      }
+      val nPairs = MinHashFeed.pairs(spark, dir).count()
+      emit("minhash_ingest", f, sec, s""","pairs_held":$nPairs""")
     } }
 
     // ---- BPE depth: merge rounds at fixed corpus ----------------------

@@ -120,8 +120,13 @@ object Dedup {
     * bucket, doc) row exactly once. LSH buckets are tiny by construction
     * (that is the point of banding), so the per-bucket quadratic
     * expansion is bounded; a pathological mega-bucket would mean the
-    * band hash family is broken, not the plan. */
-  private[graft] def candidatePairs(sig: DataFrame): DataFrame = {
+    * band hash family is broken, not the plan. (That design note covers
+    * [[bandRows]] + [[pairsFromBandRows]] = [[candidatePairs]].) */
+  /** Band rows (doc_id, band, bh) of a signature frame — the LSH index
+    * rows. Doc-local (each row is a pure function of its doc's
+    * signature), which is what makes the [[graft.streaming.MinHashFeed]]
+    * band index a pure-append store. */
+  private[graft] def bandRows(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bands = explode(array((0 until NumBands).map { b =>
       val cols = (0 until rowsPerBand)
@@ -130,6 +135,12 @@ object Dedup {
     }: _*))
     sig.select(col("doc_id"), bands.as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** In-bucket pair expansion over band rows: docs sharing a (band, bh)
+    * bucket, as distinct (doc_a < doc_b) pairs. */
+  private[graft] def pairsFromBandRows(rows: DataFrame): DataFrame =
+    rows
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -139,7 +150,9 @@ object Dedup {
           |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
+
+  private[graft] def candidatePairs(sig: DataFrame): DataFrame =
+    pairsFromBandRows(bandRows(sig))
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs, from a
     * shingleHashesWithCount table (sizes ride along — no extra joins). */

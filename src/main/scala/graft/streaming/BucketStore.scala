@@ -288,6 +288,28 @@ object BucketStore {
     }
   }
 
+  /** Append one batch of rows to an append store under the full commit
+    * protocol: pin `_BUCKETS` before the first append, ensure the
+    * manifest, bucket by `keys`, snapshot the touched dirs, write one
+    * file per touched bucket, and commit exactly the before/after
+    * difference ([[commitAppended]]). Shared by [[LmFeed]]'s count
+    * partials and [[MinHashFeed]]'s four index stores. */
+  def appendRows(spark: SparkSession, store: String, rows: DataFrame,
+      keys: Seq[String], numBuckets: Int): Unit = {
+    val pinned = pinnedBuckets(spark, store)
+    val n = if (pinned > 0) pinned else numBuckets
+    if (pinned == 0) writeBucketsFile(spark, store, n)
+    else ensureManifest(spark, store)
+    val withB = rows.withColumn("b", bucketCol(keys, n))
+      .localCheckpoint() // touched-bucket collect + write; batch-sized
+    val touched = withB.select(col("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+    val before = snapshotBuckets(spark, store, touched)
+    withB.repartition(col("b")) // one file per touched bucket per batch
+      .write.partitionBy("b").mode("append").parquet(store)
+    commitAppended(spark, store, touched, before)
+  }
+
   /** Read the touched buckets (all when None): manifest fast path with
     * stat validation; pre-manifest stores fall back to one
     * partition-discovery read with a bucket filter. `schemaHint`

@@ -79,20 +79,8 @@ object LmFeed {
     * touched bucket. Test hook (private[graft]): LmFeedSpec drives this
     * directly to simulate the crash-between-commit-and-stamp twin. */
   private[graft] def appendPartials(spark: SparkSession, store: String,
-      partials: DataFrame, keys: Seq[String], numBuckets: Int): Unit = {
-    val pinned = BucketStore.pinnedBuckets(spark, store)
-    val n = if (pinned > 0) pinned else numBuckets
-    if (pinned == 0) BucketStore.writeBucketsFile(spark, store, n)
-    else BucketStore.ensureManifest(spark, store)
-    val withB = partials.withColumn("b", BucketStore.bucketCol(keys, n))
-      .localCheckpoint() // touched-bucket collect + write; batch-sized
-    val touched = withB.select(col("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
-    val before = BucketStore.snapshotBuckets(spark, store, touched)
-    withB.repartition(col("b")) // one file per touched bucket per batch
-      .write.partitionBy("b").mode("append").parquet(store)
-    BucketStore.commitAppended(spark, store, touched, before)
-  }
+      partials: DataFrame, keys: Seq[String], numBuckets: Int): Unit =
+    BucketStore.appendRows(spark, store, partials, keys, numBuckets)
 
   /** Count one document batch into the feed. `batchId` must be
     * monotonic (foreachBatch epochs); a replayed id is a no-op. */

@@ -53,6 +53,7 @@ object SparkEntry {
       ext.Corpus.all ++
       ext.Dsir.all ++
       ext.Classifier.all ++
+      ext.Frontend.all ++
       ext.Bpe.all ++
       ext.Pii.all ++
       ext.Outlier.all ++

@@ -229,17 +229,17 @@ object Curation {
     * than 4/5 of its tokens sit inside holdout-matching trigram spans
     * (the Llama-2-style "80% of tokens in matched spans" rule). The
     * compare is pure integer — 5·covered > 4·n_tokens. */
-  private val DirtyNum = 4
-  private val DirtyDen = 5
+  private[ext] val DirtyNum = 4
+  private[ext] val DirtyDen = 5
 
   /** The holdout split predicate shared by x182/x182b/x182c: a doc is
     * holdout when the first hex digit of md5(doc_id) is 0 or 1 (a
     * deterministic ~1/8 sample standing in for the benchmark suite). */
-  private def holdoutCol: org.apache.spark.sql.Column =
+  private[ext] def holdoutCol: org.apache.spark.sql.Column =
     substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
 
   /** Positioned trigrams of a token array: array of (i, g) structs. */
-  private def trigramsCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[ext] def trigramsCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(
       filter(sequence(lit(1), size(t)), i => i <= size(t) - lit(2)),
       i => struct(i.as("i"), concat_ws(" ", element_at(t, i),

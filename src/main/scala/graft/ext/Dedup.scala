@@ -1257,9 +1257,9 @@ object Dedup {
     * (Gopher's 0.30 duplicate-line-fraction cut). The compare is pure
     * integer — GateDupDen·dup ≤ GateDupNum·n_lines — so no float ever
     * enters the gate decision. */
-  private val GateLineLen = 10
-  private val GateDupNum = 3
-  private val GateDupDen = 10
+  private[ext] val GateLineLen = 10
+  private[ext] val GateDupNum = 3
+  private[ext] val GateDupDen = 10
 
   /** Per-ROW duplicate-pseudo-line gate (true = document passes). Unlike
     * x175's corpus-grain explode→agg form, this is a pure array
@@ -1270,7 +1270,7 @@ object Dedup {
     * element is a duplicate iff it equals a neighbor after array_sort.
     * Out-of-range `get` returns null and null-OR-false stays null, which
     * `filter` drops — the boundary cases fall out for free. */
-  private[ext] def dupLineGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def dupLineGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     gateFromSorted(gateSortedLines(text))
 
   /** The gate's sorted pseudo-line array — PROJECT THIS AS ITS OWN

@@ -42,7 +42,7 @@ object Dsir {
     * CommonCrawl; 256 keeps the smoothed ratio table broadcast-tiny and
     * well-populated at every test SF while exercising the identical
     * plan. Bucket ids come from the repo's cross-engine md5 hash. */
-  private val Buckets = 256
+  private[ext] val Buckets = 256
 
   /** Smoothed probability-ratio numerator/denominator products stay in
     * exact BIGINT up to ~3e9 bigram occurrences (product < 2^63), far

@@ -171,7 +171,7 @@ object TextStats {
     * a "line" is 10 consecutive tokens, a "paragraph" 30 — deterministic,
     * content-independent segmentation that preserves exactly what the
     * rules measure (verbatim repeated runs of text within a document). */
-  private val LineLen = 10
+  private[ext] val LineLen = 10
   private val ParaLen = 30
 
   /** Word n-gram orders for the repetition battery: top-gram char share
@@ -359,17 +359,45 @@ object TextStats {
     * line lists (parameterized — `dup` is the one rare marker token the
     * corpus actually contains, so the drop path is exercised end-to-end
     * on real data, not only in the spec's crafted docs). */
-  private val MinLineWords = 5
-  private val MinKeptLines = 3
-  private val BlockWords = Seq("dup")
+  private[ext] val MinLineWords = 5
+  private[ext] val MinKeptLines = 3
+  private[ext] val BlockWords = Seq("dup")
 
-  /** Disjoint pseudo-line strings of `ts` (the x175 [[LineLen]]
+  /** Disjoint pseudo-line strings of a token array (the x175 [[LineLen]]
     * segmentation), as a plain string array — per-row, no explode. */
-  private def lineArray(w: Int): Column =
+  private[ext] def lineArrayOf(ts: Column, w: Int = LineLen): Column =
     transform(
       sequence(lit(0),
-        ((size(col("ts")) + lit(w - 1)) / lit(w)).cast("int") - 1),
-      k => array_join(slice(col("ts"), k * w + 1, lit(w)), " "))
+        ((size(ts) + lit(w - 1)) / lit(w)).cast("int") - 1),
+      k => array_join(slice(ts, k * w + 1, lit(w)), " "))
+
+  private def lineArray(w: Int): Column = lineArrayOf(col("ts"), w)
+
+  /** The x176 page-keep verdict as one boolean Column over a doc's
+    * `text` and its [[lineArrayOf]] line array — shared by
+    * [[c4KeepFlags]] and the x187 composed front-end (which must compute
+    * it inside the one-scan projection, not via a join). */
+  private[ext] def c4KeepExpr(text: Column, lines: Column): Column = {
+    def words(l: Column): Column = split(l, " ")
+    def blocked(l: Column): Column =
+      BlockWords.map(w => array_contains(words(l), w)).reduce(_ || _)
+    size(filter(lines,
+      l => size(words(l)) >= MinLineWords && !blocked(l))) >= MinKeptLines &&
+      size(filter(lines, l => blocked(l))) === 0 &&
+      !text.contains("{") && !text.contains("lorem ipsum")
+  }
+
+  /** DuckDB twin of [[c4KeepExpr]]: a boolean SQL predicate over columns
+    * named `text` and `lines`. */
+  private[ext] def c4KeepPredSql: String = {
+    val blockPred = BlockWords
+      .map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")
+    s"""len(list_filter(lines,
+       |        x -> len(string_split(x, ' ')) >= $MinLineWords
+       |          AND NOT ($blockPred))) >= $MinKeptLines
+       |      AND len(list_filter(lines, x -> $blockPred)) = 0
+       |      AND NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum')""".stripMargin
+  }
 
   /** x176: the C4 heuristic cleaning battery (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning with a Unified
@@ -464,26 +492,16 @@ object TextStats {
   /** The x176 page-keep verdict as a reusable (doc_id, keep) frame —
     * x186's label proxy trains against it, so classifier labels can
     * never drift from the registered C4 battery. */
-  private[ext] def c4KeepFlags(docs: DataFrame): DataFrame = {
-    def words(l: Column): Column = split(l, " ")
-    def blocked(l: Column): Column =
-      BlockWords.map(w => array_contains(words(l), w)).reduce(_ || _)
+  private[ext] def c4KeepFlags(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), toks(col("text")).as("ts"))
       .withColumn("lines", lineArray(LineLen))
       .select(col("doc_id"),
-        when(size(filter(col("lines"),
-            l => size(words(l)) >= MinLineWords && !blocked(l))) >= MinKeptLines
-          && size(filter(col("lines"), l => blocked(l))) === 0
-          && !col("text").contains("{")
-          && !col("text").contains("lorem ipsum"), 1L).otherwise(0L).as("keep"))
-  }
+        when(c4KeepExpr(col("text"), col("lines")), 1L).otherwise(0L).as("keep"))
 
   /** DuckDB twin of [[c4KeepFlags]]: CTE chain ending in `c4k`
     * (doc_id, keep) — the same predicates the x176/x181 oracles carry. */
-  private[ext] def c4KeepCtes: String = {
-    val blockPred = BlockWords
-      .map(w => s"list_contains(string_split(x, ' '), '$w')").mkString(" OR ")
+  private[ext] def c4KeepCtes: String =
     s"""c4l AS (
        |  SELECT doc_id, text,
        |    list_transform(generate_series(0, (len(ts) + ${LineLen - 1}) // $LineLen - 1),
@@ -491,14 +509,9 @@ object TextStats {
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
        |c4k AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CASE WHEN len(list_filter(lines,
-       |        x -> len(string_split(x, ' ')) >= $MinLineWords
-       |          AND NOT ($blockPred))) >= $MinKeptLines
-       |      AND len(list_filter(lines, x -> $blockPred)) = 0
-       |      AND NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum')
+       |    CASE WHEN $c4KeepPredSql
        |    THEN 1 ELSE 0 END AS keep
        |  FROM c4l)""".stripMargin
-  }
 
   /** Minimum whitespace-token count for x181's length filter — the
     * "too short to train on" floor every curation recipe carries. */
@@ -618,13 +631,6 @@ object TextStats {
           .as("jaccard"))
       .orderBy(col("filter_a"), col("filter_b"))
   }
-
-  /** [[lineArray]] over an explicit token column (x181 shares x176's
-    * pseudo-line segmentation without requiring a `ts` column). */
-  private def lineArrayOf(ts: Column, w: Int): Column =
-    transform(
-      sequence(lit(0), ((size(ts) + lit(w - 1)) / lit(w)).cast("int") - 1),
-      k => array_join(slice(ts, k * w + 1, lit(w)), " "))
 
   val all: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, tfidfTop,
     repetition, c4Quality, filterAblation)

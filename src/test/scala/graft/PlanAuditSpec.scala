@@ -60,6 +60,8 @@ class PlanAuditSpec extends SparkSuite {
     "x172_kneser_ney_score",       // broadcast of the 1-row bigram-type-count scalar (x40's posture)
     "x177_dsir_select",            // broadcast of the 1-row occurrence-totals scalar into the ≤256-row ratio table
     "x186b_clf_vs_dsir",           // inherits x177's 1-row totals broadcast through composition (x88's pattern)
+    "x187_pretrain_frontend",      // composed DAG: x177's 1-row totals + x44's 1-row min-lang scalar, both declared in their own operators
+    "x187b_frontend_funnel",       // same two inherited 1-row scalars (shared stage chain with x187)
     "x179_matryoshka_recall",      // x5's broadcast query-panel cross join per dim + the 2-row dim axis onto the 100-row exact table
     "x184_curriculum_novelty",     // broadcast of the 1-row schedule-length scalar onto the token explode
     "x185_epoch_plan",             // broadcast of the 1-row (√-mass denominator, total) scalar onto the |sources| rows

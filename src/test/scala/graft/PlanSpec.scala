@@ -107,6 +107,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("x187 composition: one corpus scan (all later stages read the checkpointed slim frame)") {
+    val df = ext.Frontend.pretrainFrontend.fn(spark, sf)
+    // the slim frame (gates + md5 + qscore + token array) is projected
+    // out of ONE documents read and checkpointed; the trigram, bigram,
+    // dedup, mix, and curriculum stages all consume checkpoints — so the
+    // final composed plan contains no file scan at all (x170b's pin)
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"composed front-end rescans the corpus:\n${scans.mkString("\n")}")
+  }
+
   test("x170b composition: one corpus scan (gate computed in the md5 projection); x170 columns unchanged") {
     import spark.implicits._
     val df = ext.Dedup.mixDesignGated.fn(spark, sf)

@@ -298,6 +298,30 @@ object ScaleProbe {
       // source names, masses scale f); one (source, tokens) hash agg is
       // the only corpus stage, the √-fold runs on the 20-row axis
       "x185_epoch_plan",
+      // x182b: one row per kept train doc (linear); x182's gram join +
+      // coverage explode plus a per-doc collect_set and ONE rewrite
+      // map over kept docs — expect x182's curve plus a scan-speed term
+      "x182b_decontam_rewrite",
+      // x182c: output CONSTANT (20 sources); x182's cost folded to one
+      // bounded per-source hash agg — should TRACK x182's curve
+      "x182c_decontam_telemetry",
+      // x186: one row per doc (linear); training cost is CONSTANT (the
+      // TrainN-doc pinned sample, corpus-size-independent by design) —
+      // the curve should be the one bigram explode + per-doc agg of
+      // inference, the x177 cost class minus its ranking stage
+      "x186_quality_classifier",
+      // x186b: 1-row output; composes x186 + x177 — expect ~their sum
+      "x186b_clf_vs_dsir",
+      // x187: linear in the accepted set (a fixed fraction of the
+      // corpus: gates/dedup/decontam keep-rates and the top-quarter +
+      // √-mix rates are scale-invariant on replicated copies); the
+      // composed DAG scans the corpus ONCE — its curve should undercut
+      // the sum of its seven stages run separately
+      "x187_pretrain_frontend",
+      // x187b: output CONSTANT (20 sources); the same stage chain
+      // folded to six bounded per-source aggs — should TRACK x187
+      // minus the curriculum ranks
+      "x187b_frontend_funnel",
       // x184: output CONSTANT (10 deciles); x180's two segmented scans
       // + one doc-keyed schedule join onto the token explode + a
       // token-keyed min agg — the x36 token-agg class over x180's cost

@@ -69,8 +69,22 @@ def main():
     if not m:
         errors.append("PLANS.md: no commit stamp found")
     elif not head.startswith(m.group(1)):
-        errors.append(f"PLANS.md stamped at {m.group(1)}, HEAD is {head[:12]} "
-                      "- regenerate with `sbt \"runMain graft.Explain\"`")
+        # committing PLANS.md itself moves HEAD past the stamp, so the
+        # real invariant is: no plan-affecting (src/main) change between
+        # the stamp commit and HEAD
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{m.group(1)}..HEAD"],
+            capture_output=True, text=True, cwd=REPO)
+        if diff.returncode != 0:
+            errors.append(f"PLANS.md stamp {m.group(1)} is not an ancestor of "
+                          f"HEAD ({head[:12]}) - regenerate with "
+                          "`sbt \"runMain graft.Explain\"`")
+        else:
+            src = [f for f in diff.stdout.splitlines()
+                   if f.startswith("src/main/")]
+            if src:
+                errors.append(f"PLANS.md stamped at {m.group(1)} but src/main "
+                              f"changed since: {', '.join(src[:5])} - regenerate")
     plan_names = set(re.findall(r"^## (\S+)$", plans, re.M))
     missing = sorted(names - plan_names)
     extra = sorted(plan_names - names)

@@ -346,6 +346,20 @@ object ScaleProbe {
       // them to per-(doc, gram) counts before the wire. Expect the
       // x9/x35 token-explode cost class, ~linear
       "x175_repetition_quality",
+      // x188: one row per ≥2-token doc (linear); x172's cost (the
+      // three keyed LM shuffles dominate) plus a doc-keyed lang join
+      // and the SegmentedRank per-lang NTILE — expect x172's curve
+      // with a near-constant offset
+      "x188_ccnet_buckets",
+      // x189: one row per vector (linear); x64's training cost
+      // (CONSTANT Lloyd passes over the corpus) + one pure-map
+      // assignment + the SegmentedRank per-cell rank — expect the x64
+      // cost class, ~linear with a small rank term
+      "x189_prototype_prune",
+      // x190: output CONSTANT (|langs| rows); ONE (lang, token) hash
+      // agg over the corpus, everything else on the bounded lang axis
+      // — should sit in the x185 flattest class and TRACK its curve
+      "x190_unimax_mix",
       // x170b: x170's curve exactly (same one-scan composed DAG; the
       // dup-line gate is a per-row array expression inside the md5
       // projection — zero added shuffles, zero extra scans)

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -331,10 +332,12 @@ object Corpus {
     * bigram-TYPE table with bounded aggs; two keyed joins back to the
     * position table and one per-doc regroup — x40's shape plus one
     * join. */
-  val knScore = Q.withOracle(
-    "x172_kneser_ney_score",
-    "x172: per-doc mean Kneser-Ney (D=3/4) bigram conditional probability",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  /** The KN-scoring oracle CTE prefix — everything up to `s` (per-doc
+    * ordered-fold probability sums). Shared verbatim by x172 and x188 so
+    * the bucket operator can never desynchronize from the score it
+    * buckets. */
+  private[graft] val knOracleCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM d),
       |bg AS (SELECT doc_id, i, ts[i] AS w1, ts[i + 1] AS w2 FROM pos),
       |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
@@ -353,10 +356,20 @@ object Corpus {
       |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
       |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
       |          (a, x) -> a + x) AS sp
-      |      FROM p GROUP BY 1)
+      |      FROM p GROUP BY 1)""".stripMargin
+
+  val knScore = Q.withOracle(
+    "x172_kneser_ney_score",
+    "x172: per-doc mean Kneser-Ney (D=3/4) bigram conditional probability",
+    s"""WITH $knOracleCtes
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |  sp / n_bigrams AS score
-      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM s ORDER BY doc_id""".stripMargin)((s, dir) =>
+    knScored(s, dir).orderBy(col("doc_id")))
+
+  /** The x172 scoring frame — (doc_id, n_bigrams, score), unordered —
+    * for operators that compose the KN quality score (x188 bucketing). */
+  private[graft] def knScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val t = toks(col("text"))
     val bg = docs
@@ -388,6 +401,60 @@ object Corpus {
       .select(col("doc_id"), col("n_bigrams"),
         (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
           col("n_bigrams")).as("score"))
+  }
+
+  /** x188: CCNet-style language-model quality bucketing (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data") — the production recipe behind LLaMA's CommonCrawl
+    * slice: score every document with a per-language LM, sort WITHIN the
+    * language, and cut the corpus into equal thirds — `head` (best
+    * third), `middle`, `tail` (usually dropped or down-sampled). The LM
+    * score is x172's Kneser–Ney mean bigram probability (higher = more
+    * fluent = CCNet's lower perplexity; log-free so the double
+    * hash-matches cross-engine), shared via [[knScored]]/[[knOracleCtes]]
+    * so the bucket boundary can never drift from the score it buckets.
+    * Docs with <2 tokens produce no bigrams and have no LM score — they
+    * are outside the bucketed universe (x172's contract), the same way
+    * CCNet only buckets what its LM can score.
+    *
+    * Scale shape: x172's cost plus a keyed lang join, then the exact
+    * per-language NTILE(3) runs on the [[SegmentedRank]] machinery
+    * (segment = floor(−score·4096), monotone in the descending score
+    * order) — per-(lang, segment) windows in parallel, a bounded
+    * offsets table broadcast back, NO corpus-wide or language-wide
+    * single-reducer sort: at 100 TB a per-language window partition IS
+    * corpus-sized, which is exactly the shape the registry's window
+    * audit forbids. Per-language totals are a |langs|-row broadcast. */
+  val ccnetBuckets = Q.withOracle(
+    "x188_ccnet_buckets",
+    "x188: CCNet head/middle/tail per-language buckets over the x172 KN score (exact per-lang NTILE(3), SegmentedRank — no language-wide sort)",
+    s"""WITH $knOracleCtes,
+       |sc AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |         sp / n_bigrams AS score FROM s),
+       |wl AS (SELECT sc.*, dd.lang FROM sc JOIN documents dd USING (doc_id)),
+       |r AS (SELECT *, NTILE(3) OVER (PARTITION BY lang
+       |        ORDER BY score DESC, doc_id) AS b FROM wl)
+       |SELECT doc_id, lang, n_bigrams, score,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sc = knScored(s, dir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("negs", -col("score"))
+      .withColumn("__seg", floor(col("negs") * 4096).cast("long"))
+    val ranked = SegmentedRank.withGroupedRank(sc, Seq("lang"), "__seg",
+      Seq(col("negs"), col("doc_id")), "rnk")
+    // per-language scored-doc totals: every doc with ≥2 tokens yields
+    // exactly one score row, so count them from the raw scan (one cheap
+    // pass, no re-run of the scoring joins) — a |langs|-row broadcast
+    val totals = docs
+      .filter(size(toks(col("text"))) >= 2)
+      .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("nl"))
+    ranked.join(broadcast(totals), "lang")
+      .withColumn("b", SegmentedRank.ntileExpr(3, "rnk", "nl"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -566,5 +633,6 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(rrfFusion, chunkSliding, vocabTopK, bigramCounts,
-    oovRate, bigramLmScore, knScore, collocations, vocabCoverage, goodTuring)
+    oovRate, bigramLmScore, knScore, ccnetBuckets, collocations,
+    vocabCoverage, goodTuring)
 }

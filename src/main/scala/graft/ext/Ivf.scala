@@ -146,6 +146,18 @@ object Ivf {
       array_min(packedLit(cs, cellBits))
         .bitwiseAND(lit((1L << cellBits) - 1)).cast("int"))
 
+  /** [[assignCellsLit]] keeping the winning distance: adds `cell` AND
+    * `dist` (the exact integer squared L2 to the assigned centroid —
+    * the prototypicality measure x189 ranks on), unpacked from the one
+    * packed argmin long. Still a pure map. */
+  private[graft] def assignCellsDistLit(v: DataFrame, cs: Cents,
+      cellBits: Int = CellBits): DataFrame =
+    v.withColumn("__pk", array_min(packedLit(cs, cellBits)))
+      .withColumn("cell",
+        col("__pk").bitwiseAND(lit((1L << cellBits) - 1)).cast("int"))
+      .withColumn("dist", shiftright(col("__pk"), cellBits))
+      .drop("__pk")
+
   /** [[topNCells]]' literal form: sort the K packed longs in the
     * projection, slice n — no aggregation at all. Same output contract:
     * (vec_id, r, cell), r = 1..n by (dist, cell). */

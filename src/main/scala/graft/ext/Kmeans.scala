@@ -132,5 +132,71 @@ object Kmeans {
       .orderBy(col("cell"))
   }
 
-  val all: Seq[Q] = Seq(train, clusterPurity)
+  private def prototypeOracle: String = {
+    val (ctes, finalCents) = Ivf.quantizerOracleCtes
+    val pk = 1 << Ivf.CellBits
+    s"""WITH $ctes,
+       |asgd AS (
+       |  SELECT v.vec_id,
+       |    CAST(min(${Ivf.sqDistSql("v.q", "c.q")} * $pk + c.cell) // $pk AS BIGINT) AS dist,
+       |    CAST(min(${Ivf.sqDistSql("v.q", "c.q")} * $pk + c.cell) % $pk AS BIGINT) AS cell
+       |  FROM vq v CROSS JOIN $finalCents c GROUP BY v.vec_id),
+       |sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM asgd GROUP BY 1),
+       |r AS (SELECT a.vec_id, a.cell, a.dist, sz.n,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.cell
+       |      ORDER BY a.dist DESC, a.vec_id) AS BIGINT) AS rnk
+       |  FROM asgd a JOIN sz USING (cell))
+       |SELECT vec_id, cell, dist, rnk,
+       |  CAST(CASE WHEN rnk <= (n + 1) // 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
+  /** x189: cluster-prototype data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power-law scaling via data pruning") —
+    * the published recipe for choosing WHICH examples to drop when the
+    * corpus outgrows the compute budget: cluster the embedding space
+    * (the x64 quantizer, one shared training definition), measure each
+    * example's distance to its cluster centroid, and — in the
+    * abundant-data regime — keep the HARD examples (far from the
+    * prototype; easy near-centroid examples are redundant). The keep
+    * rule is per-cluster (the paper's class-balanced form): rank members
+    * by distance descending and keep the top ⌈n/2⌉ of every cell, so no
+    * cluster is emptied by a global threshold.
+    *
+    * Exactness: distance is the quantizer's own integer squared L2
+    * (exact int64, [[Ivf.sqDist]] bounds), the rank an exact integer,
+    * the keep rule integer arithmetic — no doubles anywhere.
+    *
+    * Scale shape: training is x64 (literal-centroid tier); assignment +
+    * distance is ONE pure-map pass ([[Ivf.assignCellsDistLit]] — the
+    * packed argmin, no join); the per-cell hardness rank runs on
+    * [[SegmentedRank]] (segment = arithmetic-shift of the negated
+    * distance, ≤4096 segments) — at 100 TB a per-cell window partition
+    * is corpus-sized (K is bounded), exactly the single-reducer shape
+    * the registry's window audit forbids. Cell sizes are a K-row
+    * broadcast. */
+  val prototypePrune = Q.withOracle(
+    "x189_prototype_prune",
+    s"x189: SSL-prototype pruning (K=${Ivf.K}) - keep the hardest ⌈n/2⌉ per cell by exact integer distance-to-centroid rank",
+    prototypeOracle) { (s, dir) =>
+    val vq = Ivf.quantized(Tables.embeddings(s, dir))
+      .localCheckpoint() // read once per Lloyd pass + the final assignment
+    val cs = Ivf.refinedCentsCollected(vq)
+    val asg = Ivf.assignCellsDistLit(vq, cs)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("dist"))
+    val sizes = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ranked = SegmentedRank.withGroupedRank(
+      asg.withColumn("negd", -col("dist"))
+        .withColumn("__seg", shiftright(col("negd"), 36)),
+      Seq("cell"), "__seg", Seq(col("negd"), col("vec_id")), "rnk")
+    ranked.join(broadcast(sizes), "cell")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        col("rnk").cast("long").as("rnk"),
+        when(col("rnk") <= expr("(n + 1) div 2"), 1L).otherwise(0L)
+          .as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(train, clusterPurity, prototypePrune)
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset splitting for a training pipeline.
@@ -508,7 +509,102 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** x190 epoch cap: no language's allocation may exceed this many
+    * passes over its own data (UniMax's one knob — repeating a
+    * low-resource language too often memorizes it). */
+  private val UniEpochCap = 2L
+
+  /** x190: UniMax language-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining") — the alternative to x44/
+    * x185's temperature sampling: spread the training-token budget as
+    * UNIFORMLY across languages as possible, subject to a per-language
+    * epoch cap. Languages small enough that `cap·tokens` is below the
+    * uniform share are capped at [[UniEpochCap]] epochs; the freed
+    * budget redistributes uniformly over the rest (water-filling with
+    * per-item caps). Budget = 1.5 corpus passes (dyadic, so
+    * `B = 1.5·T` is ONE exact IEEE multiply).
+    *
+    * Closed form instead of an iterative loop: sort languages by cap
+    * ascending; with exclusive prefix-cap sum P_i, the candidate
+    * uniform share t_i = (B − P_{i−1})/(L − i + 1) assumes languages
+    * 1..i−1 are capped — language i is capped IFF t_i > cap_i (once
+    * t_i ≤ cap_i, t_{i+1} ≤ cap_i ≤ cap_{i+1} inductively, so the rule
+    * is per-row-correct with no fixpoint). The final share every
+    * uncapped language receives is t at the FIRST uncapped row. Since
+    * budget ≤ cap·T, at least one language is always uncapped, and the
+    * full budget is allocated exactly.
+    *
+    * Exactness: token counts and caps are exact BIGINT; prefix sums
+    * exact; each t_i is one double subtraction (exact: both ≤ 2⁵³) and
+    * one IEEE division — the identical expression tree in DuckDB.
+    *
+    * Scale shape: ONE (lang, token-count) hash agg over the corpus
+    * (map-side combined); everything after lives on the bounded
+    * language axis — the unpartitioned windows sit ABOVE that
+    * aggregate (the registry audit's structural-witness rule), and the
+    * 1-row first-uncapped-share scalar joins back on a constant key
+    * (broadcast hash join, not a cross join). */
+  val unimaxMix = Q.withOracle(
+    "x190_unimax_mix",
+    s"x190: UniMax epoch-capped uniform language allocation (cap=$UniEpochCap epochs, budget=1.5 corpus passes)",
+    s"""WITH per AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY 1),
+       |pc AS (SELECT *, $UniEpochCap * toks AS cap FROM per),
+       |w AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS rnk,
+       |    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS lcnt,
+       |    CAST(SUM(toks) OVER () AS BIGINT) AS t
+       |  FROM pc),
+       |w2 AS (SELECT *, (1.5 * t - p) / (lcnt - rnk + 1) AS ti FROM w),
+       |ts AS (SELECT ti AS tstar FROM w2 WHERE ti <= cap ORDER BY rnk LIMIT 1),
+       |a AS (
+       |  SELECT w2.*, CASE WHEN w2.ti > w2.cap THEN CAST(w2.cap AS DOUBLE)
+       |    ELSE ts.tstar END AS alloc
+       |  FROM w2 LEFT JOIN ts ON TRUE)
+       |SELECT lang, n_docs, toks AS n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+       |  CAST(CASE WHEN ti > cap THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |  alloc AS alloc_tokens, alloc / toks AS epochs
+       |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tk")).cast("long").as("toks"))
+      .withColumn("cap", lit(UniEpochCap) * col("toks"))
+    // every window here runs over the bounded |langs|-row aggregate
+    val ordW = Window.orderBy(col("cap"), col("lang"))
+    val totW = Window.partitionBy()
+    val w2 = per
+      .withColumn("rnk", row_number().over(ordW).cast("long"))
+      .withColumn("p", coalesce(
+        sum(col("cap")).over(ordW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+      .withColumn("lcnt", count(lit(1)).over(totW).cast("long"))
+      .withColumn("t", sum(col("toks")).over(totW).cast("long"))
+      .withColumn("ti",
+        (lit(1.5) * col("t") - col("p")) / (col("lcnt") - col("rnk") + 1))
+    val ts = w2.filter(col("ti") <= col("cap")).orderBy(col("rnk")).limit(1)
+      .select(col("ti").as("tstar")).withColumn("__k", lit(1))
+    w2.withColumn("__k", lit(1))
+      .join(broadcast(ts), Seq("__k"), "left")
+      .withColumn("alloc",
+        when(col("ti") > col("cap"), col("cap").cast("double"))
+          .otherwise(col("tstar")))
+      .select(col("lang"), col("n_docs"), col("toks").as("n_tokens"),
+        col("cap").as("cap_tokens"),
+        when(col("ti") > col("cap"), 1L).otherwise(0L).as("capped"),
+        col("alloc").as("alloc_tokens"),
+        (col("alloc") / col("toks")).as("epochs"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] =
     Seq(hashSplit, stratified, domainMix, langTemperature, sampledQuantiles,
-      bootstrapCi, horvitzThompson, prioritySample, epochPlan)
+      bootstrapCi, horvitzThompson, prioritySample, epochPlan, unimaxMix)
 }

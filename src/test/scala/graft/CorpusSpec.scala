@@ -275,4 +275,35 @@ class CorpusSpec extends SparkSuite {
       chao1.foreach(c => assert(c >= v.toDouble)) // richness ≥ observed
     }
   }
+
+  test("x188 CCNet buckets: exact per-lang thirds, score-monotone, x172's universe") {
+    val got = ext.Corpus.ccnetBuckets.fn(spark, sf)
+      .as[(Long, String, Long, Double, String)].collect().toSeq
+    // universe = exactly the scoreable docs (x172's contract), each once
+    val scored = ext.Corpus.knScore.fn(spark, sf)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(got.map(_._1).toSet === scored.keySet)
+    got.foreach { case (id, _, _, score, bucket) =>
+      assert(score === scored(id)) // the bucketed score IS x172's score
+      assert(Set("head", "middle", "tail")(bucket))
+    }
+    got.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.size
+      val byB = docs.groupBy(_._5).view.mapValues(_.size).toMap
+      // NTILE(3): first n%3 buckets carry ceil(n/3), the rest floor(n/3)
+      val sizes = Seq("head", "middle", "tail").map(b => byB.getOrElse(b, 0))
+      assert(sizes.sum === n)
+      assert(sizes.max - sizes.min <= 1, s"$lang thirds $sizes")
+      assert(sizes === sizes.sorted.reverse, s"$lang NTILE big-first $sizes")
+      // buckets are score-ordered: every head score >= every middle
+      // score >= every tail score (ties at a boundary split by doc_id,
+      // so equality is legal)
+      def scores(b: String) = docs.filter(_._5 == b).map(_._4)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max)
+    }
+  }
 }

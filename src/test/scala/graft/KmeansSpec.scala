@@ -110,4 +110,42 @@ class KmeansSpec extends SparkSuite {
       assert(gini <= 1.0 - purity * purity + 1e-12)
     }
   }
+
+  test("x189 prototype prune: per-cell ceil-half quota, hardest kept, full universe") {
+    val got = ext.Kmeans.prototypePrune.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq // vec_id?, but vec_id type from parquet
+    val total = Tables.embeddings(spark, sf).count()
+    assert(got.size.toLong === total) // every vector gets a verdict
+    assert(got.map(_._1).distinct.size === got.size)
+    got.foreach { case (_, _, dist, rnk, keep) =>
+      assert(dist >= 0L)
+      assert(rnk >= 1L)
+      assert(keep == 0L || keep == 1L)
+    }
+    got.groupBy(_._2).foreach { case (cell, members) =>
+      val n = members.size.toLong
+      // ranks are a permutation of 1..n within the cell
+      assert(members.map(_._4).sorted === (1L to n))
+      // keep quota is exactly ceil(n/2), and it is the HARD half: every
+      // kept distance >= every dropped distance (ties split by vec_id,
+      // so equality at the boundary is legal)
+      val kept = members.filter(_._5 == 1L)
+      assert(kept.size.toLong === (n + 1) / 2, s"cell $cell quota")
+      val dropped = members.filter(_._5 == 0L)
+      if (dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max - 0L)
+      // the keep rule is exactly "rank <= ceil(n/2)"
+      members.foreach { case (_, _, _, rnk, keep) =>
+        assert((keep == 1L) === (rnk <= (n + 1) / 2))
+      }
+    }
+    // the cell partition matches the shared x64 quantizer: per-cell
+    // member counts equal x64's reported sizes
+    val x64Sizes = ext.Kmeans.train.fn(spark, sf)
+      .select(col("cell").cast("long"), col("n")).distinct()
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (cell, members) =>
+      assert(x64Sizes(cell) === members.size.toLong, s"cell $cell size")
+    }
+  }
 }

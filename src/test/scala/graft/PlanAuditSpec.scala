@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSuite {
     "x170b_mix_design_gated",      // same two 1-row scalars as x170 (nmin into rates, resampled total onto |sources| rows)
     "x171_split_leakage",          // two 1-row leak/holdout scalars onto the ≤3-row class agg
     "x172_kneser_ney_score",       // broadcast of the 1-row bigram-type-count scalar (x40's posture)
+    "x188_ccnet_buckets",          // inherits x172's 1-row type-count broadcast through composition (x88's pattern)
     "x177_dsir_select",            // broadcast of the 1-row occurrence-totals scalar into the ≤256-row ratio table
     "x186b_clf_vs_dsir",           // inherits x177's 1-row totals broadcast through composition (x88's pattern)
     "x187_pretrain_frontend",      // composed DAG: x177's 1-row totals + x44's 1-row min-lang scalar, both declared in their own operators
@@ -65,6 +66,7 @@ class PlanAuditSpec extends SparkSuite {
     "x179_matryoshka_recall",      // x5's broadcast query-panel cross join per dim + the 2-row dim axis onto the 100-row exact table
     "x184_curriculum_novelty",     // broadcast of the 1-row schedule-length scalar onto the token explode
     "x185_epoch_plan",             // broadcast of the 1-row (√-mass denominator, total) scalar onto the |sources| rows
+    "x190_unimax_mix",             // broadcast LEFT join of the 1-row first-uncapped-share scalar onto the |langs| rows (constant key folds to BNLJ)
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

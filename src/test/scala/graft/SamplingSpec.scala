@@ -157,4 +157,41 @@ class SamplingSpec extends SparkSuite {
       byTok.map(_.getAs[Double]("epochs")).sortBy(identity).reverse.toSeq)
     rows.foreach(r => assert(r.getAs[Double]("epochs") > 0))
   }
+
+  test("x190 UniMax: caps respected, uncapped shares equal, budget exactly allocated") {
+    val rows = ext.Sampling.unimaxMix.fn(spark, sf).collect().toSeq
+    assert(rows.size >= 2)
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = 1.5 * totalToks
+    val (capped, uncapped) = rows.partition(_.getAs[Long]("capped") == 1L)
+    // budget = 1.5 corpus passes < 2 = cap passes, so someone is uncapped
+    assert(uncapped.nonEmpty)
+    // capped languages sit EXACTLY at the cap: alloc = cap = 2·toks,
+    // epochs = 2.0 bit-exactly (one exact integer-to-double conversion)
+    capped.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") ===
+        r.getAs[Long]("cap_tokens").toDouble)
+      assert(r.getAs[Double]("epochs") === 2.0)
+      assert(r.getAs[Long]("cap_tokens") === 2 * r.getAs[Long]("n_tokens"))
+    }
+    // every uncapped language receives the SAME share (bit-equal: the
+    // one tstar scalar), and it is below their caps
+    val shares = uncapped.map(_.getAs[Double]("alloc_tokens")).distinct
+    assert(shares.size === 1)
+    uncapped.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") <=
+        r.getAs[Long]("cap_tokens").toDouble)
+      assert(r.getAs[Double]("epochs") <= 2.0)
+    }
+    // the whole budget is allocated (sum of ≤|langs| doubles: 1e-9 rel)
+    val alloc = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(alloc - budget) / budget < 1e-9, s"$alloc vs $budget")
+    // capped-iff rule: capped exactly when the cap is below the final
+    // uniform share
+    val tstar = shares.head
+    rows.foreach { r =>
+      val isCapped = r.getAs[Long]("capped") == 1L
+      if (isCapped) assert(r.getAs[Long]("cap_tokens").toDouble <= tstar)
+    }
+  }
 }

@@ -360,6 +360,11 @@ object ScaleProbe {
       // agg over the corpus, everything else on the bounded lang axis
       // — should sit in the x185 flattest class and TRACK its curve
       "x190_unimax_mix",
+      // x191: output CONSTANT (6 pairs); the x172 + x177 signal passes
+      // dominate, then four SegmentedRank segment shuffles of the
+      // 4-signal panel and ONE keyless agg — expect ~x172's curve plus
+      // x177's plus a linear rank term
+      "x191_signal_correlation",
       // x170b: x170's curve exactly (same one-scan composed DAG; the
       // dup-line gate is a per-row array expression inside the md5
       // projection — zero added shuffles, zero extra scans)

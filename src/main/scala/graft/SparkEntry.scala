@@ -52,6 +52,7 @@ object SparkEntry {
       ext.Search.all ++
       ext.Corpus.all ++
       ext.Dsir.all ++
+      ext.SignalCorr.all ++
       ext.Classifier.all ++
       ext.Frontend.all ++
       ext.Bpe.all ++

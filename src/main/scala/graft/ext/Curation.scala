@@ -610,15 +610,16 @@ object Curation {
   def piiRedactions(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Pii.redactionCount(text, Pii.CurationRules)
 
-  /** Per-doc quality score used by x25/x26: distinct-token ratio (the x8
-    * `uniq_ratio` signal) — one IEEE division of two exact counts. */
-  private def qualityScore = {
+  /** Per-doc quality score used by x25/x26 (and x191's signal panel):
+    * distinct-token ratio (the x8 `uniq_ratio` signal) — one IEEE
+    * division of two exact counts. */
+  private[graft] def qualityScore = {
     val t = split(col("text"), " ")
     (size(array_distinct(t)).cast("double") / size(t))
   }
   // a def, not a val: x184 is declared ABOVE this point and interpolates
   // it at object init — a val would still be null there (init order)
-  private def qualityScoreSql =
+  private[graft] def qualityScoreSql =
     """CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / len(string_split(text, ' '))""".stripMargin
 

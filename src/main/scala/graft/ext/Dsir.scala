@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -48,10 +48,12 @@ object Dsir {
     * exact BIGINT up to ~3e9 bigram occurrences (product < 2^63), far
     * above any single-partition test scale; at true corpus scale the
     * count tables would be per-shard longs merged exactly (pure sums). */
-  val dsirSelect: Q = Q.withOracle(
-    "x177_dsir_select",
-    "x177: DSIR hashed-bigram importance scoring + deterministic top-quarter selection",
-    s"""WITH d AS (
+  /** The DSIR scoring oracle CTE prefix — everything up to `sc` (per-doc
+    * mean importance ratios). Shared verbatim by x177 and x191 (wrapped
+    * in a subquery there to isolate CTE names) so a consumer can never
+    * desynchronize from the score it consumes. */
+  private[graft] def dsirOracleCtes: String =
+    s"""d AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
        |pos AS (
        |  SELECT doc_id, lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
@@ -78,7 +80,12 @@ object Dsir {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(CAST(db.c AS DOUBLE) * r.r ORDER BY db.b)), (a, x) -> a + x) AS sp
        |  FROM db JOIN r USING (b) GROUP BY 1),
-       |sc AS (SELECT doc_id, n_feats, sp / n_feats AS score FROM s),
+       |sc AS (SELECT doc_id, n_feats, sp / n_feats AS score FROM s)""".stripMargin
+
+  val dsirSelect: Q = Q.withOracle(
+    "x177_dsir_select",
+    "x177: DSIR hashed-bigram importance scoring + deterministic top-quarter selection",
+    s"""WITH $dsirOracleCtes,
        |rk AS (
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rnk,
        |    COUNT(*) OVER () AS n
@@ -89,6 +96,29 @@ object Dsir {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN rk ON d.doc_id = rk.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val sel = SegmentedRank.withGlobalRank(scored(s, dir),
+      floor(col("score") * 1024).cast("long"), Seq(col("score"), col("doc_id")))
+      .withColumn("selected",
+        when(col("r") > col("n") - expr("(n + 3) div 4"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_feats"), col("score"), col("selected"))
+    // One row per CORPUS doc (r14 advice): docs with <2 tokens produce no
+    // bigrams and so no score — they re-enter here with n_feats=0, score
+    // NULL, selected=0. The top-⌈n/4⌉ quota deliberately ranks only
+    // scoreable docs (an unscoreable doc can't be "like the target").
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("score"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The x177 scoring frame — (doc_id, n_feats, score) over every
+    * ≥2-token doc, unordered — for operators that compose the DSIR
+    * importance score (x186b's census, x191's signal panel). The
+    * deterministic top-⌈n/4⌉ SELECTION stays in [[dsirSelect]]: the
+    * score is the reusable primitive, the quota is x177's policy. */
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     // (doc, lang, bucket) per bigram occurrence — the one corpus explode
     val hb = Tables.documents(s, dir)
@@ -113,7 +143,7 @@ object Dsir {
     val db = hb.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast("long").as("c"))
     // per-doc mean ratio, folded in pinned bucket order (the x40 fold)
-    val scored = db.join(broadcast(ratio), "b")
+    db.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_feats"),
         array_sort(collect_list(struct(col("b"),
@@ -121,25 +151,6 @@ object Dsir {
       .select(col("doc_id"), col("n_feats"),
         (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("t")) /
           col("n_feats")).as("score"))
-    // deterministic top-⌈n/4⌉ by (score, doc_id), ranked without a
-    // single-partition window: segment = floor(score·1024) is monotone
-    // in score and bounded (score ≤ (nr+B)/(nt+B) since target ⊆ raw)
-    val ranked = SegmentedRank.withGlobalRank(scored,
-      floor(col("score") * 1024).cast("long"), Seq(col("score"), col("doc_id")))
-    val sel = ranked
-      .withColumn("selected",
-        when(col("r") > col("n") - expr("(n + 3) div 4"), 1L).otherwise(0L))
-      .select(col("doc_id"), col("n_feats"), col("score"), col("selected"))
-    // One row per CORPUS doc (r14 advice): docs with <2 tokens produce no
-    // bigrams and so no score — they re-enter here with n_feats=0, score
-    // NULL, selected=0. The top-⌈n/4⌉ quota deliberately ranks only
-    // scoreable docs (an unscoreable doc can't be "like the target").
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(sel, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("score"),
-        coalesce(col("selected"), lit(0L)).as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(dsirSelect)

@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSuite {
     "x184_curriculum_novelty",     // broadcast of the 1-row schedule-length scalar onto the token explode
     "x185_epoch_plan",             // broadcast of the 1-row (√-mass denominator, total) scalar onto the |sources| rows
     "x190_unimax_mix",             // broadcast LEFT join of the 1-row first-uncapped-share scalar onto the |langs| rows (constant key folds to BNLJ)
+    "x191_signal_correlation",     // inherits x172's type-count and x177's totals 1-row broadcasts through composition (x88's pattern)
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -365,6 +365,9 @@ object ScaleProbe {
       // 4-signal panel and ONE keyless agg — expect ~x172's curve plus
       // x177's plus a linear rank term
       "x191_signal_correlation",
+      // x191b: output CONSTANT (6 pairs); x191's shared panel + ranks
+      // verbatim, a different keyless agg — should TRACK x191's curve
+      "x191b_signal_top_overlap",
       // x170b: x170's curve exactly (same one-scan composed DAG; the
       // dup-line gate is a per-row array expression inside the md5
       // projection — zero added shuffles, zero extra scans)

@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSuite {
     "x185_epoch_plan",             // broadcast of the 1-row (√-mass denominator, total) scalar onto the |sources| rows
     "x190_unimax_mix",             // broadcast LEFT join of the 1-row first-uncapped-share scalar onto the |langs| rows (constant key folds to BNLJ)
     "x191_signal_correlation",     // inherits x172's type-count and x177's totals 1-row broadcasts through composition (x88's pattern)
+    "x191b_signal_top_overlap",    // same shared ranked panel as x191 - same two inherited 1-row broadcasts
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

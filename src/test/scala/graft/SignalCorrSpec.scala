@@ -57,5 +57,23 @@ class SignalCorrSpec extends SparkSuite {
     // distinct-token-ratio heuristic is (inversely) a length filter
     val hl = got.find(_._1 == "heur_vs_len").get._4.get
     assert(hl < -0.5, s"heur-vs-len confound should be strongly negative, got $hl")
+
+    // ---- x191b: top-quartile keep-set overlap, replayed from the same
+    // independently-computed ranks ----
+    val ov = ext.SignalCorr.topOverlap.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(ov.map(_._1) === got.map(_._1)) // same pair axis
+    val k = (n + 3) / 4
+    ov.foreach { case (pair, nd, quota, overlap, jaccard, lift) =>
+      assert(nd === n && quota === k)
+      val Array(a, b) = pair.split("_vs_")
+      def keeps(sig: String) =
+        ids.filter(id => r(sig)(id) > n - k).toSet
+      val expect = (keeps(a) intersect keeps(b)).size.toLong
+      assert(overlap === expect, s"$pair overlap")
+      assert(overlap >= 0L && overlap <= k)
+      assert(jaccard === overlap.toDouble / (2 * k - overlap))
+      assert(lift === overlap.toDouble * n / (k * k))
+    }
   }
 }

@@ -49,8 +49,8 @@ object IncProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(10)
     // Optional 2nd arg: comma-separated section filter
-    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,lmfeed,minhash,
-    // bpe,probek) for fast re-probe of one.
+    // (bdf,cdc,aggview,pqfeed,kmv,cms,bitmap,trailing,holt,lmfeed,dsirfeed,
+    // minhash,bpe,probek) for fast re-probe of one.
     val only = args.lift(1).map(_.split(",").toSet)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.contains(name))) body
@@ -411,6 +411,38 @@ object IncProbe {
       }
       val vocab = LmFeed.uniCounts(spark, dir).count()
       emit("lmfeed_ingest", f, sec, s""","vocab":$vocab""")
+    } }
+
+    // ---- DsirFeed: importance-selection state vs corpus history -------
+    // History unit = the 5k-doc corpus, token-renamed (disjoint feature
+    // mass) and doc_id-shifted per copy (the doc-once contract). Timed
+    // batch = 20 fresh docs. The claim: ingest aggregates the BATCH into
+    // three O(batch)-sized partials (bucket counts bounded at 256 rows,
+    // per-doc facts, universe ids) and appends — history is never read,
+    // so the curve must be flat while the ingested corpus grows 10×.
+    // (The SELECTED view is corpus-sized on read by DSIR's semantics —
+    // a new batch re-ranks everything — which is exactly the batch
+    // operator's cost; the feed makes the STATE incremental.)
+    section("dsirfeed") { factors.foreach { f =>
+      import graft.streaming.DsirFeed
+      val dir = s"/tmp/graft-inc-dsir-$f"
+      deleteDir(spark, dir)
+      val langs = docs.select(col("doc_id"), col("lang"))
+      def hist(k: Int): DataFrame = renamed(s"h$k").join(langs, "doc_id")
+        .select((col("doc_id") + k.toLong * 1000000000L).as("doc_id"),
+          col("text"), col("lang"))
+      (0 until f).foreach(k => DsirFeed.ingest(spark, dir, hist(k), k,
+        numBuckets = 64))
+      DsirFeed.compact(spark, dir)
+      def fresh(tag: String, off: Long): DataFrame = freshBatch(tag)
+        .select((col("doc_id") + off).as("doc_id"), col("text"),
+          lit("en").as("lang"))
+      DsirFeed.ingest(spark, dir, fresh(s"w$f", 900000000000L), f.toLong) // warm
+      val sec = time {
+        DsirFeed.ingest(spark, dir, fresh(s"t$f", 910000000000L), f.toLong + 1)
+      }
+      val nb = DsirFeed.bucketCounts(spark, dir).count()
+      emit("dsirfeed_ingest", f, sec, s""","feature_buckets":$nb""")
     } }
 
     // ---- MinHashFeed: near-dup ingest vs band/shingle-index history ---

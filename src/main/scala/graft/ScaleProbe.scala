@@ -368,6 +368,14 @@ object ScaleProbe {
       // x191b: output CONSTANT (6 pairs); x191's shared panel + ranks
       // verbatim, a different keyless agg — should TRACK x191's curve
       "x191b_signal_top_overlap",
+      // x192: one row per 64-byte frame (linear in blob mass); a pure
+      // map+explode, zero shuffles — should sit with x35/x46 in the
+      // flattest scan-speed class
+      "x192_frame_sample",
+      // x193: one row per ≥3-token doc (linear); one (gram) hash agg
+      // over the trigram explode + one gram-keyed join back + one
+      // (doc) agg of exact longs — x71's cost class
+      "x193_soft_dedup",
       // x170b: x170's curve exactly (same one-scan composed DAG; the
       // dup-line gate is a per-row array expression inside the md5
       // projection — zero added shuffles, zero extra scans)

@@ -53,6 +53,7 @@ object SparkEntry {
       ext.Corpus.all ++
       ext.Dsir.all ++
       ext.SignalCorr.all ++
+      ext.SoftDedup.all ++
       ext.Classifier.all ++
       ext.Frontend.all ++
       ext.Bpe.all ++

@@ -96,16 +96,68 @@ object Dsir {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN rk ON d.doc_id = rk.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    val sel = SegmentedRank.withGlobalRank(scored(s, dir),
+    selectTail(scored(s, dir), Tables.documents(s, dir).select(col("doc_id")))
+  }
+
+  // ---- Shared building blocks -------------------------------------
+  // ONE definition of each scoring stage, consumed by the batch query
+  // (x177/x191) AND by graft.streaming.DsirFeed's state-backed views —
+  // the feed's increment≡batch bit-equality contract rides on these
+  // being literally the same expression trees.
+
+  /** (doc_id, lang, b) per bigram occurrence — the one corpus explode. */
+  private[graft] def occurrences(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), col("lang"), explode(
+        filter(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat_ws(" ", col("p.w1"), col("p.w2"))), 1, 15),
+          16, 10).cast("long") % Buckets).as("b"))
+  }
+
+  /** ≤Buckets-row smoothed ratio table from per-bucket raw counts
+    * (b, cr), target counts (b, ct — left-joined, absent ⇒ 0), and the
+    * 1-row totals (nr, nt): exact integer products, one division. */
+  private[graft] def ratioTable(cr: DataFrame, ct: DataFrame,
+      tot: DataFrame): DataFrame =
+    cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot)) // one scalar row
+      .select(col("b"),
+        (((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + Buckets)).cast("double") /
+          ((col("nt") + Buckets) * (col("cr") + 1L)).cast("double")).as("r"))
+
+  /** Per-doc mean importance ratio from the (doc_id, b, c) bucket-count
+    * table and the broadcast ratio table — folded in pinned bucket
+    * order (the x40 fold). */
+  private[graft] def scoreDocBuckets(db: DataFrame, ratio: DataFrame): DataFrame =
+    db.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_feats"),
+        array_sort(collect_list(struct(col("b"),
+          (col("c").cast("double") * col("r")).as("t")))).as("ps"))
+      .select(col("doc_id"), col("n_feats"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("t")) /
+          col("n_feats")).as("score"))
+
+  /** The deterministic top-⌈n/4⌉ selection over a scored frame, rejoined
+    * to the full doc universe: SegmentedRank global rank (segment =
+    * floor(score·1024), monotone in score and bounded since
+    * score ≤ (nr+B)/(nt+B) — target ⊆ raw), x19's (score, doc_id) total
+    * order. One row per UNIVERSE doc (r14 advice): docs with <2 tokens
+    * produce no bigrams and so no score — they re-enter with n_feats=0,
+    * score NULL, selected=0; the quota deliberately ranks only scoreable
+    * docs (an unscoreable doc can't be "like the target"). */
+  private[graft] def selectTail(scoredDocs: DataFrame,
+      universe: DataFrame): DataFrame = {
+    val sel = SegmentedRank.withGlobalRank(scoredDocs,
       floor(col("score") * 1024).cast("long"), Seq(col("score"), col("doc_id")))
       .withColumn("selected",
         when(col("r") > col("n") - expr("(n + 3) div 4"), 1L).otherwise(0L))
       .select(col("doc_id"), col("n_feats"), col("score"), col("selected"))
-    // One row per CORPUS doc (r14 advice): docs with <2 tokens produce no
-    // bigrams and so no score — they re-enter here with n_feats=0, score
-    // NULL, selected=0. The top-⌈n/4⌉ quota deliberately ranks only
-    // scoreable docs (an unscoreable doc can't be "like the target").
-    Tables.documents(s, dir).select(col("doc_id"))
+    universe
       .join(sel, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("score"),
@@ -119,38 +171,15 @@ object Dsir {
     * deterministic top-⌈n/4⌉ SELECTION stays in [[dsirSelect]]: the
     * score is the reusable primitive, the quota is x177's policy. */
   private[graft] def scored(s: SparkSession, dir: String): DataFrame = {
-    val t = split(col("text"), " ")
-    // (doc, lang, bucket) per bigram occurrence — the one corpus explode
-    val hb = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), explode(
-        filter(zip_with(t, slice(t, lit(2), size(t)),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-          p => p.getField("w2").isNotNull)).as("p"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(concat_ws(" ", col("p.w1"), col("p.w2"))), 1, 15),
-          16, 10).cast("long") % Buckets).as("b"))
+    val hb = occurrences(Tables.documents(s, dir))
     val cr = hb.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cr"))
     val ct = hb.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).cast("long").as("ct"))
     val tot = hb.agg(count(lit(1)).cast("long").as("nr"),
       count(when(col("lang") === "en", 1)).cast("long").as("nt"))
-    // ≤Buckets-row smoothed ratio table: exact integer products, one division
-    val ratio = cr.join(ct, Seq("b"), "left")
-      .crossJoin(broadcast(tot)) // one scalar row
-      .select(col("b"),
-        (((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + Buckets)).cast("double") /
-          ((col("nt") + Buckets) * (col("cr") + 1L)).cast("double")).as("r"))
     val db = hb.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast("long").as("c"))
-    // per-doc mean ratio, folded in pinned bucket order (the x40 fold)
-    db.join(broadcast(ratio), "b")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_feats"),
-        array_sort(collect_list(struct(col("b"),
-          (col("c").cast("double") * col("r")).as("t")))).as("ps"))
-      .select(col("doc_id"), col("n_feats"),
-        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("t")) /
-          col("n_feats")).as("score"))
+    scoreDocBuckets(db, ratioTable(cr, ct, tot))
   }
 
   val all: Seq[Q] = Seq(dsirSelect)

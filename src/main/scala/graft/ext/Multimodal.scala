@@ -255,5 +255,41 @@ object Multimodal {
       phashPairs(hashes)
     })
 
-  val all: Seq[Q] = Seq(pipeline, phashDedup)
+  /** x192: the frame-sampling transform REGISTERED and fully oracled —
+    * the explode-shaped video-pipeline step ([[sampleFrames]], until now
+    * spec-only): every 64-byte "frame" of the binary media column yields
+    * its 16-byte header slice as hex. Unlike x11/x133 (whose features
+    * hinge on raster decode), frame geometry is pure byte arithmetic, so
+    * this member of the multimodal family gets a DuckDB oracle: DuckDB
+    * cannot slice BLOBs, but slicing the HEX STRING is byte-precise at
+    * aligned offsets (byte k ↔ hex chars 2k, 2k+1) — the Spark side
+    * keeps the binary-native form (`substr` on BinaryType), the oracle
+    * slices `hex(media)`, and the two agree exactly at every 64-byte
+    * frame boundary.
+    *
+    * Scale shape: a pure map+explode (zero shuffles, zero joins) — the
+    * blob never moves, each output row is 16 bytes of it; at 100 TB the
+    * transform runs at scan speed with output bounded by
+    * (blob bytes)/4. Short blobs (< one stride) still emit frame 0 with
+    * whatever header bytes exist — the pipeline stays total. */
+  val frameSample = Q.withOracle(
+    "x192_frame_sample",
+    "x192: stride-64 frame sampling over the binary media column (16-byte header slice per frame, pure map+explode)",
+    """WITH b AS (
+      |  SELECT doc_id, encode(text) AS media FROM documents),
+      |f AS (
+      |  SELECT doc_id, hex(media) AS mhex,
+      |    unnest(generate_series(0,
+      |      greatest(CAST(octet_length(media) // 64 AS INT) - 1, 0))) AS frame_no
+      |  FROM b)
+      |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  substring(mhex, CAST(frame_no * 128 + 1 AS INT), 32) AS frame_hex
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin)(
+    (s, dir) =>
+      sampleFrames(blobTable(s, dir))
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_no")))
+
+  val all: Seq[Q] = Seq(pipeline, phashDedup, frameSample)
 }

@@ -399,6 +399,24 @@ class ExtSpec extends SparkSuite {
     assert(wrong.isEmpty, wrong.collect().take(3).mkString(","))
   }
 
+  test("x192: binary-slice-then-hex equals hex-then-string-slice (the oracle identity)") {
+    // the registered query slices the BINARY column; its oracle slices
+    // the hex string — pin the byte-aligned equivalence the oracle rides
+    val got = SparkEntry.queries("x192_frame_sample")(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    val blobs = Multimodal.blobTable(spark, sf)
+      .select($"doc_id", hex($"media").as("mhex"))
+      .as[(Long, String)].collect().toMap
+    assert(got.nonEmpty && got.map(t => (t._1, t._2)).distinct.size === got.size)
+    got.foreach { case (id, fno, fhex) =>
+      val mhex = blobs(id)
+      val start = (fno * 128).toInt
+      val expect = mhex.substring(start.min(mhex.length),
+        (start + 32).min(mhex.length))
+      assert(fhex === expect, s"doc $id frame $fno")
+    }
+  }
+
   test("x133 aHash: one-pixel edit stays in the Hamming ball; opposite pattern leaves it") {
     def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSuite {
     "x190_unimax_mix",             // broadcast LEFT join of the 1-row first-uncapped-share scalar onto the |langs| rows (constant key folds to BNLJ)
     "x191_signal_correlation",     // inherits x172's type-count and x177's totals 1-row broadcasts through composition (x88's pattern)
     "x191b_signal_top_overlap",    // same shared ranked panel as x191 - same two inherited 1-row broadcasts
+    "x193_soft_dedup",             // broadcast of the 1-row min-commonness scalar onto the per-doc frame
 
     "hr7_hospitals_not_reporting") // broadcast of the 1-row latest-week scalar
 

@@ -137,15 +137,22 @@ object Multimodal {
         .orderBy(col("doc_id"))
     })
 
-  /** Frame-sampling analog on the byte axis: every k-th 16-byte slice of
+  /** x192 frame geometry — ONE pair of constants interpolated into the
+    * Spark form AND the oracle SQL (stride in bytes between frames;
+    * header bytes sliced per frame), so the two can never desynchronize. */
+  val FrameStride = 64
+  val FrameHeader = 16
+
+  /** Frame-sampling analog on the byte axis: every k-th header slice of
     * the blob, as (doc_id, frame_no, frame_hex) — the explode-shaped
     * transform a video pipeline needs. */
-  def sampleFrames(blobs: DataFrame, stride: Int = 64): DataFrame = {
+  def sampleFrames(blobs: DataFrame, stride: Int = FrameStride,
+      header: Int = FrameHeader): DataFrame = {
     val nFrames = floor(octet_length(col("media")) / stride).cast("int")
     blobs
       .withColumn("frame_no", explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
       .select(col("doc_id"), col("frame_no"),
-        hex(col("media").substr(col("frame_no") * stride + 1, lit(16))).as("frame_hex"))
+        hex(col("media").substr(col("frame_no") * stride + 1, lit(header))).as("frame_hex"))
   }
 
   /** 64-bit average-hash (aHash) — the classic perceptual image
@@ -274,16 +281,16 @@ object Multimodal {
     * whatever header bytes exist — the pipeline stays total. */
   val frameSample = Q.withOracle(
     "x192_frame_sample",
-    "x192: stride-64 frame sampling over the binary media column (16-byte header slice per frame, pure map+explode)",
-    """WITH b AS (
+    s"x192: stride-$FrameStride frame sampling over the binary media column ($FrameHeader-byte header slice per frame, pure map+explode)",
+    s"""WITH b AS (
       |  SELECT doc_id, encode(text) AS media FROM documents),
       |f AS (
       |  SELECT doc_id, hex(media) AS mhex,
       |    unnest(generate_series(0,
-      |      greatest(CAST(octet_length(media) // 64 AS INT) - 1, 0))) AS frame_no
+      |      greatest(CAST(octet_length(media) // $FrameStride AS INT) - 1, 0))) AS frame_no
       |  FROM b)
       |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
-      |  substring(mhex, CAST(frame_no * 128 + 1 AS INT), 32) AS frame_hex
+      |  substring(mhex, CAST(frame_no * ${FrameStride * 2} + 1 AS INT), ${FrameHeader * 2}) AS frame_hex
       |FROM f ORDER BY doc_id, frame_no""".stripMargin)(
     (s, dir) =>
       sampleFrames(blobTable(s, dir))

@@ -514,6 +514,12 @@ object Sampling {
     * low-resource language too often memorizes it). */
   private val UniEpochCap = 2L
 
+  /** x190 token budget in corpus passes — DYADIC on purpose (1.5·T is
+    * one exact IEEE multiply), and strictly below [[UniEpochCap]] so at
+    * least one language is always uncapped and the budget always
+    * allocates fully. ONE constant interpolated into both engines. */
+  private val UniBudgetPasses = 1.5
+
   /** x190: UniMax language-budget allocation (Chung et al. 2023,
     * "UniMax: Fairer and More Effective Language Sampling for
     * Large-Scale Multilingual Pretraining") — the alternative to x44/
@@ -547,7 +553,7 @@ object Sampling {
     * (broadcast hash join, not a cross join). */
   val unimaxMix = Q.withOracle(
     "x190_unimax_mix",
-    s"x190: UniMax epoch-capped uniform language allocation (cap=$UniEpochCap epochs, budget=1.5 corpus passes)",
+    s"x190: UniMax epoch-capped uniform language allocation (cap=$UniEpochCap epochs, budget=$UniBudgetPasses corpus passes)",
     s"""WITH per AS (
        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
@@ -561,7 +567,7 @@ object Sampling {
        |    CAST(COUNT(*) OVER () AS BIGINT) AS lcnt,
        |    CAST(SUM(toks) OVER () AS BIGINT) AS t
        |  FROM pc),
-       |w2 AS (SELECT *, (1.5 * t - p) / (lcnt - rnk + 1) AS ti FROM w),
+       |w2 AS (SELECT *, ($UniBudgetPasses * t - p) / (lcnt - rnk + 1) AS ti FROM w),
        |ts AS (SELECT ti AS tstar FROM w2 WHERE ti <= cap ORDER BY rnk LIMIT 1),
        |a AS (
        |  SELECT w2.*, CASE WHEN w2.ti > w2.cap THEN CAST(w2.cap AS DOUBLE)
@@ -588,7 +594,7 @@ object Sampling {
       .withColumn("lcnt", count(lit(1)).over(totW).cast("long"))
       .withColumn("t", sum(col("toks")).over(totW).cast("long"))
       .withColumn("ti",
-        (lit(1.5) * col("t") - col("p")) / (col("lcnt") - col("rnk") + 1))
+        (lit(UniBudgetPasses) * col("t") - col("p")) / (col("lcnt") - col("rnk") + 1))
     val ts = w2.filter(col("ti") <= col("cap")).orderBy(col("rnk")).limit(1)
       .select(col("ti").as("tstar")).withColumn("__k", lit(1))
     w2.withColumn("__k", lit(1))

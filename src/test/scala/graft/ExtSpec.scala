@@ -410,9 +410,9 @@ class ExtSpec extends SparkSuite {
     assert(got.nonEmpty && got.map(t => (t._1, t._2)).distinct.size === got.size)
     got.foreach { case (id, fno, fhex) =>
       val mhex = blobs(id)
-      val start = (fno * 128).toInt
+      val start = (fno * Multimodal.FrameStride * 2).toInt
       val expect = mhex.substring(start.min(mhex.length),
-        (start + 32).min(mhex.length))
+        (start + Multimodal.FrameHeader * 2).min(mhex.length))
       assert(fhex === expect, s"doc $id frame $fno")
     }
   }

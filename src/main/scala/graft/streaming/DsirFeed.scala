@@ -3,6 +3,7 @@ package graft.streaming
 import graft.ext.Dsir
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** x177's DSIR importance selection as CONTINUOUS ingestion — "data
@@ -135,6 +136,23 @@ object DsirFeed {
     Dsir.selectTail(scores(spark, dir),
       visible(spark, univDir(dir), univSchema, Seq("doc_id"))
         .select(col("doc_id")))
+
+  /** The continuous pipeline ([[BlockDedupFeed.run]]'s shape): document
+    * drops in via the file source, DSIR state maintained incrementally
+    * via foreachBatch — epoch ids are the feed's monotonic batch ids, so
+    * checkpoint-replayed epochs hit the applied-stamp no-op. */
+  def run(spark: SparkSession, inDir: String, stateDir: String,
+      checkpointDir: String, numBuckets: Int = DefaultBuckets): StreamingQuery =
+    DocFeed.readDocs(spark, inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingest(spark, stateDir,
+          batch.select(col("doc_id"), col("text"), col("lang")),
+          batchId, numBuckets)
+      }
+      .start()
 
   /** Fold `cnt` to one row per feature bucket (`batch = -1`) via the
     * atomic manifest swap — the LSM maintenance pass. `docs`/`univ`

@@ -89,6 +89,20 @@ class DsirFeedSpec extends SparkSuite {
     assert(after === base + batchMass)
   }
 
+  test("run(): the AvailableNow file-drop pipeline lands the batch-x177 state") {
+    val in = tmp("in"); val st = tmp("state"); val cp = tmp("cp")
+    val full = Tables.documents(spark, sf)
+      .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    // two file drops; maxFilesPerTrigger=1 → one micro-batch each, and
+    // ingest order doesn't matter (sums + immutable facts)
+    full.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    full.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.DsirFeed.run(spark, in, st, cp).awaitTermination()
+    val batch = SparkEntry.queries("x177_dsir_select")(spark, sf)
+      .as[(Long, Long, Option[Double], Long)].collect().toSet
+    assert(selSet(st) === batch)
+  }
+
   test("incremental growth equals from-scratch on the grown corpus (prefix check)") {
     val d = tmp("grow")
     DsirFeed.ingest(spark, d, docs.filter($"doc_id" % 3 === 0), 0)

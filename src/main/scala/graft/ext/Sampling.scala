@@ -583,7 +583,18 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("tk")).cast("long").as("toks"))
       .withColumn("cap", lit(UniEpochCap) * col("toks"))
-    // every window here runs over the bounded |langs|-row aggregate
+    waterfill(per, UniBudgetPasses)
+  }
+
+  /** The closed-form capped water-filling over a bounded
+    * (lang, n_docs, toks, cap) table at `budgetPasses`·Σtoks budget —
+    * factored so the all-capped branch (budget ≥ Σcaps, unreachable from
+    * the registered query since [[UniBudgetPasses]] < [[UniEpochCap]])
+    * stays testable on crafted tables (SamplingSpec): there the LEFT
+    * join's 1-row share table is EMPTY and every language allocates its
+    * cap, leaving budget unspent. Every window runs over the bounded
+    * per-language aggregate. */
+  private[graft] def waterfill(per: DataFrame, budgetPasses: Double): DataFrame = {
     val ordW = Window.orderBy(col("cap"), col("lang"))
     val totW = Window.partitionBy()
     val w2 = per
@@ -594,7 +605,7 @@ object Sampling {
       .withColumn("lcnt", count(lit(1)).over(totW).cast("long"))
       .withColumn("t", sum(col("toks")).over(totW).cast("long"))
       .withColumn("ti",
-        (lit(UniBudgetPasses) * col("t") - col("p")) / (col("lcnt") - col("rnk") + 1))
+        (lit(budgetPasses) * col("t") - col("p")) / (col("lcnt") - col("rnk") + 1))
     val ts = w2.filter(col("ti") <= col("cap")).orderBy(col("rnk")).limit(1)
       .select(col("ti").as("tstar")).withColumn("__k", lit(1))
     w2.withColumn("__k", lit(1))

@@ -194,4 +194,32 @@ class SamplingSpec extends SparkSuite {
       if (isCapped) assert(r.getAs[Long]("cap_tokens").toDouble <= tstar)
     }
   }
+
+  test("x190 waterfill crafted: hand-computed mixed branch; all-capped leaves budget unspent") {
+    def per(rows: (String, Long)*) =
+      rows.toSeq.toDF("lang", "toks")
+        .withColumn("n_docs", lit(1L))
+        .withColumn("cap", lit(2L) * col("toks"))
+        .select(col("lang"), col("n_docs"), col("toks"), col("cap"))
+    // mixed: caps 2,20,20 at budget 1.0·21 = 21 (exact) → a capped at 2;
+    // b,c share (21−2)/2 = 9.5 each (exact dyadic arithmetic throughout)
+    val mixed = ext.Sampling.waterfill(
+      per(("a", 1L), ("b", 10L), ("c", 10L)), budgetPasses = 1.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("capped"), r.getAs[Double]("alloc_tokens"))).toMap
+    assert(mixed("a") === ((1L, 2.0)))
+    assert(mixed("b") === ((0L, 9.5)))
+    assert(mixed("c") === ((0L, 9.5)))
+    // all-capped (budget ≥ Σcaps): the share table is EMPTY, the left
+    // join must not drop rows, every language allocates its cap, and
+    // the leftover budget stays unspent
+    val full = ext.Sampling.waterfill(
+      per(("a", 1L), ("b", 10L)), budgetPasses = 3.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("capped"), r.getAs[Double]("alloc_tokens"),
+          r.getAs[Double]("epochs"))).toMap
+    assert(full.size === 2)
+    assert(full("a") === ((1L, 2.0, 2.0)))
+    assert(full("b") === ((1L, 20.0, 2.0)))
+  }
 }
